@@ -18,10 +18,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     "q01_monthly_revenue": analytics.q01_monthly_revenue,
+    "q02_customer_tier": analytics.q02_customer_tier,
+    "q03_product_performance": analytics.q03_product_performance,
+    "q04_retention_cohort": analytics.q04_retention_cohort,
+    "q05_daily_anomaly": analytics.q05_daily_anomaly,
 }
 
 ORACLES: dict[str, str] = {
     "q01_monthly_revenue": analytics.Q01_ORACLE,
+    "q02_customer_tier": analytics.Q02_ORACLE,
+    "q03_product_performance": analytics.Q03_ORACLE,
+    "q04_retention_cohort": analytics.Q04_ORACLE,
+    "q05_daily_anomaly": analytics.Q05_ORACLE,
 }
 
 
