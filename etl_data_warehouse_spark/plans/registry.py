@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics
+from . import analytics, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -31,6 +31,9 @@ ORACLES: dict[str, str] = {
     "q04_retention_cohort": analytics.Q04_ORACLE,
     "q05_daily_anomaly": analytics.Q05_ORACLE,
 }
+
+QUERIES.update(warehouse.QUERIES)
+ORACLES.update(warehouse.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
