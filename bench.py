@@ -23,8 +23,20 @@ from etl_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
 from etl_data_warehouse_spark.session import get_spark  # noqa: E402
 
 # Headline set: reference-parity analytics + scale-path extension ops.
+# Quadratic correctness baselines (exact jaccard q23, brute-force q26)
+# are deliberately excluded — their scale paths (q24 LSH, q28 IVF) run.
 BENCH_QUERIES = [
     "q01_monthly_revenue",
+    "q02_customer_tier",
+    "q03_product_performance",
+    "q04_retention_cohort",
+    "q05_daily_anomaly",
+    "q08_fact_daily_sales",
+    "q10_clean_lineitem",
+    "q20_text_stats",
+    "q24_minhash_lsh_dedup",
+    "q28_ivf_topk",
+    "q30_sessionization",
 ]
 
 

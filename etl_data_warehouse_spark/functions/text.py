@@ -1,0 +1,83 @@
+"""Text-analysis column expressions for the training-data pipeline ops.
+
+All pure Catalyst expressions (JVM-side, whole-stage-codegen friendly);
+the DuckDB oracle twins use the same regexes and the same sequential
+left-fold semantics (Spark ``aggregate`` ≡ DuckDB ``list_reduce``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword set for the lexicon language heuristic.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (regex ' +' over trimmed text)."""
+    return F.split(F.trim(_c(col)), " +")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer: runs of
+    letters, runs of digits, or single non-alnum marks."""
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0))
+    ).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    ).cast("long")
+
+
+def digit_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit("[0-9]"), F.lit(0))).cast("long")
+
+
+def stopword_hits(col: Column | str) -> Column:
+    """Tokens that are English stopwords (lexicon heuristic)."""
+    return F.size(
+        F.filter(tokens(col), lambda t: F.lower(t).isin(EN_STOPWORDS))
+    ).cast("long")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>); empty when < n tokens."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rolling_hash(col_name: str, max_chars: int = 256) -> Column:
+    """Polynomial rolling document fingerprint over the first max_chars
+    characters: fold acc = (acc*31 + ascii(ch)) % (1e9+7). Portable —
+    the DuckDB oracle reproduces the identical fold via list_reduce.
+
+    Takes a column NAME (embedded in a SQL expression string).
+    """
+    s = f"substring(lower(trim({col_name})), 1, {max_chars})"
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({s})), "
+        f"i -> ascii(substring({s}, i, 1))), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % 1000000007)"
+    )

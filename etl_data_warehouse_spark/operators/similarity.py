@@ -1,0 +1,183 @@
+"""Embedding similarity search: brute-force baseline + IVF scale path.
+
+Vectors are ``array<float>`` columns; all math is cast to DOUBLE and
+folded sequentially (Spark ``aggregate``), which the DuckDB oracle
+reproduces exactly with ``list_reduce`` — bit-identical similarities.
+
+100 TB posture: brute-force top-k is the O(N·Q) correctness baseline
+(broadcast the query side when small). The scale path is IVF: one pass
+to assign vectors to nearest centroid (narrow, linear), queries probe
+``nprobe`` cells → candidate set shrinks by ~K/nprobe; both stages are
+plain broadcast joins + one shuffle on cell id. Centroids here are
+deterministically seeded (first K vec_ids) — at real scale you'd k-means
+them; the operator shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (≡ DuckDB list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(vec_col)
+    return df.withColumn("_v", v).withColumn("_norm", _norm(F.col("_v")))
+
+
+def brute_force_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    Output: (src_id, neighbor_id, cosine_sim, rank). Deterministic:
+    rank ties broken by neighbor_id."""
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    v = with_norm(vectors).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_v").alias("nv"),
+        F.col("_norm").alias("nn"),
+    )
+    sims = (
+        q.crossJoin(v)
+        .filter(F.col("src_id") != F.col("neighbor_id"))
+        .select(
+            "src_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("src_id", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b)."""
+    a = with_norm(vectors).select(
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm(vectors).select(
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize to n_cells centroids
+    (deterministically seeded with the first n_cells vec_ids), probe the
+    nprobe nearest cells per query, exact-rank within candidates.
+
+    Output: (src_id, neighbor_id, cosine_sim, rank) — approximate;
+    recall measured against brute_force_topk in tests."""
+    centroids = (
+        with_norm(vectors)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("_v").alias("cv"),
+            F.col("_norm").alias("cn"),
+        )
+    )
+    v = with_norm(vectors).select(
+        F.col("vec_id").alias("vid"),
+        F.col("_v").alias("vv"),
+        F.col("_norm").alias("vn"),
+    )
+    # Assign every vector to its nearest centroid (rank-1 by cosine).
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "vid",
+        "vv",
+        "vn",
+        "cell_id",
+        (_dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias(
+            "csim"
+        ),
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("csim"), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vid", "vv", "vn", "cell_id")
+    )
+    # Each query probes its nprobe nearest cells.
+    probes = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") <= nprobe)
+        .select(
+            F.col("vid").alias("src_id"),
+            F.col("vv").alias("qv"),
+            F.col("vn").alias("qn"),
+            "cell_id",
+        )
+    )
+    cands = probes.join(assigned, "cell_id").filter(
+        F.col("src_id") != F.col("vid")
+    )
+    sims = cands.select(
+        "src_id",
+        F.col("vid").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias(
+            "cosine_sim"
+        ),
+    ).distinct()
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("src_id", "rank")
+    )

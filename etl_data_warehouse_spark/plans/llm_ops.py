@@ -1,0 +1,398 @@
+"""Training-data pipeline queries (q20-q33): text analysis, dedup,
+similarity search, events, multimodal.
+
+Oracle notes: Spark's sequential ``aggregate`` fold is mirrored by
+DuckDB ``list_reduce`` (both left folds over the same element order →
+bit-identical doubles). xxhash64-based ops (MinHash/SimHash) are not
+portable; MinHash-LSH verifies candidates with exact Jaccard so its
+OUTPUT still matches the exact oracle w.h.p.; SimHash/IVF are
+rows-only checked and recall-tested in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    bpe_ish_token_count,
+    digit_count,
+    punct_count,
+    rolling_hash,
+    stopword_hits,
+    token_count,
+)
+from ..operators import dedup, multimodal, sessionize, similarity
+from ..sources.catalog import load_table
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+
+# --- q20: per-document text statistics / quality score ----------------------
+
+def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tc = token_count("text")
+    pc = punct_count("text")
+    sh = stopword_hits("text")
+    length = F.length("text").cast("long")
+    stop_ratio = sh.cast("double") / tc.cast("double")
+    punct_ratio = pc.cast("double") / length.cast("double")
+    quality = (
+        stop_ratio * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.when(tc.between(20, 500), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        length.alias("n_chars_actual"),
+        tc.alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        pc.alias("n_punct"),
+        digit_count("text").alias("n_digits"),
+        sh.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+        (quality >= 0.35).alias("is_quality"),
+    ).orderBy("doc_id")
+
+
+Q20_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           text,
+           length(text)::BIGINT AS n_chars_actual,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+               AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+           len(list_filter(string_split_regex(trim(text), ' +'),
+                           x -> lower(x) IN ({_STOP_SQL})))::BIGINT AS n_stopwords
+    FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens, n_bpe_tokens, n_punct, n_digits,
+       n_stopwords,
+       n_stopwords::DOUBLE / n_tokens::DOUBLE AS stopword_ratio,
+       n_punct::DOUBLE / n_chars_actual::DOUBLE AS punct_ratio,
+       (n_stopwords::DOUBLE / n_tokens::DOUBLE) * 0.5
+         + (1.0 - n_punct::DOUBLE / n_chars_actual::DOUBLE) * 0.3
+         + (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 0.2 ELSE 0.0 END)
+           AS quality_score,
+       ((n_stopwords::DOUBLE / n_tokens::DOUBLE) * 0.5
+         + (1.0 - n_punct::DOUBLE / n_chars_actual::DOUBLE) * 0.3
+         + (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 0.2 ELSE 0.0 END))
+           >= 0.35 AS is_quality
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --- q21: heuristic language identification ---------------------------------
+
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ratio = stopword_hits("text").cast("double") / token_count("text").cast(
+        "double"
+    )
+    predicted = F.when(ratio > 0.02, "en").otherwise("unknown")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ratio.alias("stopword_ratio"),
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+Q21_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split_regex(trim(text), ' +'),
+                           x -> lower(x) IN ({_STOP_SQL})))::DOUBLE
+             / len(string_split_regex(trim(text), ' +'))::DOUBLE AS ratio
+    FROM documents
+)
+SELECT doc_id,
+       lang AS labeled_lang,
+       ratio AS stopword_ratio,
+       CASE WHEN ratio > 0.02 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       (CASE WHEN ratio > 0.02 THEN 'en' ELSE 'unknown' END) = lang AS is_match
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --- q22: exact (hash) dedup groups ------------------------------------------
+
+def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup_groups(docs).orderBy("fingerprint")
+
+
+Q22_ORACLE = """
+SELECT md5(lower(trim(text)))  AS fingerprint,
+       COUNT(*)                AS dup_count,
+       MIN(doc_id)             AS canonical_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- q23/q24: n-gram Jaccard near-dup pairs (exact + MinHash-LSH path) -------
+
+_JACCARD_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersection,
+       sa.n + sb.n - intersection                        AS union_size,
+       intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def q23_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.jaccard_pairs(docs, threshold=0.8)
+
+
+Q23_ORACLE = _JACCARD_ORACLE
+
+
+def q24_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.8)
+
+
+# LSH recall at J≥0.8 with 16 bands × 4 rows ≈ 0.9997+ → output equals
+# the exact-Jaccard pairs; checked against the same oracle.
+Q24_ORACLE = _JACCARD_ORACLE
+
+
+# --- q25: SimHash near-dup candidates (rows-only + pytest recall) ------------
+
+def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_pairs(docs, max_hamming=6)
+
+
+# --- q26/q27: embedding similarity (brute-force oracle-checked) --------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({a}, v -> v::DOUBLE * v::DOUBLE), "
+    "(x, y) -> x + y))"
+)
+
+
+def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.brute_force_topk(emb, emb, k=5)
+
+
+Q26_ORACLE = f"""
+WITH sims AS (
+    SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+           {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+             / ({_NORM_SQL.format(a="a.embedding")}
+                * {_NORM_SQL.format(a="b.embedding")}) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY cosine_sim DESC, neighbor_id)::INT
+                  AS rank
+    FROM sims
+)
+SELECT src_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY src_id, rank
+"""
+
+
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.45)
+
+
+Q27_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+         / ({_NORM_SQL.format(a="a.embedding")}
+            * {_NORM_SQL.format(a="b.embedding")}) AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+        / ({_NORM_SQL.format(a="a.embedding")}
+           * {_NORM_SQL.format(a="b.embedding")}) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+# --- q28: IVF approximate top-k (rows-only + pytest recall) -------------------
+
+def q28_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_topk(emb, k=5, n_cells=16, nprobe=4)
+
+
+# --- q29: document fingerprinting (md5 + rolling hash) ------------------------
+
+def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("md5_fingerprint"),
+        rolling_hash("text").alias("rolling_fingerprint"),
+    ).orderBy("doc_id")
+
+
+Q29_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS md5_fingerprint,
+       list_reduce(
+           list_concat([0::BIGINT],
+               list_transform(
+                   generate_series(1, length(substring(lower(trim(text)), 1, 256))),
+                   i -> ascii(substring(lower(trim(text)), i, 1))::BIGINT)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- q30-q32: event operators --------------------------------------------------
+
+def q30_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessionize.sessionize(events)
+
+
+Q30_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ts_ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_idx AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                     ROWS UNBOUNDED PRECEDING)::INT AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+       MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) AS session_end_ms,
+       (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_secs
+FROM with_idx
+GROUP BY 1, 2
+ORDER BY user_id, session_idx
+"""
+
+
+def q31_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessionize.daily_event_rollup(events)
+
+
+Q31_ORACLE = """
+SELECT ts::DATE    AS event_date,
+       event_type,
+       COUNT(*)    AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+           AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q32_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessionize.extract_props_key(events, "k")
+
+
+Q32_ORACLE = """
+SELECT event_id, event_type,
+       CASE WHEN regexp_matches(props, '"k": ([0-9]+)')
+            THEN regexp_extract(props, '"k": ([0-9]+)', 1)::INT
+            ELSE NULL END AS k_value
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- q33: multimodal feature extraction (Arrow plumbing; rows-only) ----------
+
+def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    assets = multimodal.fake_assets(docs)
+    return multimodal.extract_features(assets).orderBy("asset_id")
+
+
+QUERIES = {
+    "q20_text_stats": q20_text_stats,
+    "q21_lang_id": q21_lang_id,
+    "q22_exact_dedup": q22_exact_dedup,
+    "q23_ngram_jaccard_dedup": q23_ngram_jaccard_dedup,
+    "q24_minhash_lsh_dedup": q24_minhash_lsh_dedup,
+    "q25_simhash_pairs": q25_simhash_pairs,
+    "q26_embedding_topk": q26_embedding_topk,
+    "q27_embedding_neardup": q27_embedding_neardup,
+    "q28_ivf_topk": q28_ivf_topk,
+    "q29_doc_fingerprint": q29_doc_fingerprint,
+    "q30_sessionization": q30_sessionization,
+    "q31_event_rollup": q31_event_rollup,
+    "q32_event_props_extract": q32_event_props_extract,
+    "q33_multimodal_features": q33_multimodal_features,
+}
+
+ORACLES = {
+    "q20_text_stats": Q20_ORACLE,
+    "q21_lang_id": Q21_ORACLE,
+    "q22_exact_dedup": Q22_ORACLE,
+    "q23_ngram_jaccard_dedup": Q23_ORACLE,
+    "q24_minhash_lsh_dedup": Q24_ORACLE,
+    "q26_embedding_topk": Q26_ORACLE,
+    "q27_embedding_neardup": Q27_ORACLE,
+    "q29_doc_fingerprint": Q29_ORACLE,
+    "q30_sessionization": Q30_ORACLE,
+    "q31_event_rollup": Q31_ORACLE,
+    "q32_event_props_extract": Q32_ORACLE,
+}

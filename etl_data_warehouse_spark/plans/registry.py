@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, warehouse
+from . import analytics, llm_ops, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -34,6 +34,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES.update(warehouse.QUERIES)
 ORACLES.update(warehouse.ORACLES)
+QUERIES.update(llm_ops.QUERIES)
+ORACLES.update(llm_ops.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Facts are date-partitioned on disk at scale; let Catalyst prune.
         .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read as long and convert in the catalog (exact).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

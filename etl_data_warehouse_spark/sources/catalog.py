@@ -41,6 +41,13 @@ def load_table(
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(SCHEMAS)}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); convert to
+        # microsecond timestamps with exact integer division — the same
+        # truncation DuckDB applies reading nanos into its micro TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if predicate is not None:
         df = df.filter(predicate)
     if columns:
