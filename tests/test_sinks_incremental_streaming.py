@@ -1,0 +1,168 @@
+"""Sinks (merge/append), watermark incremental batch, streaming twin."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_warehouse_spark.incremental import WatermarkStore, incremental_extract
+from etl_data_warehouse_spark.sources.sinks import (
+    append_dedup,
+    merge_upsert,
+    merge_upsert_partitioned,
+)
+from etl_data_warehouse_spark.streaming.daily_sales_stream import (
+    start_daily_sales_stream,
+)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "order_id long, product_id long, amount double, status string"
+    )
+
+
+class TestMergeUpsert:
+    def test_insert_then_update(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        r = merge_upsert(
+            spark, _orders(spark, [(1, 10, 5.0, "A"), (2, 20, 6.0, "B")]),
+            path, ["order_id"],
+        )
+        assert r == {"inserted": 2, "updated": 0}
+        r = merge_upsert(
+            spark, _orders(spark, [(2, 20, 9.0, "B2"), (3, 30, 7.0, "C")]),
+            path, ["order_id"],
+        )
+        assert r == {"inserted": 1, "updated": 1}
+        out = {x["order_id"]: x for x in spark.read.parquet(path).collect()}
+        assert len(out) == 3
+        assert out[2]["amount"] == 9.0 and out[2]["status"] == "B2"
+
+    def test_idempotent_rerun(self, spark, tmp_path):
+        path = str(tmp_path / "dim2")
+        batch = _orders(spark, [(1, 10, 5.0, "A"), (2, 20, 6.0, "B")])
+        merge_upsert(spark, batch, path, ["order_id"])
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        merge_upsert(spark, batch, path, ["order_id"])
+        after = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert before == after
+
+    def test_append_dedup_do_nothing(self, spark, tmp_path):
+        path = str(tmp_path / "fact")
+        n = append_dedup(
+            spark, _orders(spark, [(1, 1, 1.0, "X")]), path, ["order_id"]
+        )
+        assert n == 1
+        n = append_dedup(
+            spark,
+            _orders(spark, [(1, 1, 99.0, "CHANGED"), (2, 2, 2.0, "Y")]),
+            path,
+            ["order_id"],
+        )
+        assert n == 1  # conflicting key 1 is DO NOTHING'd
+        out = {x["order_id"]: x for x in spark.read.parquet(path).collect()}
+        assert out[1]["amount"] == 1.0
+
+    def test_partitioned_merge_touches_only_partitions(self, spark, tmp_path):
+        path = str(tmp_path / "part_fact")
+        df1 = spark.createDataFrame(
+            [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+            "k long, day string, v double",
+        )
+        merge_upsert_partitioned(spark, df1, path, ["k"], "day")
+        df2 = spark.createDataFrame(
+            [(2, "2024-01-02", 20.0), (3, "2024-01-02", 3.0)],
+            "k long, day string, v double",
+        )
+        merge_upsert_partitioned(spark, df2, path, ["k"], "day")
+        out = {x["k"]: x for x in spark.read.parquet(path).collect()}
+        assert len(out) == 3
+        assert out[2]["v"] == 20.0
+        assert out[1]["v"] == 1.0  # untouched partition survived
+
+
+class TestIncremental:
+    def test_watermark_advances_and_filters(self, spark, tmp_path, sf_dir):
+        store = WatermarkStore(str(tmp_path / "wm.json"))
+        full = incremental_extract(spark, "orders", "o_orderdate", store, sf_dir)
+        n_full = full.count()
+        assert n_full > 0
+        assert store.get("orders") is not None
+        # second run: nothing is newer than the stored max
+        second = incremental_extract(
+            spark, "orders", "o_orderdate", store, sf_dir
+        )
+        assert second.count() == 0
+
+    def test_mid_watermark(self, spark, tmp_path, sf_dir):
+        store = WatermarkStore(str(tmp_path / "wm2.json"))
+        store.set("orders", "1999-01-01 00:00:00")
+        df = incremental_extract(
+            spark, "orders", "o_orderdate", store, sf_dir, advance=False
+        )
+        assert df.count() > 0
+        assert (
+            df.agg(F.min("o_orderdate")).first()[0]
+            > datetime.datetime(1999, 1, 1)
+        )
+
+
+class TestStreaming:
+    def _write_batch(self, spark, input_dir, rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "order_id long, product_id long, order_ts timestamp, "
+            "amount double, status string",
+        )
+        # append part-files into the watched directory (the file stream
+        # source does not recurse into subdirectories)
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+
+    def test_available_now_rollup_and_late_data_upsert(self, spark, tmp_path):
+        ts = datetime.datetime
+        input_dir = str(tmp_path / "in")
+        out_path = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(input_dir)
+        self._write_batch(
+            spark,
+            input_dir,
+            [
+                (1, 100, ts(2024, 1, 1, 10), 5.0, "COMPLETED"),
+                (2, 100, ts(2024, 1, 1, 12), 7.0, "CANCELLED"),
+                (3, 200, ts(2024, 1, 2, 9), 11.0, "COMPLETED"),
+            ],
+            "b1",
+        )
+        q = start_daily_sales_stream(spark, input_dir, out_path, ckpt)
+        q.awaitTermination(120)
+        out = {
+            (str(r["sales_date"]), r["product_id"]): r
+            for r in spark.read.parquet(out_path).collect()
+        }
+        assert out[("2024-01-01", 100)]["total_orders_count"] == 2
+        assert out[("2024-01-01", 100)]["total_sales_amount"] == 12.0
+        assert out[("2024-01-01", 100)]["cancelled_count"] == 1
+        # late-arriving + new data → second AvailableNow run upserts
+        self._write_batch(
+            spark,
+            input_dir,
+            [
+                (4, 100, ts(2024, 1, 1, 23), 3.0, "COMPLETED"),
+                (5, 200, ts(2024, 1, 3, 1), 9.0, "COMPLETED"),
+            ],
+            "b2",
+        )
+        q2 = start_daily_sales_stream(spark, input_dir, out_path, ckpt)
+        q2.awaitTermination(120)
+        out = {
+            (str(r["sales_date"]), r["product_id"]): r
+            for r in spark.read.parquet(out_path).collect()
+        }
+        assert out[("2024-01-01", 100)]["total_orders_count"] == 3
+        assert out[("2024-01-01", 100)]["total_sales_amount"] == 15.0
+        assert out[("2024-01-03", 200)]["total_orders_count"] == 1
