@@ -42,8 +42,13 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word n-gram shingles."""
-    return docs.select(
+    """(doc_id, shingle) exploded distinct word n-gram shingles.
+
+    Repartitions first: document corpora often arrive as few large (or
+    one small) parquet row groups, and shingling is CPU-heavy per row —
+    without the spread a 32-core machine runs one task."""
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(para, "doc_id").select(
         "doc_id", F.explode(word_shingles("text", n)).alias("shingle")
     )
 
@@ -56,7 +61,7 @@ def jaccard_pairs(
     Self-join on shingle → per-pair intersection counts → Jaccard from
     set sizes. Quadratic in per-shingle doc frequency: at scale, feed
     this only LSH candidate pairs (see minhash_lsh_pairs)."""
-    sh = shingle_table(docs, n)
+    sh = shingle_table(docs, n).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -122,7 +127,14 @@ def minhash_lsh_pairs(
     SQL oracle applies.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n)
+    # One materialization of the shingle table feeds signatures, sizes,
+    # and the verify join (otherwise Spark re-shingles three times).
+    sh = shingle_table(docs, n).localCheckpoint()
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     band_cols = [
         F.xxhash64(
             F.lit(b), *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -153,7 +165,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verify on candidates only (cheap: candidate set is tiny).
-    sh = shingle_table(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -192,9 +203,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
     Linear: explode tokens → per-(doc, bit) vote sums in one shuffle.
     """
-    tok = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(para, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

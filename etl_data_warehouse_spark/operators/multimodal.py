@@ -131,7 +131,10 @@ def extract_features(assets: DataFrame, hist_bins: int = 8) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(batches, FEATURE_SCHEMA)
+    para = assets.sparkSession.sparkContext.defaultParallelism
+    return assets.repartition(para, "asset_id").mapInPandas(
+        batches, FEATURE_SCHEMA
+    )
 
 
 def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:

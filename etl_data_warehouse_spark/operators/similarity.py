@@ -41,8 +41,15 @@ def _norm(a: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds double-vector + norm columns; repartitions first (embedding
+    tables often land as one row group → one task for all the math)."""
+    para = df.sparkSession.sparkContext.defaultParallelism
     v = _as_double(vec_col)
-    return df.withColumn("_v", v).withColumn("_norm", _norm(F.col("_v")))
+    return (
+        df.repartition(para, "vec_id")
+        .withColumn("_v", v)
+        .withColumn("_norm", _norm(F.col("_v")))
+    )
 
 
 def brute_force_topk(
@@ -112,15 +119,21 @@ def cosine_neardup_pairs(
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize to n_cells centroids
     (deterministically seeded with the first n_cells vec_ids), probe the
     nprobe nearest cells per query, exact-rank within candidates.
 
-    Output: (src_id, neighbor_id, cosine_sim, rank) — approximate;
+    Defaults scale with the table: n_cells ≈ N/64 (clamped [16, 256]),
+    nprobe = n_cells/8 — candidate sets shrink ~n_cells/nprobe-fold vs
+    brute force. Output: (src_id, neighbor_id, cosine_sim, rank);
     recall measured against brute_force_topk in tests."""
+    if n_cells is None or nprobe is None:
+        n = vectors.count()
+        n_cells = n_cells or min(256, max(16, n // 64))
+        nprobe = nprobe or max(3, n_cells // 8)
     centroids = (
         with_norm(vectors)
         .orderBy("vec_id")
@@ -136,33 +149,32 @@ def ivf_topk(
         F.col("_v").alias("vv"),
         F.col("_norm").alias("vn"),
     )
-    # Assign every vector to its nearest centroid (rank-1 by cosine).
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "vid",
-        "vv",
-        "vn",
-        "cell_id",
-        (_dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias(
-            "csim"
-        ),
-    )
+    # Score every vector against every centroid ONCE (materialized: both
+    # the cell assignment and the probe list reuse it).
     w_assign = Window.partitionBy("vid").orderBy(F.desc("csim"), F.col("cell_id"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vid", "vv", "vn", "cell_id")
-    )
-    # Each query probes its nprobe nearest cells.
-    probes = (
-        scored.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") <= nprobe)
+    ranked = (
+        v.crossJoin(F.broadcast(centroids))
         .select(
-            F.col("vid").alias("src_id"),
-            F.col("vv").alias("qv"),
-            F.col("vn").alias("qn"),
+            "vid",
+            "vv",
+            "vn",
             "cell_id",
+            (_dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias(
+                "csim"
+            ),
         )
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") <= nprobe)
+        .localCheckpoint()
     )
+    assigned = ranked.filter(F.col("r") == 1).select("vid", "vv", "vn", "cell_id")
+    probes = ranked.select(
+        F.col("vid").alias("src_id"),
+        F.col("vv").alias("qv"),
+        F.col("vn").alias("qn"),
+        "cell_id",
+    )
+    # Each neighbor lives in exactly one cell → no pair duplicates.
     cands = probes.join(assigned, "cell_id").filter(
         F.col("src_id") != F.col("vid")
     )
@@ -172,7 +184,7 @@ def ivf_topk(
         (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias(
             "cosine_sim"
         ),
-    ).distinct()
+    )
     w = Window.partitionBy("src_id").orderBy(
         F.desc("cosine_sim"), F.col("neighbor_id")
     )

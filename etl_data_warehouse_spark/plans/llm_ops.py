@@ -261,7 +261,7 @@ ORDER BY vec_a, vec_b
 
 def q28_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.ivf_topk(emb, k=5, n_cells=16, nprobe=4)
+    return similarity.ivf_topk(emb, k=5)
 
 
 # --- q29: document fingerprinting (md5 + rolling hash) ------------------------

@@ -169,7 +169,8 @@ def q10_clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         weekday0("l_shipdate").alias("ship_weekday"),
         is_weekend("l_shipdate").alias("ship_is_weekend"),
         F.abs(F.col("l_discount") - F.lit(0.05)).alias("discount_dev"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )  # no final sort: the compare is order-insensitive; a global sort
+    # of the full fact would be pure waste at scale
 
 
 Q10_ORACLE = """

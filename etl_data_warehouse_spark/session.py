@@ -43,6 +43,10 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
         # natively; read as long and convert in the catalog (exact).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Split small inputs to at least core-count partitions (single
+        # row-group files still need explicit repartition in CPU-heavy
+        # operators — see dedup/similarity modules).
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
