@@ -1,0 +1,107 @@
+"""End-to-end pipeline run, dbt-model surface, and physical-plan
+assertions (broadcast joins, predicate pushdown, no Python UDFs in the
+core path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_warehouse_spark.plans.models import register_models
+from etl_data_warehouse_spark.plans.pipeline import run_pipeline
+from etl_data_warehouse_spark.plans.registry import QUERIES
+from etl_data_warehouse_spark.sources.catalog import load_table
+
+
+class TestPipeline:
+    def test_full_run_and_idempotent_rerun(self, spark, sf_dir, tmp_path):
+        wh = str(tmp_path / "warehouse")
+        r1 = run_pipeline(spark, sf_dir, wh)
+        assert r1["status"] == "SUCCESS"
+        assert all(r1["checks"].values()), r1["checks"]
+        fact1 = spark.read.parquet(f"{wh}/fact_orders")
+        n1 = fact1.count()
+        assert n1 == load_table(spark, "orders", sf_dir).count()
+        # rerun over the same inputs: no duplicates, same row counts
+        r2 = run_pipeline(spark, sf_dir, wh)
+        assert r2["status"] == "SUCCESS"
+        assert spark.read.parquet(f"{wh}/fact_orders").count() == n1
+        # audit log accumulated two runs
+        assert spark.read.parquet(f"{wh}/etl_run_log").count() == 2
+
+    def test_star_fk_integrity(self, spark, sf_dir, tmp_path):
+        wh = str(tmp_path / "wh2")
+        run_pipeline(spark, sf_dir, wh)
+        fact = spark.read.parquet(f"{wh}/fact_orders")
+        dim = spark.read.parquet(f"{wh}/dim_customers")
+        orphans = fact.join(
+            dim.select("customer_key"), "customer_key", "left_anti"
+        )
+        assert orphans.count() == 0
+
+
+class TestModels:
+    def test_register_and_query_through_views(self, spark, sf_dir):
+        names = register_models(spark, sf_dir)
+        assert "mart_fact_orders" in names
+        n = spark.sql("SELECT COUNT(*) FROM mart_fact_orders").first()[0]
+        assert n == load_table(spark, "orders", sf_dir).count()
+        # analytics through the model surface (entry point 3a)
+        top = spark.sql(
+            """
+            SELECT customer_tier, SUM(total_amount) AS rev
+            FROM mart_fact_orders f
+            JOIN mart_dim_customers c USING (customer_key)
+            GROUP BY 1 ORDER BY rev DESC
+            """
+        ).collect()
+        assert len(top) == 5
+
+    def test_catalyst_sees_through_views(self, spark, sf_dir):
+        register_models(spark, sf_dir)
+        plan = (
+            spark.sql(
+                "SELECT order_id FROM stg_orders WHERE order_year = 1995"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # filter pushed into the parquet scan through the view
+        assert "PushedFilters" in plan and "IsNotNull" in plan
+
+
+class TestPhysicalPlans:
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_dim_joins_broadcast(self, spark, sf_dir):
+        for q in ("q01_monthly_revenue", "q09_fact_orders"):
+            plan = self._plan(QUERIES[q](spark, sf_dir))
+            assert "BroadcastHashJoin" in plan, q
+
+    def test_predicate_pushdown_reaches_scan(self, spark, sf_dir):
+        df = load_table(spark, "orders", sf_dir).filter(
+            F.col("o_orderstatus") == "F"
+        )
+        plan = self._plan(df.select("o_orderkey"))
+        assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+        # column pruning: scan reads only what the query needs
+        assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in plan
+
+    def test_no_python_udfs_in_core_queries(self, spark, sf_dir):
+        for name, fn in QUERIES.items():
+            if name == "q33_multimodal_features":
+                continue  # the one sanctioned Arrow/pandas op
+            plan = self._plan(fn(spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+    def test_whole_stage_codegen_on_fact_rollup(self, spark, sf_dir):
+        df = QUERIES["q08_fact_daily_sales"](spark, sf_dir)
+        df.collect()  # finalize the AQE plan so codegen spans are visible
+        plan = self._plan(df)
+        # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+        assert "*(" in plan
+        # map-side partial aggregation before the shuffle (scale posture)
+        assert "partial_sum" in plan or "merge_sum" in plan
