@@ -533,3 +533,141 @@ ORACLES = {
     "q16_status_pivot": Q16_ORACLE,
     "q17_sales_rollup": Q17_ORACLE,
 }
+
+
+# --- q18: CUBE with grouping id (superset; Spark/DuckDB both support) --------
+
+def q18_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .cube("order_year", "status")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("order_count"),
+            F.grouping_id().cast("int").alias("grp_id"),
+        )
+        .orderBy("grp_id", "order_year", "status")
+    )
+
+
+Q18_ORACLE = """
+SELECT year(o_orderdate)::INT AS order_year,
+       o_orderstatus          AS status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*)               AS order_count,
+       (GROUPING(year(o_orderdate)::INT) * 2 + GROUPING(o_orderstatus))::INT
+           AS grp_id
+FROM orders
+GROUP BY CUBE (year(o_orderdate)::INT, o_orderstatus)
+ORDER BY grp_id, order_year, status
+"""
+
+
+# --- q19: FULL OUTER date-coverage (join type absent from the reference;
+#          free in Spark — SURVEY.md §2.3 note) -------------------------------
+
+def q19_date_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    dim_date = build_dim_date(spark, sf_dir).select("full_date", "year", "month")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("full_date")).agg(
+        F.count("*").alias("n_orders")
+    )
+    joined = dim_date.join(daily, "full_date", "full_outer")
+    return (
+        joined.groupBy("year", "month")
+        .agg(
+            F.count("full_date").alias("days_in_month"),
+            F.sum(F.when(F.col("n_orders").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("days_with_orders"),
+        )
+        .withColumn(
+            "coverage_pct",
+            F.col("days_with_orders") * F.lit(100.0) / F.col("days_in_month"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+Q19_ORACLE = """
+WITH dim_date AS (
+    SELECT unnest(generate_series(
+               (SELECT min(o_orderdate)::DATE FROM orders),
+               (SELECT max(o_orderdate)::DATE FROM orders),
+               INTERVAL 1 DAY))::DATE AS full_date
+),
+daily AS (
+    SELECT o_orderdate::DATE AS full_date, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT year(d.full_date)::INT  AS year,
+       month(d.full_date)::INT AS month,
+       COUNT(d.full_date)      AS days_in_month,
+       CAST(SUM(CASE WHEN a.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_with_orders,
+       SUM(CASE WHEN a.n_orders IS NOT NULL THEN 1 ELSE 0 END) * 100.0
+           / COUNT(d.full_date) AS coverage_pct
+FROM dim_date d
+FULL OUTER JOIN daily a ON d.full_date = a.full_date
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- q34: set operations (INTERSECT / EXCEPT — absent from the reference,
+#          exposed as engine capabilities) ------------------------------------
+
+def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        rich.intersect(buyers)
+        .select(F.lit("rich_and_bought").alias("op"), "custkey")
+        .unionByName(
+            rich.exceptAll(buyers.join(rich, "custkey", "left_semi"))
+            .select(F.lit("rich_never_bought").alias("op"), "custkey")
+        )
+        .orderBy("op", "custkey")
+    )
+
+
+Q34_ORACLE = """
+WITH rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000),
+buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+           WHERE o_orderstatus = 'F')
+SELECT 'rich_and_bought' AS op, custkey
+FROM (SELECT custkey FROM rich INTERSECT SELECT custkey FROM buyers)
+UNION ALL
+SELECT 'rich_never_bought' AS op, custkey
+FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+ORDER BY op, custkey
+"""
+
+
+QUERIES.update(
+    {
+        "q18_sales_cube": q18_sales_cube,
+        "q19_date_coverage": q19_date_coverage,
+        "q34_set_ops": q34_set_ops,
+    }
+)
+ORACLES.update(
+    {
+        "q18_sales_cube": Q18_ORACLE,
+        "q19_date_coverage": Q19_ORACLE,
+        "q34_set_ops": Q34_ORACLE,
+    }
+)

@@ -1,0 +1,116 @@
+"""Deterministic synthetic data generators — Spark twin of the
+reference's Faker-based seeders (reference: source_databases/
+postgres_source.py:65-88, mysql_source.py:75-105, mongo_source.py:34-54).
+
+``spark.range(n)`` + seeded ``rand`` replaces the Python row loop: the
+generation is distributed (one task per range partition), deterministic
+for a given (n, seed), and never materializes on the driver — the shape
+that generates 100 TB of synthetic data as easily as 100 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STATUSES = [("COMPLETED", 0.80), ("PENDING", 0.10), ("CANCELLED", 0.05),
+             ("REFUNDED", 0.05)]
+_TIERS = [("BRONZE", 0.50), ("SILVER", 0.30), ("GOLD", 0.15),
+          ("PLATINUM", 0.05)]
+_CATEGORIES = ["Electronics", "Clothing", "Home", "Books", "Sports"]
+
+
+def _weighted_case(r, pairs):
+    expr, acc = None, 0.0
+    for value, w in pairs[:-1]:
+        acc += w
+        expr = (F.when(r < acc, value) if expr is None
+                else expr.when(r < acc, value))
+    return expr.otherwise(pairs[-1][0])
+
+
+def generate_orders(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Reference-shaped orders (postgres_source.py:65-88): weighted
+    status, qty 1-20, price 5-500, trailing-365-day timestamps.
+
+    rand() is non-deterministic to Catalyst (no CSE across CASE
+    branches), so every random draw is materialized as a column FIRST
+    and the weighted CASE references the column."""
+    df = spark.range(n).select(
+        "id", *[F.rand(seed + i).alias(f"_r{i}") for i in range(6)]
+    )
+    qty = (F.floor(F.col("_r1") * 20) + 1).cast("int")
+    price = F.round(F.col("_r2") * 495.0 + 5.0, 2)
+    return df.select(
+        F.format_string("ORD_%08d", F.col("id")).alias("order_id"),
+        F.format_string(
+            "CUST_%05d", (F.floor(F.col("_r0") * 20000) + 1).cast("int")
+        ).alias("customer_id"),
+        F.format_string(
+            "PROD_%04d", (F.floor(F.col("_r3") * 500) + 1).cast("int")
+        ).alias("product_id"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            + (F.col("_r4") * 365 * 86400).cast("long")
+        ).alias("order_date"),
+        qty.alias("quantity"),
+        price.alias("unit_price"),
+        F.round(qty * price, 2).alias("total_amount"),
+        _weighted_case(F.col("_r5"), _STATUSES).alias("status"),
+    )
+
+
+def generate_customers(
+    spark: SparkSession, n: int, seed: int = 42
+) -> DataFrame:
+    """Reference-shaped customers (mysql_source.py:75-105): weighted
+    tier, ~5% null phone, 85% active, trailing-730-day signup dates."""
+    df = spark.range(n).select(
+        "id", *[F.rand(seed + i).alias(f"_r{i}") for i in range(1, 6)]
+    )
+    return df.select(
+        F.format_string("CUST_%05d", F.col("id") + 1).alias("customer_id"),
+        F.format_string("first_%d", F.col("id")).alias("first_name"),
+        F.format_string("last_%d", F.col("id")).alias("last_name"),
+        F.format_string("user%d@example.com", F.col("id")).alias("email"),
+        F.when(F.col("_r1") < 0.05, None)
+        .otherwise(F.format_string("555-%04d", F.col("id") % 10000))
+        .alias("phone"),
+        F.date_add(
+            F.lit("2022-01-01").cast("date"),
+            (F.col("_r2") * 730).cast("int"),
+        ).alias("signup_date"),
+        _weighted_case(F.col("_r3"), _TIERS).alias("customer_tier"),
+        F.round(F.col("_r4") * 10000.0, 2).alias("lifetime_value"),
+        (F.col("_r5") < 0.85).alias("is_active"),
+    )
+
+
+def generate_reviews(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Reference-shaped reviews (mongo_source.py:34-54): star weights
+    .05/.08/.12/.30/.45, 70% verified, category lexicon."""
+    df = spark.range(n).select(
+        "id", *[F.rand(seed + i).alias(f"_r{i}") for i in range(7)]
+    )
+    stars = [("1", 0.05), ("2", 0.08), ("3", 0.12), ("4", 0.30), ("5", 0.45)]
+    cat = F.element_at(
+        F.array(*[F.lit(c) for c in _CATEGORIES]),
+        (F.floor(F.col("_r3") * len(_CATEGORIES)) + 1).cast("int"),
+    )
+    return df.select(
+        F.format_string("REV_%08d", F.col("id")).alias("review_id"),
+        F.format_string(
+            "PROD_%04d", (F.floor(F.col("_r0") * 500) + 1).cast("int")
+        ).alias("product_id"),
+        F.format_string(
+            "CUST_%05d", (F.floor(F.col("_r1") * 20000) + 1).cast("int")
+        ).alias("customer_id"),
+        _weighted_case(F.col("_r2"), stars).cast("int").alias("rating"),
+        cat.alias("product_category"),
+        (F.col("_r4") < 0.7).alias("verified_purchase"),
+        (F.floor(F.col("_r5") * 51)).cast("int").alias("helpful_votes"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            + (F.col("_r6") * 365 * 86400).cast("long")
+        ).alias("review_date"),
+    )
