@@ -1,0 +1,152 @@
+"""External JSON source, salted skew joins, stateful streaming sessions."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_data_warehouse_spark.operators.sessionize import sessionize
+from etl_data_warehouse_spark.operators.skew import salted_join, salted_sum
+from etl_data_warehouse_spark.sources.catalog import load_table
+from etl_data_warehouse_spark.sources.external import read_json_documents
+from etl_data_warehouse_spark.streaming.stateful_sessions import (
+    start_session_stream,
+)
+
+
+class TestJsonDocuments:
+    SCHEMA = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("review_id", T.StringType()),
+            T.StructField("rating", T.IntegerType()),
+            T.StructField("review_date", T.TimestampType()),
+        ]
+    )
+
+    def test_schema_on_read_flatten_and_incremental(self, spark, tmp_path):
+        docs = [
+            {"_id": "a1", "review_id": "r1", "rating": 5,
+             "review_date": "2024-01-01T00:00:00"},
+            {"_id": "a2", "review_id": "r2", "rating": 3,
+             "review_date": "2024-06-01T00:00:00"},
+        ]
+        p = tmp_path / "docs.json"
+        p.write_text("\n".join(json.dumps(d) for d in docs))
+        out = read_json_documents(spark, str(p), self.SCHEMA)
+        assert out.columns == ["review_id", "rating", "review_date"]  # _id dropped
+        assert out.count() == 2
+        inc = read_json_documents(
+            spark, str(p), self.SCHEMA,
+            predicate=F.col("review_date") > F.lit("2024-03-01"),
+        )
+        assert [r["review_id"] for r in inc.collect()] == ["r2"]
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        li = load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+        right = part.withColumnRenamed("p_partkey", "l_partkey")
+        plain = (
+            li.join(right, "l_partkey")
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+        )
+        salted = (
+            salted_join(li, right, "l_partkey", salt=4)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_salted_sum_equals_plain_sum(self, spark, sf_dir):
+        li = load_table(spark, "lineitem", sf_dir)
+        plain = (
+            li.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity")).alias("s"))
+        )
+        salted = salted_sum(li, "l_returnflag", F.col("l_quantity"), "s")
+        assert {(r["l_returnflag"], r["s"]) for r in plain.collect()} == {
+            (r["l_returnflag"], r["s"]) for r in salted.collect()
+        }
+
+
+class TestStatefulSessions:
+    def _write(self, spark, d, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    def test_state_carries_across_microbatches(self, spark, tmp_path):
+        ts = datetime.datetime
+        input_dir, out, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        )
+        os.makedirs(input_dir)
+        self._write(
+            spark,
+            input_dir,
+            [(1, ts(2024, 1, 1, 10, 0)), (1, ts(2024, 1, 1, 10, 10))],
+        )
+        q = start_session_stream(spark, input_dir, out, ckpt)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1 and rows[0]["n_events"] == 2
+        # batch 2: one event continuing the session, one after the gap
+        self._write(
+            spark,
+            input_dir,
+            [(1, ts(2024, 1, 1, 10, 20)), (1, ts(2024, 1, 1, 12, 0))],
+        )
+        q2 = start_session_stream(spark, input_dir, out, ckpt)
+        q2.awaitTermination(120)
+        rows = {
+            r["session_idx"]: r for r in spark.read.parquet(out).collect()
+        }
+        assert len(rows) == 2
+        assert rows[1]["n_events"] == 3  # extended, not restarted
+        assert rows[2]["n_events"] == 1
+
+    def test_matches_batch_sessionizer(self, spark, tmp_path):
+        """The streaming operator must agree with the batch twin."""
+        ts = datetime.datetime
+        events = [
+            (u, ts(2024, 1, 1, 8) + datetime.timedelta(minutes=17 * i))
+            for u in (1, 2, 3)
+            for i in range(12)
+        ]
+        input_dir, out, ckpt = (
+            str(tmp_path / "in2"),
+            str(tmp_path / "out2"),
+            str(tmp_path / "ck2"),
+        )
+        os.makedirs(input_dir)
+        self._write(spark, input_dir, events)
+        q = start_session_stream(spark, input_dir, out, ckpt)
+        q.awaitTermination(120)
+        streamed = {
+            (r["user_id"], r["session_idx"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        batch_events = spark.createDataFrame(
+            [(i, t, u, "view", 0.0, "{}") for i, (u, t) in enumerate(events)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        batched = {
+            (r["user_id"], r["session_idx"]): r["n_events"]
+            for r in sessionize(batch_events).collect()
+        }
+        assert streamed == batched
