@@ -56,11 +56,14 @@ def main() -> None:
         if name not in QUERIES:
             continue
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        best = None
+        for _ in range(2):  # min of 2: second run has warm FS/codegen caches
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += timings[name]
     print(
         json.dumps(
             {

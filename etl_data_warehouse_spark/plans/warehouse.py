@@ -671,3 +671,41 @@ ORACLES.update(
         "q34_set_ops": Q34_ORACLE,
     }
 )
+
+
+# --- q35: incremental high-watermark extraction (S2/S4/S6) -------------------
+
+_WATERMARK = "1999-06-15 00:00:00"
+
+
+def q35_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark extraction with a pinned cutover (the runtime path
+    persists the watermark — incremental.py; pinned here so the oracle
+    is reproducible). The > predicate pushes into the Parquet scan."""
+    orders = load_table(
+        spark,
+        "orders",
+        sf_dir,
+        predicate=F.col("o_orderdate") > F.lit(_WATERMARK).cast("timestamp"),
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+    )
+
+
+Q35_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice::DOUBLE AS o_totalprice,
+       o_orderdate::DATE    AS order_date,
+       o_orderpriority
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{_WATERMARK}'
+"""
+
+QUERIES["q35_incremental_extract"] = q35_incremental_extract
+ORACLES["q35_incremental_extract"] = Q35_ORACLE
