@@ -40,6 +40,10 @@ def load_table(
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(SCHEMAS)}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); set here (runtime SQL
+        # conf) so the engine works in ANY session, not just get_spark()'s.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py); convert to

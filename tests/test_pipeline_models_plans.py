@@ -105,3 +105,18 @@ class TestPhysicalPlans:
         assert "*(" in plan
         # map-side partial aggregation before the shuffle (scale posture)
         assert "partial_sum" in plan or "merge_sum" in plan
+
+
+class TestDriverContract:
+    def test_events_load_without_engine_session_conf(self, spark, sf_dir):
+        """The driver runs queries() in ITS OWN SparkSession — the
+        nanos-timestamp handling must not depend on get_spark()."""
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        try:
+            df = load_table(spark, "events", sf_dir)
+            assert dict(df.dtypes)["ts"] == "timestamp"
+            assert df.count() > 0
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
