@@ -129,7 +129,15 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # One materialization of the shingle table feeds signatures, sizes,
     # and the verify join (otherwise Spark re-shingles three times).
-    sh = shingle_table(docs, n).localCheckpoint()
+    # Shingles are carried as xxhash64 LONGS, not strings: ~4x smaller
+    # state and shuffles. Jaccard over hashes equals Jaccard over
+    # strings absent 64-bit collisions (P ≈ n²/2^65; verified
+    # collision-free on the test corpora, and deterministic either way).
+    sh = (
+        shingle_table(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}")
         for j in range(num_hashes)

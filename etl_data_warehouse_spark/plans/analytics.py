@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec, dsum
+from ..functions.numeric import dec
 from ..operators.star import build_dim_date
 from ..sources.catalog import load_table
 
