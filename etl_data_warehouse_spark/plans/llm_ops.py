@@ -396,3 +396,61 @@ ORACLES = {
     "q31_event_rollup": Q31_ORACLE,
     "q32_event_props_extract": Q32_ORACLE,
 }
+
+
+# --- q36: event funnel (signup → purchase conversion by cohort day) ----------
+
+def q36_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-min funnel: first signup vs first purchase per user,
+    conversion rolled up by signup-day cohort. One shuffle on user_id,
+    one tiny shuffle on the day grain."""
+    events = load_table(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("signup_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    return (
+        firsts.filter(F.col("signup_ts").isNotNull())
+        .groupBy(F.to_date("signup_ts").alias("cohort_date"))
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum(
+                F.when(F.col("purchase_ts") > F.col("signup_ts"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_pct",
+            F.col("n_converted") * F.lit(100.0) / F.col("n_signups"),
+        )
+        .orderBy("cohort_date")
+    )
+
+
+Q36_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS signup_ts,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+    FROM events
+    GROUP BY user_id
+)
+SELECT signup_ts::DATE AS cohort_date,
+       COUNT(*)        AS n_signups,
+       CAST(SUM(CASE WHEN purchase_ts > signup_ts THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted,
+       SUM(CASE WHEN purchase_ts > signup_ts THEN 1 ELSE 0 END) * 100.0
+           / COUNT(*)  AS conversion_pct
+FROM firsts
+WHERE signup_ts IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["q36_event_funnel"] = q36_event_funnel
+ORACLES["q36_event_funnel"] = Q36_ORACLE

@@ -1,0 +1,44 @@
+"""Bucketed table layout: shuffle-free co-located joins.
+
+The reference leans on Postgres B-tree indexes for join performance
+(reference: warehouse/target_schema.sql:105-110); at Spark scale the
+equivalent physical design is BUCKETING: pre-hash-partition both join
+sides into the same number of buckets on the join key at write time.
+Every subsequent equi-join (or aggregation) on that key reads bucket i
+against bucket i — ZERO shuffle at query time, amortizing one write-time
+shuffle across every downstream join. This is the 100 TB answer for the
+recurring fact↔fact joins (orders ↔ lineitem) that are too big for
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """Persist df hash-bucketed (and sorted) by key as an external
+    parquet table — both join sides must use the same bucket count."""
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — Catalyst
+    recognizes the matching hash distribution and plans a sort-merge
+    join with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

@@ -150,3 +150,46 @@ class TestStatefulSessions:
             for r in sessionize(batch_events).collect()
         }
         assert streamed == batched
+
+
+class TestBucketing:
+    def test_colocated_join_has_no_shuffle(self, spark, sf_dir, tmp_path):
+        from etl_data_warehouse_spark.sources.bucketing import (
+            colocated_join,
+            write_bucketed,
+        )
+
+        orders = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir).withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                       str(tmp_path / "b_orders"))
+        write_bucketed(li, "b_lineitem", "o_orderkey", 8,
+                       str(tmp_path / "b_lineitem"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = colocated_join(spark, "b_orders", "b_lineitem",
+                                    "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan  # zero shuffle
+            # results identical to the plain join
+            assert joined.count() == orders.join(li, "o_orderkey").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestApproxDistinct:
+    def test_hll_within_5pct_of_exact(self, spark, sf_dir):
+        """approx_count_distinct (HLL++) — the at-scale COUNT(DISTINCT)
+        path; accuracy bound asserted against the exact count."""
+        orders = load_table(spark, "orders", sf_dir)
+        row = orders.agg(
+            F.countDistinct("o_custkey").alias("exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        ).first()
+        assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
