@@ -454,3 +454,134 @@ ORDER BY 1
 
 QUERIES["q36_event_funnel"] = q36_event_funnel
 ORACLES["q36_event_funnel"] = Q36_ORACLE
+
+
+# --- q37: AS-OF join (custom operator — Spark has no built-in) ---------------
+
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent order at-or-before the
+    event time. Orders are first made unique per (custkey, orderdate)
+    so the as-of pick is deterministic (DuckDB ASOF JOIN cannot
+    tiebreak equal timestamps)."""
+    from ..operators.temporal import asof_join
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("asof_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey")
+            .cast("double")
+            .alias("asof_amount"),
+        )
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.to_date("ts").alias("event_date"),
+        "asof_orderkey",
+        F.to_date("o_orderdate").alias("asof_order_date"),
+        "asof_amount",
+    ).orderBy("event_id")
+
+
+Q37_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderdate,
+           MAX(o_orderkey)                    AS asof_orderkey,
+           arg_max(o_totalprice, o_orderkey)::DOUBLE AS asof_amount
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT e.event_id,
+       e.user_id,
+       e.ts::DATE          AS event_date,
+       o.asof_orderkey,
+       o.o_orderdate::DATE AS asof_order_date,
+       o.asof_amount
+FROM events e
+ASOF JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+ORDER BY e.event_id
+"""
+
+QUERIES["q37_asof_join"] = q37_asof_join
+ORACLES["q37_asof_join"] = Q37_ORACLE
+
+
+# --- q38: RANGE join via equality buckets (no nested-loop plan) --------------
+
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to overlapping 14-day promo windows (every 10 days
+    from the first order date) — point-in-range via the bucketed range
+    join, rolled up per window."""
+    from ..operators.temporal import bucketed_range_join
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_totalprice",
+    )
+    bounds = orders.agg(
+        F.min("order_date").alias("d0"), F.max("order_date").alias("d1")
+    )
+    windows = (
+        bounds.select(
+            F.posexplode(
+                F.expr("sequence(d0, date_sub(d1, 13), interval 10 days)")
+            ).alias("window_id", "window_start")
+        )
+        .withColumn("window_end", F.date_add("window_start", 13))
+    )
+    joined = bucketed_range_join(
+        orders, windows, "order_date", "window_start", "window_end"
+    )
+    return (
+        joined.groupBy("window_id", "window_start", "window_end")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec_total := F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("window_revenue"),
+        )
+        .orderBy("window_id")
+    )
+
+
+Q38_ORACLE = """
+WITH bounds AS (
+    SELECT min(o_orderdate)::DATE AS d0, max(o_orderdate)::DATE AS d1
+    FROM orders
+),
+windows AS (
+    SELECT (ROW_NUMBER() OVER (ORDER BY ws) - 1)::INT AS window_id,
+           ws::DATE               AS window_start,
+           (ws + INTERVAL 13 DAY)::DATE AS window_end
+    FROM (SELECT unnest(generate_series(d0, d1 - INTERVAL 13 DAY,
+                                        INTERVAL 10 DAY)) AS ws
+          FROM bounds)
+)
+SELECT w.window_id, w.window_start, w.window_end,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS window_revenue
+FROM orders o
+JOIN windows w
+  ON o.o_orderdate::DATE BETWEEN w.window_start AND w.window_end
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""
+
+QUERIES["q38_range_join"] = q38_range_join
+ORACLES["q38_range_join"] = Q38_ORACLE

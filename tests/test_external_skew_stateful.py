@@ -193,3 +193,43 @@ class TestApproxDistinct:
             F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
         ).first()
         assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+class TestTemporalJoins:
+    def test_range_join_avoids_nested_loop(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.registry import QUERIES
+
+        plan = (
+            QUERIES["q38_range_join"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the whole point of the bucket trick: hash join, not O(n*m)
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_asof_forward_direction(self, spark):
+        import datetime
+
+        from etl_data_warehouse_spark.operators.temporal import asof_join
+
+        ts = datetime.datetime
+        left = spark.createDataFrame(
+            [(1, 100, ts(2024, 1, 5))], "id long, k long, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (100, ts(2024, 1, 1), "past"),
+                (100, ts(2024, 1, 7), "near_future"),
+                (100, ts(2024, 1, 20), "far_future"),
+            ],
+            "k2 long, t2 timestamp, tag string",
+        )
+        fwd = asof_join(
+            left, right, "k", "k2", "t", "t2", "id", direction="forward"
+        ).collect()
+        assert len(fwd) == 1 and fwd[0]["tag"] == "near_future"
+        back = asof_join(
+            left, right, "k", "k2", "t", "t2", "id", direction="backward"
+        ).collect()
+        assert len(back) == 1 and back[0]["tag"] == "past"
