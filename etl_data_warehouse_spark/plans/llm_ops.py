@@ -1,5 +1,5 @@
-"""Training-data pipeline queries (q20-q33): text analysis, dedup,
-similarity search, events, multimodal.
+"""Training-data pipeline queries (q20-q38): text analysis, dedup,
+similarity search, events, multimodal, temporal joins.
 
 Oracle notes: Spark's sequential ``aggregate`` fold is mirrored by
 DuckDB ``list_reduce`` (both left folds over the same element order →
