@@ -193,3 +193,53 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("src_id", "rank")
     )
+
+
+def brute_force_topk_arrow(
+    vectors: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Arrow/pandas-UDF variant of brute_force_topk: the dot product runs
+    as numpy (BLAS) over Arrow batches instead of a Catalyst fold.
+
+    ~identical results (BLAS reorders the summation, so doubles can
+    differ in final ulps — rankings agree except on exact ties); kept as
+    the vectorized-Python reference implementation and cross-checked
+    against the fold-based path in tests. Prefer the fold-based path
+    when bit-exact cross-engine parity matters."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        va = np.stack(a.to_numpy()).astype(np.float64)
+        vb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", va, vb)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        return pd.Series(dots / (na * nb))
+
+    # real type objects (module uses `from __future__ import annotations`,
+    # which would stringify inline hints beyond pyspark's resolver)
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    cos_sim = pandas_udf(_cos, "double")
+
+    q = queries.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv")
+    )
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    v = vectors.repartition(para, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("src_id") != F.col("neighbor_id"))
+        .select("src_id", "neighbor_id", cos_sim("qv", "nv").alias("cosine_sim"))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("src_id", "rank")
+    )

@@ -101,3 +101,16 @@ def start_daily_sales_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def deduped_order_stream(
+    orders: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """At-least-once → effectively-once ingest: drop replayed order_ids
+    within the event-time watermark horizon. This is the streaming twin
+    of the fact sink's ON CONFLICT DO NOTHING dedup
+    (reference: warehouse_loader.py:90-143) — state is bounded by the
+    watermark instead of an ever-growing key set."""
+    return orders.withWatermark("order_ts", watermark).dropDuplicatesWithinWatermark(
+        ["order_id"]
+    )

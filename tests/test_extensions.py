@@ -96,3 +96,15 @@ class TestMultimodal:
         assets = multimodal.fake_assets(docs).orderBy("asset_id").first()
         doc = docs.orderBy("doc_id").first()
         assert bytes(assets["payload"]) == doc["text"].encode("utf-8")
+
+
+class TestArrowSimilarity:
+    def test_arrow_path_agrees_with_fold_path(self, emb):
+        fold = similarity.brute_force_topk(emb, emb, k=5).collect()
+        arrow = similarity.brute_force_topk_arrow(emb, emb, k=5).collect()
+        fold_m = {(r["src_id"], r["neighbor_id"]): r["cosine_sim"] for r in fold}
+        arrow_m = {(r["src_id"], r["neighbor_id"]): r["cosine_sim"] for r in arrow}
+        # rankings agree pair-for-pair; similarities within BLAS ulp noise
+        assert set(fold_m) == set(arrow_m)
+        for k_, v in fold_m.items():
+            assert abs(v - arrow_m[k_]) < 1e-9

@@ -166,3 +166,62 @@ class TestStreaming:
         assert out[("2024-01-01", 100)]["total_orders_count"] == 3
         assert out[("2024-01-01", 100)]["total_sales_amount"] == 15.0
         assert out[("2024-01-03", 200)]["total_orders_count"] == 1
+
+
+class TestStreamingDedup:
+    def test_replayed_orders_dropped_within_watermark(self, spark, tmp_path):
+        import datetime
+
+        from etl_data_warehouse_spark.streaming.daily_sales_stream import (
+            deduped_order_stream,
+            read_order_stream,
+        )
+
+        ts = datetime.datetime
+        input_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(input_dir)
+        rows = [
+            (1, 10, ts(2024, 1, 1, 10), 5.0, "COMPLETED"),
+            (1, 10, ts(2024, 1, 1, 10), 5.0, "COMPLETED"),  # replay
+            (2, 20, ts(2024, 1, 1, 11), 7.0, "COMPLETED"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "order_id long, product_id long, order_ts timestamp, "
+            "amount double, status string",
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+        stream = deduped_order_stream(read_order_stream(spark, input_dir))
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        assert out.count() == 2
+        assert out.filter("order_id = 1").count() == 1
+        # replay order 1 again in a later microbatch → still dropped
+        spark.createDataFrame(
+            [(1, 10, ts(2024, 1, 1, 10), 5.0, "COMPLETED"),
+             (3, 30, ts(2024, 1, 1, 12), 9.0, "COMPLETED")],
+            "order_id long, product_id long, order_ts timestamp, "
+            "amount double, status string",
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+        q2 = (
+            deduped_order_stream(read_order_stream(spark, input_dir))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        assert out.filter("order_id = 1").count() == 1
+        assert out.filter("order_id = 3").count() == 1
