@@ -101,16 +101,26 @@ def merge_upsert_partitioned(
     (dynamic partition overwrite) — O(touched partitions), not O(table).
     Returns the number of rows written."""
     incoming = incoming.dropDuplicates(keys)
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if os.path.exists(path):
-        parts = [r[0] for r in incoming.select(partition_col).distinct().collect()]
-        existing = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(parts)
-        )
-        kept = existing.join(incoming.select(*keys).distinct(), keys, "left_anti")
-        merged = incoming.unionByName(kept).localCheckpoint()
-    else:
-        merged = incoming
-    n = merged.count()
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    return n
+    try:
+        if os.path.exists(path):
+            parts = [
+                r[0] for r in incoming.select(partition_col).distinct().collect()
+            ]
+            existing = spark.read.parquet(path).filter(
+                F.col(partition_col).isin(parts)
+            )
+            kept = existing.join(
+                incoming.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = incoming.unionByName(kept).localCheckpoint()
+        else:
+            merged = incoming
+        n = merged.count()
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return n
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

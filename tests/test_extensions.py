@@ -108,3 +108,13 @@ class TestArrowSimilarity:
         assert set(fold_m) == set(arrow_m)
         for k_, v in fold_m.items():
             assert abs(v - arrow_m[k_]) < 1e-9
+
+
+class TestFrameSampling:
+    def test_video_assets_fan_out_to_frames(self, docs):
+        assets = multimodal.fake_assets(docs)
+        frames = multimodal.sample_frames(assets, every_n_bytes=64)
+        n_videos = assets.filter("media_type = 'video'").count()
+        assert frames.count() >= n_videos  # >=1 sample per video asset
+        r = frames.first()
+        assert r["frame_idx"] >= 0 and len(r["frame_probe"]) <= 8
