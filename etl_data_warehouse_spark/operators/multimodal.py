@@ -118,7 +118,13 @@ def extract_features(assets: DataFrame, hist_bins: int = 8) -> DataFrame:
             for p in payloads:
                 arr = np.frombuffer(p, dtype=np.uint8)
                 n_bytes.append(int(arr.size))
-                means.append(float(arr.mean()) if arr.size else 0.0)
+                # exact integer sum / size: bit-reproducible by any engine
+                # (numpy's float mean would differ in ulps from a SQL fold)
+                means.append(
+                    float(int(arr.sum(dtype=np.int64))) / arr.size
+                    if arr.size
+                    else 0.0
+                )
                 hist, _ = np.histogram(arr, bins=hist_bins, range=(0, 256))
                 hists.append([int(x) for x in hist])
             yield pd.DataFrame(

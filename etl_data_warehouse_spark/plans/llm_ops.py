@@ -5,8 +5,8 @@ Oracle notes: Spark's sequential ``aggregate`` fold is mirrored by
 DuckDB ``list_reduce`` (both left folds over the same element order →
 bit-identical doubles). xxhash64-based ops (MinHash/SimHash) are not
 portable; MinHash-LSH verifies candidates with exact Jaccard so its
-OUTPUT still matches the exact oracle w.h.p.; SimHash/IVF are
-rows-only checked and recall-tested in pytest.
+OUTPUT still matches the exact oracle w.h.p.; only SimHash/IVF are
+rows-only checked (recall-tested in pytest against exact baselines).
 """
 
 from __future__ import annotations
@@ -358,12 +358,46 @@ ORDER BY event_id
 """
 
 
-# --- q33: multimodal feature extraction (Arrow plumbing; rows-only) ----------
+# --- q33: multimodal feature extraction (Arrow mapInPandas) -----------------
+# Oracle-checkable ONLY because the fabricated payloads are ASCII text
+# (byte codes == character codes); a real image/audio payload would be
+# opaque to SQL and this would revert to a rows-only check.
 
 def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     assets = multimodal.fake_assets(docs)
     return multimodal.extract_features(assets).orderBy("asset_id")
+
+
+Q33_ORACLE = """
+WITH codes AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           length(text) AS n_bytes,
+           list_transform(generate_series(1, length(text)),
+                          i -> ascii(substring(text, i, 1))) AS c
+    FROM documents
+)
+SELECT doc_id            AS asset_id,
+       media_type,
+       n_bytes::BIGINT   AS n_bytes,
+       CAST(list_reduce(list_concat([0], c), (a, b) -> a + b) AS DOUBLE)
+           / n_bytes     AS byte_mean,
+       [
+         CAST(len(list_filter(c, x -> x // 32 = 0)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 1)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 2)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 3)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 4)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 5)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 6)) AS BIGINT),
+         CAST(len(list_filter(c, x -> x // 32 = 7)) AS BIGINT)
+       ]                 AS byte_histogram
+FROM codes
+ORDER BY asset_id
+"""
 
 
 QUERIES = {
@@ -395,6 +429,7 @@ ORACLES = {
     "q30_sessionization": Q30_ORACLE,
     "q31_event_rollup": Q31_ORACLE,
     "q32_event_props_extract": Q32_ORACLE,
+    "q33_multimodal_features": Q33_ORACLE,
 }
 
 
