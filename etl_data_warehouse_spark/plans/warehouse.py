@@ -709,3 +709,112 @@ WHERE o_orderdate > TIMESTAMP '{_WATERMARK}'
 
 QUERIES["q35_incremental_extract"] = q35_incremental_extract
 ORACLES["q35_incremental_extract"] = Q35_ORACLE
+
+
+# --- q39: snowflake→star flattening across region/nation (J-chain) -----------
+
+def q39_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → customer → nation → region broadcast-join chain rolled
+    up to region grain — the snowflake-normalized geography flattened at
+    query time (all three dims broadcast; the fact never shuffles until
+    the final 5-region aggregation)."""
+    orders = load_table(
+        spark, "orders", sf_dir, columns=["o_custkey", "o_totalprice"]
+    )
+    cust = load_table(spark, "customer", sf_dir, columns=["c_custkey", "c_nationkey"])
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("region_revenue"),
+            F.count("*").alias("region_orders"),
+            F.countDistinct("o_custkey").alias("region_customers"),
+            F.countDistinct("n_name").alias("region_nations"),
+        )
+        .orderBy("region_name")
+    )
+
+
+Q39_ORACLE = """
+SELECT r_name AS region_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS region_revenue,
+       COUNT(*) AS region_orders,
+       COUNT(DISTINCT o_custkey) AS region_customers,
+       COUNT(DISTINCT n_name)    AS region_nations
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- q40: supplier performance ranking (supplier table coverage) -------------
+
+def q40_supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, "lineitem", sf_dir, columns=["l_suppkey", "l_extendedprice"]
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir, columns=["n_nationkey", "n_name"])
+    perf = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice")).alias("rev_dec"),
+            F.count("*").alias("supplied_lines"),
+        )
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.col("s_suppkey"))
+    return perf.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("n_name").alias("supplier_nation"),
+        F.col("rev_dec").cast("double").alias("supplier_revenue"),
+        "supplied_lines",
+        F.row_number().over(w).cast("int").alias("revenue_rank"),
+    ).orderBy("revenue_rank")
+
+
+Q40_ORACLE = """
+WITH perf AS (
+    SELECT s_suppkey, s_name, n_name,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec,
+           COUNT(*) AS supplied_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+)
+SELECT s_suppkey               AS supplier_id,
+       s_name                  AS supplier_name,
+       n_name                  AS supplier_nation,
+       CAST(rev_dec AS DOUBLE) AS supplier_revenue,
+       supplied_lines,
+       ROW_NUMBER() OVER (ORDER BY rev_dec DESC, s_suppkey)::INT
+           AS revenue_rank
+FROM perf
+ORDER BY revenue_rank
+"""
+
+QUERIES.update(
+    {
+        "q39_revenue_by_region": q39_revenue_by_region,
+        "q40_supplier_performance": q40_supplier_performance,
+    }
+)
+ORACLES.update(
+    {
+        "q39_revenue_by_region": Q39_ORACLE,
+        "q40_supplier_performance": Q40_ORACLE,
+    }
+)
