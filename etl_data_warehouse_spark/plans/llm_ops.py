@@ -364,9 +364,23 @@ ORDER BY event_id
 # opaque to SQL and this would revert to a rows-only check.
 
 def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator emits ``byte_histogram array<bigint>``; the driver's
+    pandas canonicalizer cannot sort/hash list cells, so the registered
+    query projects the 8 bins into scalar ``hist_0..hist_7`` BIGINT
+    columns (the oracle emits the same scalars)."""
     docs = load_table(spark, "documents", sf_dir)
     assets = multimodal.fake_assets(docs)
-    return multimodal.extract_features(assets).orderBy("asset_id")
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "byte_mean",
+        *[
+            F.col("byte_histogram")[i].alias(f"hist_{i}")
+            for i in range(8)
+        ],
+    ).orderBy("asset_id")
 
 
 Q33_ORACLE = """
@@ -385,16 +399,14 @@ SELECT doc_id            AS asset_id,
        n_bytes::BIGINT   AS n_bytes,
        CAST(list_reduce(list_concat([0], c), (a, b) -> a + b) AS DOUBLE)
            / n_bytes     AS byte_mean,
-       [
-         CAST(len(list_filter(c, x -> x // 32 = 0)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 1)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 2)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 3)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 4)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 5)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 6)) AS BIGINT),
-         CAST(len(list_filter(c, x -> x // 32 = 7)) AS BIGINT)
-       ]                 AS byte_histogram
+       CAST(len(list_filter(c, x -> x // 32 = 0)) AS BIGINT) AS hist_0,
+       CAST(len(list_filter(c, x -> x // 32 = 1)) AS BIGINT) AS hist_1,
+       CAST(len(list_filter(c, x -> x // 32 = 2)) AS BIGINT) AS hist_2,
+       CAST(len(list_filter(c, x -> x // 32 = 3)) AS BIGINT) AS hist_3,
+       CAST(len(list_filter(c, x -> x // 32 = 4)) AS BIGINT) AS hist_4,
+       CAST(len(list_filter(c, x -> x // 32 = 5)) AS BIGINT) AS hist_5,
+       CAST(len(list_filter(c, x -> x // 32 = 6)) AS BIGINT) AS hist_6,
+       CAST(len(list_filter(c, x -> x // 32 = 7)) AS BIGINT) AS hist_7
 FROM codes
 ORDER BY asset_id
 """
