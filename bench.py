@@ -23,8 +23,9 @@ from etl_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
 from etl_data_warehouse_spark.session import get_spark  # noqa: E402
 
 # Headline set: reference-parity analytics + scale-path extension ops.
-# Quadratic correctness baselines (exact jaccard q23, brute-force q26)
-# are deliberately excluded — their scale paths (q24 LSH, q28 IVF) run.
+# Quadratic correctness baselines (exact jaccard q23, brute-force
+# q26/q27) are deliberately excluded — their scale paths run instead
+# (q24 MinHash-LSH, q25 blocked SimHash, q28 IVF, q41 hyperplane-LSH).
 BENCH_QUERIES = [
     "q01_monthly_revenue",
     "q02_customer_tier",
@@ -35,9 +36,15 @@ BENCH_QUERIES = [
     "q10_clean_lineitem",
     "q20_text_stats",
     "q24_minhash_lsh_dedup",
+    "q25_simhash_pairs",
     "q28_ivf_topk",
     "q30_sessionization",
+    "q41_hyperplane_lsh_neardup",
 ]
+
+# p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy
+# for 0.6s queries to trust round-over-round regression deltas.
+N_RUNS = 5
 
 
 def main() -> None:
@@ -56,13 +63,13 @@ def main() -> None:
         if name not in QUERIES:
             continue
         fn = QUERIES[name]
-        best = None
-        for _ in range(2):  # min of 2: second run has warm FS/codegen caches
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(N_RUNS):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         total += timings[name]
     print(
         json.dumps(

@@ -8,15 +8,19 @@
   (linear in (doc, shingle) pairs + bucket-local joins) whose bucket
   join only pairs docs agreeing on a full band signature;
 - SimHash: linear signature computation; candidate pairing via
-  same-bucket join on the signature's high bits.
+  pigeonhole chunk blocking (simhash_pairs_blocked) — exact recall at
+  the configured Hamming radius, no cross join.
 
-MinHash/SimHash use xxhash64 (Spark-native, deterministic) — not
-portable to the DuckDB oracle, so their queries verify candidates with
-the exact Jaccard (making the *output* oracle-checkable) or use
-rows-only checks.
+Oracle portability: MinHash uses xxhash64 (Spark-native) but verifies
+candidates with the exact Jaccard, so its OUTPUT matches the exact SQL
+oracle; SimHash has a portable md5-bit variant
+(simhash_signatures_md5) whose signatures DuckDB reproduces
+digit-for-digit, so q25 is fully hash-checked.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +28,19 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens, word_shingles
 
 JACCARD_THRESHOLD = 0.8
+
+# Affine MinHash permutation family over a 30-bit prime field:
+# pi_j(h) = (a_j * h30 + b_j) mod P30 with h30 = pmod(xxhash64(shingle), P30).
+# One real hash per (doc, shingle) row; the 64 per-signature values are
+# 3-op affine mixes (vs 64 independent xxhash64 evaluations — ~64x less
+# hashing in the hot loop). 30-bit operands keep a*h + b < 2^60, safe
+# under ANSI overflow checking. Truncation to 30 bits only perturbs
+# candidate generation; the exact-Jaccard verify fixes the output.
+_P30 = 1073741789  # largest prime < 2^30
+_rng = random.Random(0x5EED)
+_MINHASH_COEFFS = [
+    (_rng.randrange(1, _P30), _rng.randrange(0, _P30)) for _ in range(64)
+]
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -99,32 +116,44 @@ def jaccard_pairs(
     )
 
 
+def _minhash_aggs(num_hashes: int) -> list:
+    """num_hashes MIN aggregations over the affine permutations of the
+    pre-reduced 30-bit shingle hash column ``h30``."""
+    return [
+        F.min((F.col("h30") * F.lit(a) + F.lit(b)) % F.lit(_P30)).alias(
+            f"mh_{j}"
+        )
+        for j, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, n: int = 3
 ) -> DataFrame:
-    """MinHash signatures: min over shingles of xxhash64(shingle, seed_j)
-    for each of num_hashes seeds — one shuffle on doc_id."""
-    sh = shingle_table(docs, n)
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """MinHash signatures: min over shingles of affine permutations of
+    one xxhash64(shingle) — one shuffle on doc_id."""
+    sh = shingle_table(docs, n).withColumn(
+        "h30", F.pmod(F.xxhash64("shingle"), F.lit(_P30))
+    )
+    return sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = JACCARD_THRESHOLD,
     n: int = 3,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
-    bands=16 × rows=4: P(candidate | J=0.8) ≈ 1-(1-0.8^4)^16 ≈ 0.9997 —
-    near-exact recall at the target threshold, linear cost. The verify
-    join makes the output equal to jaccard_pairs() w.h.p., so the same
-    SQL oracle applies.
+    bands=32 × rows=2: P(miss | J=0.8) = (1-0.8²)^32 ≈ 6e-15 —
+    effectively exact recall at the target threshold (so the driver's
+    hash gate against the exact-Jaccard oracle cannot flake on an
+    unlucky corpus), still linear cost. The verify join makes the
+    output equal to jaccard_pairs(), so the same SQL oracle applies.
+    Wider bands admit more low-J candidates than 16×4 would; the
+    exact verify absorbs them and stays candidate-proportional.
     """
     rows_per_band = num_hashes // bands
     # One materialization of the shingle table feeds signatures, sizes,
@@ -138,11 +167,9 @@ def minhash_lsh_pairs(
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.withColumn(
+        "h30", F.pmod(F.col("shingle"), F.lit(_P30))
+    ).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
     band_cols = [
         F.xxhash64(
             F.lit(b), *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -206,24 +233,18 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 bits.
-
-    Linear: explode tokens → per-(doc, bit) vote sums in one shuffle.
-    """
+def _tokens_spread(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) exploded tokens, repartitioned first (same
+    single-row-group rationale as shingle_table)."""
     para = docs.sparkSession.sparkContext.defaultParallelism
-    tok = (
-        docs.repartition(para, "doc_id")
-        .select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+    return docs.repartition(para, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(64)
-    ]
-    per_doc = tok.groupBy("doc_id").agg(*votes)
+
+
+def _sig_from_votes(per_doc: DataFrame) -> DataFrame:
+    """Assemble the 64-bit signature long from vote columns v_0..v_63
+    (bit b set iff the vote sum is strictly positive)."""
     sig = None
     for b in range(64):
         bit = F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long")).otherwise(
@@ -234,19 +255,129 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-dup candidates: pairs within Hamming distance of SimHashes.
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bits.
 
-    All-pairs here (correctness scale); at 100 TB block on the top-16
-    bits (4 rotations) so only same-block pairs compare."""
-    sig = simhash_signatures(docs)
+    Linear: explode tokens → per-(doc, bit) vote sums in one shuffle.
+    """
+    tok = _tokens_spread(docs).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    return _sig_from_votes(tok.groupBy("doc_id").agg(*votes))
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_signatures_md5(docs: DataFrame) -> DataFrame:
+    """Portable 64-bit SimHash: token bits derived from md5 hex digits,
+    reproducible in any engine (the DuckDB oracle computes identical
+    signatures digit-for-digit) — vs the xxhash64 default, which is
+    Spark-only. Bit b of a token = (hexdigit(b//4 + 1) >> (b % 4)) & 1.
+
+    Same shape/cost class as simhash_signatures: one shuffle on doc_id;
+    md5 is ~2-3x slower than xxhash64 per token, so this is the
+    oracle-check variant, not the bench default.
+    """
+    tok = _tokens_spread(docs).withColumn("hx", F.md5("tok"))
+    digs = tok.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('{_HEX}', substring(hx, {p}, 1)) - 1"
+            ).alias(f"d_{p}")
+            for p in range(1, 17)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d_{b // 4 + 1}"), b % 4).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    return _sig_from_votes(digs.groupBy("doc_id").agg(*votes))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, signatures=simhash_signatures
+) -> DataFrame:
+    """All-pairs SimHash near-dup pairs — the O(N²) verification
+    baseline (correctness scale only). The scale path is
+    simhash_pairs_blocked, which is provably equal for
+    max_hamming <= 6 and is what q25 registers."""
+    sig = signatures(docs)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_blocked(
+    docs: DataFrame, max_hamming: int = 6, signatures=simhash_signatures
+) -> DataFrame:
+    """Scale-safe SimHash near-dup pairs via pigeonhole chunk blocking.
+
+    Split the 64-bit signature into 8 chunks of 8 bits and key each doc
+    by every pair of chunk positions (C(8,2) = 28 keys/doc, 16 bits of
+    value each). A pair within Hamming distance h differs in at most h
+    chunks, so at least 8-h chunks match exactly; for h <= 6 that
+    leaves >= 2 equal chunks, i.e. at least one (i<j) key collides —
+    EXACT recall (not probabilistic), proven equal to the all-pairs
+    baseline in tests. Cost: 28 exploded rows/doc + an equi-join whose
+    bucket sizes are ~N/2^16 per key — linear-ish, no CartesianProduct
+    (asserted in tests).
+    """
+    sig = signatures(docs).localCheckpoint()
+    chunks = [
+        F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    keys, p = [], 0
+    for i in range(8):
+        for j in range(i + 1, 8):
+            keys.append(
+                F.struct(
+                    F.lit(p).alias("blk"),
+                    (chunks[i] * F.lit(256) + chunks[j]).alias("v"),
+                )
+            )
+            p += 1
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("k")
+    ).select("doc_id", "simhash", "k.blk", "k.v")
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk", "v"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk", "v"
+    )
+    return (
+        a.join(b, ["blk", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

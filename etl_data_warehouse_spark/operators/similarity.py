@@ -94,7 +94,16 @@ def brute_force_topk(
 def cosine_neardup_pairs(
     vectors: DataFrame, threshold: float = 0.45
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b)."""
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b), all-pairs.
+
+    Scale note: at LOW thresholds (this query's 0.45 ≈ a 63° angle) the
+    output itself is Ω(N²) on natural corpora and no banded LSH is both
+    selective and near-recall-1 (per-bit agreement ≈ 0.65: r=2 bands
+    pass 25% of random pairs; r=8 needs ~400 bands) — brute force is
+    the honest answer, and this stays a correctness-scale baseline. In
+    the actual near-dup regime (cosine >= ~0.9) the scale path is
+    hyperplane_lsh_neardup below, which is exact-verified and
+    sub-quadratic."""
     a = with_norm(vectors).select(
         F.col("vec_id").alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")
     )
@@ -192,6 +201,122 @@ def ivf_topk(
         sims.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .orderBy("src_id", "rank")
+    )
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    n_planes: int = 256,
+    bands: int = 16,
+    seed: int = 0x51A7,
+) -> DataFrame:
+    """Signed-random-projection (hyperplane) signatures, banded.
+
+    One Arrow-batched matmul per partition: project each vector onto
+    n_planes seeded Gaussian hyperplanes, take sign bits, pack
+    n_planes/bands bits per band → (vec_id, band_0..band_{bands-1}).
+    Linear in N; the plane matrix is regenerated per executor from the
+    seed (no broadcast payload). Signatures are Spark-internal — the
+    oracle-checkable output comes from the exact-cosine verify in
+    hyperplane_lsh_neardup, so plane portability doesn't matter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = n_planes // bands
+    schema = ", ".join(
+        ["vec_id long"] + [f"band_{b} long" for b in range(bands)]
+    )
+
+    def batches(it):
+        planes = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = np.random.RandomState(seed).standard_normal(
+                    (n_planes, V.shape[1])
+                )
+            bits = (V @ planes.T > 0).astype(np.uint64)
+            out = {"vec_id": pdf["vec_id"]}
+            weights = 1 << np.arange(rows, dtype=np.uint64)
+            for b in range(bands):
+                out[f"band_{b}"] = (
+                    bits[:, b * rows : (b + 1) * rows] * weights
+                ).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    return vectors.repartition(para, "vec_id").mapInPandas(batches, schema)
+
+
+def hyperplane_lsh_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 256,
+    bands: int = 16,
+    seed: int = 0x51A7,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs, mirroring the
+    MinHash-LSH pattern (dedup.minhash_lsh_pairs): banded SRP signature
+    buckets generate candidates, an exact fold-cosine verify produces
+    the output — so the result equals cosine_neardup_pairs w.h.p. and
+    the same exact SQL oracle applies.
+
+    Recall at the default operating point (16 bands × 16 bits): a pair
+    at cosine 0.99 agrees per bit with p ≈ 0.955 → miss ≈ 3e-5; at
+    0.998 (the planted-twin regime q41 exercises) miss < 1e-9. Random
+    background pairs (cosine ≈ 0) collide per band with p = 2^-16 —
+    candidate volume ≈ 16·N²/65536, effectively linear for corpora
+    whose near-dup graph is sparse. No CartesianProduct (asserted in
+    tests)."""
+    sig = srp_signatures(vectors, n_planes, bands, seed).localCheckpoint()
+    keyed = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band_{b}").alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", "k.band", "k.bv")
+    a = keyed.select(F.col("vec_id").alias("vec_a"), "band", "bv")
+    b = keyed.select(F.col("vec_id").alias("vec_b"), "band", "bv")
+    cands = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vn = with_norm(vectors)
+    va = vn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("_v").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
     )
 
 

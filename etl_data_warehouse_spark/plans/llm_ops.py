@@ -193,11 +193,59 @@ def q24_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q24_ORACLE = _JACCARD_ORACLE
 
 
-# --- q25: SimHash near-dup candidates (rows-only + pytest recall) ------------
+# --- q25: SimHash near-dup pairs (blocked, portable md5 bits) ----------------
+# Blocked candidate generation (pigeonhole over 8x8-bit chunks — exact
+# recall at Hamming <= 6, no cross join) over md5-derived signatures the
+# DuckDB oracle reproduces digit-for-digit; the oracle itself goes
+# all-pairs, which is fine at oracle scale.
 
 def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return dedup.simhash_pairs(docs, max_hamming=6)
+    return dedup.simhash_pairs_blocked(
+        docs, max_hamming=6, signatures=dedup.simhash_signatures_md5
+    )
+
+
+def _q25_oracle() -> str:
+    """DuckDB twin of simhash_signatures_md5 + Hamming<=6 pairs: same
+    md5-hex-digit bit derivation, same strictly-positive vote rule; the
+    64-bit signature is carried as two 32-bit halves (BIGINT sign-safe)."""
+    vote_cols = ",\n           ".join(
+        f"SUM(CASE WHEN ((instr('0123456789abcdef', substring(hx, {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN (1::BIGINT << {b - 32}) ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS t
+    FROM documents
+),
+h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+votes AS (
+    SELECT doc_id,
+           {vote_cols}
+    FROM h
+    GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+           AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+Q25_ORACLE = _q25_oracle()
 
 
 # --- q26/q27: embedding similarity (brute-force oracle-checked) --------------
@@ -253,6 +301,72 @@ JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
         / ({_NORM_SQL.format(a="a.embedding")}
            * {_NORM_SQL.format(a="b.embedding")}) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+# --- q41: hyperplane-LSH near-dup pairs (scale path for q27's regime) --------
+# The synthetic embeddings are random noise (max pair cosine ~0.51 — no
+# actual near-dups), so q41 demonstrates the operator on the corpus
+# augmented with deterministic perturbed twins (each vector gets a copy
+# scaled per-coordinate by 1 + 0.05*((vec_id + i) % 5), cosine ~0.998
+# to its source). Both the twin construction and the exact verify are
+# pure arithmetic the DuckDB oracle replays bit-for-bit, so the output
+# is fully hash-checked; LSH miss probability at the planted regime is
+# < 1e-9 (see hyperplane_lsh_neardup docstring).
+
+_TWIN_OFFSET = 1_000_000
+
+
+def _twin_corpus(emb: DataFrame) -> DataFrame:
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (
+                F.lit(1.0)
+                + F.lit(0.05)
+                * F.pmod(F.col("vec_id") + i, F.lit(5)).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+def q41_hyperplane_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.hyperplane_lsh_neardup(_twin_corpus(emb), threshold=0.9)
+
+
+Q41_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings
+),
+twins AS (
+    SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE
+                    * (1.0 + 0.05 * ((vec_id + i - 1) % 5)::DOUBLE)) AS v
+    FROM embeddings
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_DOT_SQL.format(a="a.v", b="b.v")}
+         / ({_NORM_SQL.format(a="a.v")}
+            * {_NORM_SQL.format(a="b.v")}) AS cosine_sim
+FROM corpus a
+JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a="a.v", b="b.v")}
+        / ({_NORM_SQL.format(a="a.v")}
+           * {_NORM_SQL.format(a="b.v")}) >= 0.9
 ORDER BY vec_a, vec_b
 """
 
@@ -427,6 +541,7 @@ QUERIES = {
     "q31_event_rollup": q31_event_rollup,
     "q32_event_props_extract": q32_event_props_extract,
     "q33_multimodal_features": q33_multimodal_features,
+    "q41_hyperplane_lsh_neardup": q41_hyperplane_lsh_neardup,
 }
 
 ORACLES = {
@@ -435,6 +550,7 @@ ORACLES = {
     "q22_exact_dedup": Q22_ORACLE,
     "q23_ngram_jaccard_dedup": Q23_ORACLE,
     "q24_minhash_lsh_dedup": Q24_ORACLE,
+    "q25_simhash_pairs": Q25_ORACLE,
     "q26_embedding_topk": Q26_ORACLE,
     "q27_embedding_neardup": Q27_ORACLE,
     "q29_doc_fingerprint": Q29_ORACLE,
@@ -442,6 +558,7 @@ ORACLES = {
     "q31_event_rollup": Q31_ORACLE,
     "q32_event_props_extract": Q32_ORACLE,
     "q33_multimodal_features": Q33_ORACLE,
+    "q41_hyperplane_lsh_neardup": Q41_ORACLE,
 }
 
 

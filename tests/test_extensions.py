@@ -46,6 +46,39 @@ class TestDedup:
         recall = len(exact & sim) / len(exact)
         assert recall >= 0.7, f"simhash recall {recall}"
 
+    @pytest.mark.parametrize(
+        "signatures",
+        [dedup.simhash_signatures, dedup.simhash_signatures_md5],
+        ids=["xxhash", "md5"],
+    )
+    def test_simhash_blocked_equals_all_pairs(self, docs, signatures):
+        # Pigeonhole blocking is EXACT for hamming <= 6 (8 chunks, >= 2
+        # must match): identical output to the O(N^2) baseline.
+        base = sorted(
+            tuple(r)
+            for r in dedup.simhash_pairs(
+                docs, max_hamming=6, signatures=signatures
+            ).collect()
+        )
+        blocked = sorted(
+            tuple(r)
+            for r in dedup.simhash_pairs_blocked(
+                docs, max_hamming=6, signatures=signatures
+            ).collect()
+        )
+        assert blocked == base
+        assert base, "expected near-dup pairs in testdata"
+
+    def test_simhash_blocked_plan_has_no_cartesian(self, docs):
+        plan = (
+            dedup.simhash_pairs_blocked(docs, max_hamming=6)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_exact_dedup_partitions_by_fingerprint(self, docs):
         groups = dedup.exact_dedup_groups(docs)
         total = groups.agg(F.sum("dup_count")).first()[0]
@@ -67,6 +100,35 @@ class TestSimilarity:
         a = similarity.brute_force_topk(emb, emb, k=3).collect()
         b = similarity.brute_force_topk(emb, emb, k=3).collect()
         assert a == b
+
+    def test_hyperplane_lsh_equals_exact_neardup(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.llm_ops import _twin_corpus
+
+        corpus = _twin_corpus(load_table(spark, "embeddings", sf_dir))
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.cosine_neardup_pairs(
+                corpus, threshold=0.9
+            ).collect()
+        }
+        lsh = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.hyperplane_lsh_neardup(
+                corpus, threshold=0.9
+            ).collect()
+        }
+        assert lsh == exact
+        assert exact, "expected planted twin pairs"
+
+    def test_hyperplane_lsh_plan_has_no_cartesian(self, emb):
+        plan = (
+            similarity.hyperplane_lsh_neardup(emb, threshold=0.9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestMultimodal:
