@@ -51,18 +51,40 @@ def incremental_extract(
     ts_col: str,
     store: WatermarkStore,
     sf_dir: str,
-    advance: bool = True,
+    advance: bool = False,
 ) -> DataFrame:
     """Read only rows with ts_col strictly after the stored watermark
-    (reference semantics: ``> last_extracted_date``), then advance the
-    watermark to the new max. The predicate pushes into the scan."""
+    (reference semantics: ``> last_extracted_date``). The predicate
+    pushes into the scan.
+
+    The watermark is NOT advanced here by default: advancing at extract
+    time means a downstream sink failure permanently skips the batch on
+    the next run (the ``> watermark`` predicate filters it out — silent
+    data loss). Call :func:`commit_watermark` AFTER the sink succeeds
+    for at-least-once semantics. ``advance=True`` opts into the eager
+    at-most-once behaviour for fire-and-forget extracts.
+    """
     wm = store.get(table)
     predicate: Column | None = (
         F.col(ts_col) > F.lit(wm).cast("timestamp") if wm else None
     )
     df = load_table(spark, table, sf_dir, predicate=predicate)
     if advance:
-        new_max = df.agg(F.max(ts_col)).first()[0]
-        if new_max is not None:
-            store.set(table, str(new_max))
+        commit_watermark(df, table, ts_col, store)
     return df
+
+
+def commit_watermark(
+    batch: DataFrame, table: str, ts_col: str, store: WatermarkStore
+) -> str | None:
+    """Durably advance ``table``'s watermark to ``max(ts_col)`` of the
+    extracted batch — the caller invokes this only after its sink has
+    committed, so a failed write leaves the watermark untouched and the
+    batch is re-extracted on the next run (at-least-once; pair with an
+    idempotent sink like merge_upsert / append_dedup for exactly-once).
+    Returns the new watermark, or None for an empty batch (no-op)."""
+    new_max = batch.agg(F.max(ts_col)).first()[0]
+    if new_max is None:
+        return None
+    store.set(table, str(new_max))
+    return str(new_max)

@@ -30,7 +30,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join on a skewed key: salt the big left side, explode the
-    right side salt-fold. Result is identical to left.join(right, key)."""
+    right side salt-fold. Result is identical to left.join(right, key)
+    for the allowed join types ONLY: the right side is exploded s-fold,
+    so right/full outer joins would emit unmatched right rows s times
+    and anti semantics invert — those types are rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — the "
+            "salt-exploded right side breaks right/full/anti semantics"
+        )
     salted_left = left.withColumn(
         SALT_COL, (F.rand(42) * salt).cast("int")
     )

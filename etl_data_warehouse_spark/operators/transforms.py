@@ -34,8 +34,15 @@ VALID_TIERS = ["BRONZE", "SILVER", "GOLD", "PLATINUM"]
 
 def dedup_first(df: DataFrame, key: str, order: str, *tiebreak: str) -> DataFrame:
     """Deterministic keep-first dedup: ROW_NUMBER over the business key
-    (SURVEY.md §7.3; reference: data_transformer.py:39,92,144)."""
-    w = Window.partitionBy(key).orderBy(order, *tiebreak)
+    (SURVEY.md §7.3; reference: data_transformer.py:39,92,144).
+
+    A full-row hash is always appended as the final tiebreak: callers'
+    natural tiebreak columns (often the key itself) can be constant
+    within a partition, and duplicate keys sharing the order value must
+    still resolve the same way on every run (the repo's unique-
+    tiebreaker rule). Fully identical rows remain interchangeable."""
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy(key).orderBy(order, *tiebreak, row_hash)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

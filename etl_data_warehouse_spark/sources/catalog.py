@@ -41,10 +41,24 @@ def load_table(
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(SCHEMAS)}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); set here (runtime SQL
-        # conf) so the engine works in ANY session, not just get_spark()'s.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # events.parquet stores TIMESTAMP(NANOS); the legacy conf must be
+        # on while spark.read.parquet resolves the schema (works in ANY
+        # session, not just get_spark()'s). Scoped set/read/restore so the
+        # flag doesn't leak into the caller's session (same pattern as
+        # merge_upsert_partitioned, sinks.py): once the schema is resolved
+        # as bigint, execution no longer consults the conf.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py); convert to
         # microsecond timestamps with exact integer division — the same

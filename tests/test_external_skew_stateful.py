@@ -69,6 +69,18 @@ class TestSkew:
             map(tuple, salted.collect())
         )
 
+    def test_salted_join_rejects_outer_and_anti(self, spark, sf_dir):
+        # the exploded right side duplicates unmatched right rows s
+        # times under right/full joins and inverts anti semantics —
+        # those types must be rejected, not silently wrong.
+        li = load_table(spark, "lineitem", sf_dir).select("l_partkey")
+        right = load_table(spark, "part", sf_dir).select(
+            F.col("p_partkey").alias("l_partkey")
+        )
+        for how in ("right", "full", "left_anti", "cross"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(li, right, "l_partkey", salt=4, how=how)
+
     def test_salted_sum_equals_plain_sum(self, spark, sf_dir):
         li = load_table(spark, "lineitem", sf_dir)
         plain = (

@@ -113,10 +113,16 @@ class TestDriverContract:
         nanos-timestamp handling must not depend on get_spark()."""
         from etl_data_warehouse_spark.sources.catalog import load_table
 
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        spark.conf.unset(key)
         try:
             df = load_table(spark, "events", sf_dir)
             assert dict(df.dtypes)["ts"] == "timestamp"
+            # the legacy flag must not leak into the caller's session...
+            assert spark.conf.get(key, None) is None
+            # ...and execution (value materialization, not just count)
+            # still works after the scoped restore.
+            assert df.agg(F.max("ts")).first()[0] is not None
             assert df.count() > 0
         finally:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(key, "true")

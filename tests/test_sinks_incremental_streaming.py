@@ -8,7 +8,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from etl_data_warehouse_spark.incremental import WatermarkStore, incremental_extract
+from etl_data_warehouse_spark.incremental import (
+    WatermarkStore,
+    commit_watermark,
+    incremental_extract,
+)
 from etl_data_warehouse_spark.sources.sinks import (
     append_dedup,
     merge_upsert,
@@ -91,12 +95,22 @@ class TestIncremental:
         full = incremental_extract(spark, "orders", "o_orderdate", store, sf_dir)
         n_full = full.count()
         assert n_full > 0
+        # extraction alone must NOT advance the watermark: a failed sink
+        # between extract and commit must not lose the batch.
+        assert store.get("orders") is None
+        retry = incremental_extract(spark, "orders", "o_orderdate", store, sf_dir)
+        assert retry.count() == n_full
+        # sink "succeeds" -> commit; second run sees nothing newer.
+        commit_watermark(full, "orders", "o_orderdate", store)
         assert store.get("orders") is not None
-        # second run: nothing is newer than the stored max
         second = incremental_extract(
             spark, "orders", "o_orderdate", store, sf_dir
         )
         assert second.count() == 0
+        # committing an empty batch is a no-op, not a regression to None
+        wm = store.get("orders")
+        assert commit_watermark(second, "orders", "o_orderdate", store) is None
+        assert store.get("orders") == wm
 
     def test_mid_watermark(self, spark, tmp_path, sf_dir):
         store = WatermarkStore(str(tmp_path / "wm2.json"))
