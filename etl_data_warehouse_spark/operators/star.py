@@ -115,16 +115,25 @@ def build_dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_fact_orders(
+    spark: SparkSession, sf_dir: str, dim_customers: DataFrame | None = None
+) -> DataFrame:
     """Order-grain fact with FK surrogate keys resolved via broadcast joins.
 
     Twin of the reference's fact assembly
     (reference: etl_daily_pipeline.py:188-236; dbt fact_orders.sql:14-20):
     left joins to dims on business keys + date_key derivation. Dims are
     explicitly broadcast — at 100 TB the fact side never shuffles here.
+
+    ``dim_customers`` overrides the default full-rebuild dim: the
+    incremental pipeline passes its stable-keyed dim so the fact's
+    customer_key matches the keys actually stored in the warehouse
+    (sinks.merge_upsert_stable).
     """
     orders = load_table(spark, "orders", sf_dir)
-    dim_c = build_dim_customers(spark, sf_dir).select("customer_key", "customer_id")
+    if dim_customers is None:
+        dim_customers = build_dim_customers(spark, sf_dir)
+    dim_c = dim_customers.select("customer_key", "customer_id")
     return (
         orders.join(
             F.broadcast(dim_c),

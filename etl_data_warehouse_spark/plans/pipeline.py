@@ -28,7 +28,7 @@ from ..operators.star import (
     build_fact_orders,
 )
 from ..sources.catalog import load_table
-from ..sources.sinks import merge_upsert
+from ..sources.sinks import merge_upsert, merge_upsert_stable
 
 
 def run_pipeline(
@@ -46,18 +46,43 @@ def run_pipeline(
     records_extracted = orders.count() + lineitem.count()
 
     # --- dimensions (broadcast-scale), then facts ---
+    # dim_date's key is semantic (yyyymmdd) — stable by construction.
+    # Surrogate-keyed dims go through merge_upsert_stable so a re-run
+    # never renumbers keys already stored (reference semantics:
+    # warehouse_loader.py:56-69 excludes the SERIAL key from SET).
     loads = {}
-    dims = {
-        "dim_date": (build_dim_date(spark, sf_dir), ["date_key"]),
-        "dim_customers": (build_dim_customers(spark, sf_dir), ["customer_id"]),
-        "dim_products": (build_dim_products(spark, sf_dir), ["product_id"]),
-        "fact_orders": (build_fact_orders(spark, sf_dir), ["order_key"]),
+    loads["dim_date"] = merge_upsert(
+        spark,
+        build_dim_date(spark, sf_dir),
+        os.path.join(warehouse_dir, "dim_date"),
+        ["date_key"],
+    )
+    loads["dim_customers"], dim_c_keyed = merge_upsert_stable(
+        spark,
+        build_dim_customers(spark, sf_dir),
+        os.path.join(warehouse_dir, "dim_customers"),
+        ["customer_id"],
+        "customer_key",
+    )
+    loads["dim_products"], _ = merge_upsert_stable(
+        spark,
+        build_dim_products(spark, sf_dir),
+        os.path.join(warehouse_dir, "dim_products"),
+        ["product_id"],
+        "product_key",
+    )
+    # Facts resolve FKs against the stable-keyed dim actually stored.
+    facts = {
+        "fact_orders": (
+            build_fact_orders(spark, sf_dir, dim_customers=dim_c_keyed),
+            ["order_key"],
+        ),
         "fact_daily_sales": (
             build_fact_daily_sales(spark, sf_dir),
             ["date_key", "product_id"],
         ),
     }
-    for name, (df, keys) in dims.items():
+    for name, (df, keys) in facts.items():
         loads[name] = merge_upsert(
             spark, df, os.path.join(warehouse_dir, name), keys
         )

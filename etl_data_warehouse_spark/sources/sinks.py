@@ -27,7 +27,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,73 @@ def append_dedup(
     if n:
         new_rows.write.mode("append").parquet(path)
     return n
+
+
+def assign_stable_keys(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    business_keys: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Surrogate keys that SURVIVE re-runs (reference semantics: the
+    Postgres upsert excludes the SERIAL key from SET, so an updated row
+    keeps its key — warehouse_loader.py:56-69; the repo's full-rebuild
+    ROW_NUMBER marts renumber instead, SURVEY.md §7.4).
+
+    Rows of ``incoming`` whose business key exists in ``existing`` keep
+    the existing ``key_col``; genuinely new rows get
+    ``max(existing key) + ROW_NUMBER`` ordered by business key.
+    ``incoming``'s own ``key_col`` (if present) is ignored.
+
+    Scale: the key map is (key, business_key) — dimension-scale, joined
+    on the business key. The ROW_NUMBER window over NEW rows only is an
+    unpartitioned sort, acceptable at dim scale per the W9 rule
+    (star.py scale notes); facts never take this path.
+    """
+    incoming = incoming.drop(key_col)
+    if existing is None:
+        w = Window.orderBy(*business_keys)
+        return incoming.select(
+            F.row_number().over(w).cast("long").alias(key_col), "*"
+        )
+    key_map = existing.select(key_col, *business_keys)
+    max_key = existing.agg(F.max(key_col)).first()[0] or 0
+    joined = incoming.join(key_map, business_keys, "left")
+    kept = joined.filter(F.col(key_col).isNotNull())
+    w = Window.orderBy(*business_keys)
+    fresh = (
+        joined.filter(F.col(key_col).isNull())
+        .drop(key_col)
+        .select(
+            (F.row_number().over(w) + F.lit(max_key))
+            .cast("long")
+            .alias(key_col),
+            "*",
+        )
+    )
+    cols = [key_col] + [c for c in incoming.columns]
+    return kept.select(*cols).unionByName(fresh.select(*cols))
+
+
+def merge_upsert_stable(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    business_keys: list[str],
+    key_col: str,
+) -> tuple[dict, DataFrame]:
+    """merge_upsert with reference-style stable surrogate keys: re-keys
+    ``incoming`` against the table at ``path`` (existing business keys
+    keep their surrogate key) before the idempotent merge. Returns
+    (counts, keyed_df) — the keyed frame is what fact FK resolution must
+    join against so facts reference the keys actually stored."""
+    existing = spark.read.parquet(path) if os.path.exists(path) else None
+    keyed = assign_stable_keys(existing, incoming, business_keys, key_col)
+    # Materialize: the merge below both counts and rewrites the same
+    # files the lazy plan would re-read mid-swap.
+    keyed = keyed.localCheckpoint()
+    counts = merge_upsert(spark, keyed, path, business_keys)
+    return counts, keyed
 
 
 def merge_upsert_partitioned(

@@ -22,10 +22,21 @@ class TestPipeline:
         fact1 = spark.read.parquet(f"{wh}/fact_orders")
         n1 = fact1.count()
         assert n1 == load_table(spark, "orders", sf_dir).count()
+        dimkeys1 = {
+            r["customer_id"]: r["customer_key"]
+            for r in spark.read.parquet(f"{wh}/dim_customers").collect()
+        }
         # rerun over the same inputs: no duplicates, same row counts
         r2 = run_pipeline(spark, sf_dir, wh)
         assert r2["status"] == "SUCCESS"
         assert spark.read.parquet(f"{wh}/fact_orders").count() == n1
+        # stable surrogate keys: the re-run must not renumber dims
+        # (reference warehouse_loader.py:56-69 keeps SERIAL keys on update)
+        dimkeys2 = {
+            r["customer_id"]: r["customer_key"]
+            for r in spark.read.parquet(f"{wh}/dim_customers").collect()
+        }
+        assert dimkeys2 == dimkeys1
         # audit log accumulated two runs
         assert spark.read.parquet(f"{wh}/etl_run_log").count() == 2
 

@@ -15,8 +15,10 @@ from etl_data_warehouse_spark.incremental import (
 )
 from etl_data_warehouse_spark.sources.sinks import (
     append_dedup,
+    assign_stable_keys,
     merge_upsert,
     merge_upsert_partitioned,
+    merge_upsert_stable,
 )
 from etl_data_warehouse_spark.streaming.daily_sales_stream import (
     start_daily_sales_stream,
@@ -87,6 +89,68 @@ class TestMergeUpsert:
         assert len(out) == 3
         assert out[2]["v"] == 20.0
         assert out[1]["v"] == 1.0  # untouched partition survived
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "customer_id long, name string")
+
+
+class TestStableKeys:
+    """Reference upsert semantics (warehouse_loader.py:56-69): the
+    surrogate key is excluded from the update SET, so re-loaded rows
+    keep their key; only genuinely new business keys mint new ones."""
+
+    def test_two_runs_preserve_keys_and_extend(self, spark, tmp_path):
+        path = str(tmp_path / "dim_c")
+        r1, k1 = merge_upsert_stable(
+            spark,
+            _dim(spark, [(10, "ann"), (20, "bob"), (30, "cat")]),
+            path, ["customer_id"], "customer_key",
+        )
+        assert r1 == {"inserted": 3, "updated": 0}
+        keys1 = {
+            x["customer_id"]: x["customer_key"]
+            for x in spark.read.parquet(path).collect()
+        }
+        assert sorted(keys1.values()) == [1, 2, 3]
+        # overlapping second batch: 20 updated (key kept), 40 new
+        r2, k2 = merge_upsert_stable(
+            spark,
+            _dim(spark, [(20, "bob2"), (40, "dee")]),
+            path, ["customer_id"], "customer_key",
+        )
+        assert r2 == {"inserted": 1, "updated": 1}
+        out = {
+            x["customer_id"]: x for x in spark.read.parquet(path).collect()
+        }
+        assert out[20]["customer_key"] == keys1[20]  # key survived update
+        assert out[20]["name"] == "bob2"  # payload did update
+        assert out[10]["customer_key"] == keys1[10]
+        assert out[40]["customer_key"] == 4  # max+1, no renumbering
+        # full-snapshot re-run is a key-level no-op
+        snap = _dim(spark, [(c, out[c]["name"]) for c in sorted(out)])
+        merge_upsert_stable(spark, snap, path, ["customer_id"], "customer_key")
+        again = {
+            x["customer_id"]: x["customer_key"]
+            for x in spark.read.parquet(path).collect()
+        }
+        assert again == {c: out[c]["customer_key"] for c in out}
+
+    def test_assign_stable_keys_ignores_incoming_key(self, spark):
+        existing = spark.createDataFrame(
+            [(7, 10, "ann")], "customer_key long, customer_id long, name string"
+        )
+        incoming = spark.createDataFrame(
+            [(99, 10, "ann2"), (99, 20, "bob")],
+            "customer_key long, customer_id long, name string",
+        )
+        out = {
+            x["customer_id"]: x["customer_key"]
+            for x in assign_stable_keys(
+                existing, incoming, ["customer_id"], "customer_key"
+            ).collect()
+        }
+        assert out == {10: 7, 20: 8}
 
 
 class TestIncremental:
