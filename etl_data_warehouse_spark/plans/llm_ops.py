@@ -371,11 +371,74 @@ ORDER BY vec_a, vec_b
 """
 
 
-# --- q28: IVF approximate top-k (rows-only + pytest recall) -------------------
+# --- q28: IVF approximate top-k (oracle-checked deterministic replay) --------
+# IVF here is fully deterministic: centroids are the first n_cells
+# vec_ids, assignment/probing rank by the fold-cosine (bit-exact in
+# DuckDB via list_reduce — same math q26 proves), ties broken by
+# cell_id/neighbor_id. So the oracle REPLAYS the algorithm in SQL —
+# same centroids, same nprobe probe lists, same candidate set, same
+# final ranking — and the driver hash-checks the approximate output
+# itself (not just rows). Defaults (n_cells, nprobe) are re-derived
+# from COUNT(*) in SQL exactly as ivf_topk derives them from .count().
 
 def q28_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.ivf_topk(emb, k=5)
+
+
+Q28_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vv
+    FROM embeddings
+),
+params AS (
+    SELECT least(256, greatest(16, COUNT(*) // 64)) AS n_cells,
+           greatest(3, least(256, greatest(16, COUNT(*) // 64)) // 8) AS nprobe
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cell_id, vv AS cv
+    FROM v
+    QUALIFY row_number() OVER (ORDER BY vec_id)
+                <= (SELECT n_cells FROM params)
+),
+ranked AS (
+    SELECT v.vec_id AS vid, c.cell_id,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_DOT_SQL.format(a="v.vv", b="c.cv")}
+                          / ({_NORM_SQL.format(a="v.vv")}
+                             * {_NORM_SQL.format(a="c.cv")}) DESC,
+                        c.cell_id
+           ) AS r
+    FROM v CROSS JOIN cent c
+),
+assigned AS (SELECT vid, cell_id FROM ranked WHERE r = 1),
+probes AS (
+    SELECT vid AS src_id, cell_id FROM ranked
+    WHERE r <= (SELECT nprobe FROM params)
+),
+sims AS (
+    SELECT p.src_id, a.vid AS neighbor_id,
+           {_DOT_SQL.format(a="q.vv", b="t.vv")}
+             / ({_NORM_SQL.format(a="q.vv")}
+                * {_NORM_SQL.format(a="t.vv")}) AS cosine_sim
+    FROM probes p
+    JOIN assigned a USING (cell_id)
+    JOIN v q ON q.vec_id = p.src_id
+    JOIN v t ON t.vec_id = a.vid
+    WHERE p.src_id <> a.vid
+)
+SELECT src_id, neighbor_id, cosine_sim, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY cosine_sim DESC, neighbor_id)::INT
+                  AS rank
+    FROM sims
+)
+WHERE rank <= 5
+ORDER BY src_id, rank
+"""
 
 
 # --- q29: document fingerprinting (md5 + rolling hash) ------------------------
@@ -553,6 +616,7 @@ ORACLES = {
     "q25_simhash_pairs": Q25_ORACLE,
     "q26_embedding_topk": Q26_ORACLE,
     "q27_embedding_neardup": Q27_ORACLE,
+    "q28_ivf_topk": Q28_ORACLE,
     "q29_doc_fingerprint": Q29_ORACLE,
     "q30_sessionization": Q30_ORACLE,
     "q31_event_rollup": Q31_ORACLE,
