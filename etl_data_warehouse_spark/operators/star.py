@@ -153,6 +153,53 @@ def build_fact_orders(
     )
 
 
+def build_fact_lineitem(
+    spark: SparkSession,
+    sf_dir: str,
+    dim_customers: DataFrame | None = None,
+    dim_products: DataFrame | None = None,
+) -> DataFrame:
+    """Line-grain fact with the reference's FULL 3-dim FK chain.
+
+    The reference's fact_orders left-joins customers, products AND date
+    (reference: dbt_warehouse/models/marts/fact_orders.sql:14-20); TPC-H
+    orders carry no product, so the complete shape lives at lineitem
+    grain: customer_key via orders, product_key via part, date_key from
+    the ship date.
+
+    Scale: lineitem ⋈ orders is the one irreducible fact-fact join —
+    shuffle on orderkey (or zero-Exchange SMJ when both sides are
+    bucketed on it, sources/bucketing.py); both dim joins broadcast, so
+    the fact shuffles exactly once.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    ords = load_table(spark, "orders", sf_dir, columns=["o_orderkey", "o_custkey"])
+    if dim_customers is None:
+        dim_customers = build_dim_customers(spark, sf_dir)
+    if dim_products is None:
+        dim_products = build_dim_products(spark, sf_dir)
+    dim_c = dim_customers.select("customer_key", "customer_id")
+    dim_p = dim_products.select("product_key", "product_id")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(dim_c), ords.o_custkey == dim_c.customer_id, "left")
+        .join(F.broadcast(dim_p), li.l_partkey == dim_p.product_id, "left")
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").cast("int").alias("line_number"),
+            F.col("customer_key"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("product_key"),
+            F.col("l_partkey").alias("product_id"),
+            date_key("l_shipdate").alias("date_key"),
+            F.to_date("l_shipdate").alias("ship_date"),
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("amount"),
+            F.col("l_returnflag").alias("return_flag"),
+        )
+    )
+
+
 def build_fact_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Periodic-snapshot rollup at (date_key, product) grain.
 

@@ -82,6 +82,23 @@ MART_MODELS: dict[str, str] = {
         FROM stg_orders o
         LEFT JOIN mart_dim_customers c ON o.customer_id = c.customer_id
     """,
+    # reference: models/marts/fact_orders.sql:14-20 — the FULL 3-dim FK
+    # chain (customers, products, date). Orders carry no product in this
+    # corpus, so the complete shape is lineitem-grain.
+    "mart_fact_lineitem": """
+        SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
+               c.customer_key, o.customer_id,
+               p.product_key, l.l_partkey AS product_id,
+               CAST(date_format(l.l_shipdate, 'yyyyMMdd') AS INT) AS date_key,
+               to_date(l.l_shipdate) AS ship_date,
+               CAST(l.l_quantity AS DOUBLE) AS quantity,
+               CAST(l.l_extendedprice AS DOUBLE) AS amount,
+               l.return_flag
+        FROM stg_lineitem l
+        JOIN stg_orders o ON l.l_orderkey = o.order_id
+        LEFT JOIN mart_dim_customers c ON o.customer_id = c.customer_id
+        LEFT JOIN mart_dim_products p ON l.l_partkey = p.product_id
+    """,
     # reference: models/marts/fact_daily_sales.sql (left joins + filter)
     "mart_fact_daily_sales": """
         SELECT CAST(date_format(l.l_shipdate, 'yyyyMMdd') AS INT) AS date_key,

@@ -18,6 +18,7 @@ from ..operators.star import (
     build_dim_date,
     build_dim_products,
     build_fact_daily_sales,
+    build_fact_lineitem,
     build_fact_orders,
 )
 from ..sources.catalog import load_table
@@ -818,3 +819,50 @@ ORACLES.update(
         "q40_supplier_performance": Q40_ORACLE,
     }
 )
+
+
+# --- q42: line-grain fact with the full 3-dim FK chain (J7 completion) -------
+# The reference's fact_orders resolves customers, products AND date
+# (reference: dbt_warehouse/models/marts/fact_orders.sql:14-20); TPC-H
+# orders carry no product, so the complete shape is lineitem-grain
+# (star.build_fact_lineitem). Ordered by the unique (order_key,
+# line_number) pair in both engines.
+
+
+def q42_fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_fact_lineitem(spark, sf_dir).orderBy(
+        "order_key", "line_number"
+    )
+
+
+Q42_ORACLE = """
+WITH dim_c AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+           c_custkey AS customer_id
+    FROM customer
+),
+dim_p AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY p_partkey) AS product_key,
+           p_partkey AS product_id
+    FROM part
+)
+SELECT l.l_orderkey                          AS order_key,
+       l.l_linenumber::INT                   AS line_number,
+       c.customer_key,
+       o.o_custkey                           AS customer_id,
+       p.product_key,
+       l.l_partkey                           AS product_id,
+       strftime(l.l_shipdate, '%Y%m%d')::INT AS date_key,
+       l.l_shipdate::DATE                    AS ship_date,
+       l.l_quantity::DOUBLE                  AS quantity,
+       l.l_extendedprice::DOUBLE             AS amount,
+       l.l_returnflag                        AS return_flag
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN dim_c c ON o.o_custkey = c.customer_id
+LEFT JOIN dim_p p ON l.l_partkey = p.product_id
+ORDER BY order_key, line_number
+"""
+
+QUERIES["q42_fact_lineitem"] = q42_fact_lineitem
+ORACLES["q42_fact_lineitem"] = Q42_ORACLE

@@ -68,6 +68,24 @@ class TestModels:
         ).collect()
         assert len(top) == 5
 
+    def test_fact_lineitem_resolves_all_three_fks(self, spark, sf_dir):
+        """Reference fact_orders.sql:14-20 joins customers, products AND
+        date — the lineitem-grain mart must resolve all three keys."""
+        register_models(spark, sf_dir)
+        fact = spark.table("mart_fact_lineitem")
+        for fk in ("customer_key", "product_key", "date_key"):
+            assert fk in fact.columns
+            assert fact.filter(F.col(fk).isNull()).count() == 0, fk
+        # FKs actually land in their dimensions (no orphans)
+        for fk, dim in (
+            ("customer_key", "mart_dim_customers"),
+            ("product_key", "mart_dim_products"),
+        ):
+            orphans = fact.join(
+                spark.table(dim).select(fk), fk, "left_anti"
+            )
+            assert orphans.count() == 0, fk
+
     def test_catalyst_sees_through_views(self, spark, sf_dir):
         register_models(spark, sf_dir)
         plan = (
