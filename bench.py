@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q28_ivf_topk",
     "q30_sessionization",
     "q41_hyperplane_lsh_neardup",
+    "q42_fact_lineitem",
+    "q44_vocab_topk",
+    "q46_contamination",
 ]
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy
@@ -79,6 +82,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # methodology marker: r1 was min-of-2; p50-of-5 reads
+                # ~15-40% higher for the same plans — compare
+                # like-for-like across rounds.
+                "method": f"p50_of_{N_RUNS}_warm",
             }
         )
     )

@@ -1,0 +1,108 @@
+"""Corpus-level statistics and hygiene for training-data prep.
+
+- vocabulary top-k: term + document frequencies over the whole corpus —
+  one explode + one agg shuffle on the token; the top-k itself is a
+  TakeOrdered (per-partition heaps + driver merge of k rows), never a
+  global sort.
+- train/test contamination: fraction of a held-out document's word
+  n-gram shingles that also occur anywhere in the train split — the
+  standard benchmark-leakage check, as a shingle-level semi-join
+  (shuffle on the shingle; bucket/broadcast by shingle hash at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from .sampling import train_test_split
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k corpus vocabulary by term frequency (ties → token order):
+    (rank, token, term_freq, doc_freq, df_ratio)."""
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    n_docs = docs.count()
+    tok = (
+        docs.repartition(para, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    top = vocab.orderBy(F.desc("term_freq"), "token").limit(k)
+    # rank over the k surviving rows only — driver-size window
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("term_freq"), "token")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "token",
+        "term_freq",
+        "doc_freq",
+        (F.col("doc_freq").cast("double") / F.lit(float(n_docs))).alias(
+            "df_ratio"
+        ),
+    ).orderBy("rank")
+
+
+def contamination_check(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Benchmark-leakage scan: for every 'test'-split document, the
+    fraction of its distinct word n-gram shingles that appear in ANY
+    'train'-split document.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_ratio,
+    is_contaminated), all test docs present (zero-shingle docs → 0.0).
+    """
+    split = train_test_split(docs, train_pct=train_pct, val_pct=val_pct)
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        split.repartition(para, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.explode(word_shingles("text", n)).alias("shingle"),
+        )
+    )
+    train_set = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    test_sh = sh.filter(F.col("split") == "test")
+    sizes = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        test_sh.join(train_set, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = split.filter(F.col("split") == "test").select("doc_id")
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_contaminated").cast("double")
+        / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn("contamination_ratio", ratio)
+        .withColumn(
+            "is_contaminated", F.col("contamination_ratio") >= threshold
+        )
+        .orderBy("doc_id")
+    )

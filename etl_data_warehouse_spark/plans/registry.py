@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, llm_ops, warehouse
+from . import analytics, llm_ops, sampling_plans, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -36,6 +36,8 @@ QUERIES.update(warehouse.QUERIES)
 ORACLES.update(warehouse.ORACLES)
 QUERIES.update(llm_ops.QUERIES)
 ORACLES.update(llm_ops.ORACLES)
+QUERIES.update(sampling_plans.QUERIES)
+ORACLES.update(sampling_plans.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:

@@ -1,0 +1,192 @@
+"""Training-data prep queries (q43-q46): deterministic splits,
+stratified sampling, sequence packing, vocabulary, contamination.
+
+All four are fully hash-checked: the split/sample hash is a salted md5
+both engines compute digit-for-digit (operators/sampling.py
+``hash_bucket`` ≡ ``bucket_sql``), and everything downstream is integer
+arithmetic, window sums, and count aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus, sampling
+from ..sources.catalog import load_table
+
+_SPLIT_B = sampling.bucket_sql("doc_id::VARCHAR", "split")
+_SAMPLE_B = sampling.bucket_sql("doc_id::VARCHAR", "sample")
+
+
+# --- q43: deterministic train/val/test split + stratified sampling ----------
+# Zero-shuffle projection: assignment is a salted md5 of doc_id, so it
+# is stable across runs AND across corpus growth (appending documents
+# never reassigns existing ones). Stratified keep-rates: en 50%,
+# everything else 10%, from an independent salt.
+
+_RATES = {"en": 50}
+_DEFAULT_RATE = 10
+
+
+def q43_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = sampling.train_test_split(docs)
+    out = sampling.stratified_sample_flag(out, _RATES, _DEFAULT_RATE)
+    return out.select(
+        "doc_id",
+        "lang",
+        "split_bucket",
+        "split",
+        "sample_bucket",
+        "sampled",
+    ).orderBy("doc_id")
+
+
+Q43_ORACLE = f"""
+SELECT doc_id, lang,
+       {_SPLIT_B} AS split_bucket,
+       CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+            WHEN {_SPLIT_B} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       {_SAMPLE_B} AS sample_bucket,
+       {_SAMPLE_B} < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END) AS sampled
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- q44: corpus vocabulary top-k (term + document frequency) ---------------
+# One token-explode + one agg shuffle; the top-k is a TakeOrdered, not
+# a global sort. Ties broken by token text in both engines.
+
+def q44_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus.vocab_topk(docs, k=100)
+
+
+Q44_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+    FROM documents
+),
+v AS (
+    SELECT token,
+           COUNT(*)               AS term_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY 1
+),
+top AS (SELECT * FROM v ORDER BY term_freq DESC, token LIMIT 100)
+SELECT row_number() OVER (ORDER BY term_freq DESC, token)::INT AS rank,
+       token, term_freq, doc_freq,
+       doc_freq::DOUBLE / (SELECT COUNT(*) FROM documents)::DOUBLE AS df_ratio
+FROM top
+ORDER BY rank
+"""
+
+
+# --- q45: sequence packing (concatenate-then-chop into token chunks) --------
+# Running-sum window inside each corpus shard (source) — one shuffle on
+# the shard key, never a global window. A doc starting at running
+# offset o lands in chunk o div 512, offset o % 512.
+
+_BUDGET = 512
+
+
+def q45_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.sequence_packing(docs, budget=_BUDGET).orderBy("doc_id")
+
+
+Q45_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT AS chunk_offset
+    FROM t
+)
+SELECT doc_id, source, n_tokens, chunk_offset,
+       chunk_offset // {_BUDGET}          AS chunk_in_shard,
+       (chunk_offset % {_BUDGET})::BIGINT AS offset_in_chunk
+FROM packed
+ORDER BY doc_id
+"""
+
+
+# --- q46: train/test contamination (benchmark-leakage scan) -----------------
+# For every test-split doc: fraction of its distinct 3-gram shingles
+# that occur in ANY train-split doc. Shingle-level semi-join (shuffle
+# on the shingle); all test docs present (zero-shingle docs -> 0.0).
+
+def q46_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus.contamination_check(docs, n=3, threshold=0.5)
+
+
+Q46_ORACLE = f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+                WHEN {_SPLIT_B} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+docs AS (
+    SELECT doc_id, split, string_split_regex(trim(text), ' +') AS toks
+    FROM split
+),
+sh AS (
+    SELECT doc_id, split,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+train_set AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+test_sh AS (SELECT doc_id, shingle FROM sh WHERE split = 'test'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY 1),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_contaminated
+    FROM test_sh SEMI JOIN train_set USING (shingle)
+    GROUP BY 1
+)
+SELECT b.doc_id,
+       COALESCE(s.n_shingles, 0)::BIGINT     AS n_shingles,
+       COALESCE(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       CASE WHEN COALESCE(s.n_shingles, 0) > 0
+            THEN COALESCE(h.n_contaminated, 0)::DOUBLE
+                   / s.n_shingles::DOUBLE
+            ELSE 0.0 END AS contamination_ratio,
+       (CASE WHEN COALESCE(s.n_shingles, 0) > 0
+             THEN COALESCE(h.n_contaminated, 0)::DOUBLE
+                    / s.n_shingles::DOUBLE
+             ELSE 0.0 END) >= 0.5 AS is_contaminated
+FROM (SELECT doc_id FROM split WHERE split = 'test') b
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q43_train_test_split": q43_train_test_split,
+    "q44_vocab_topk": q44_vocab_topk,
+    "q45_sequence_packing": q45_sequence_packing,
+    "q46_contamination": q46_contamination,
+}
+
+ORACLES = {
+    "q43_train_test_split": Q43_ORACLE,
+    "q44_vocab_topk": Q44_ORACLE,
+    "q45_sequence_packing": Q45_ORACLE,
+    "q46_contamination": Q46_ORACLE,
+}

@@ -180,3 +180,83 @@ class TestFrameSampling:
         assert frames.count() >= n_videos  # >=1 sample per video asset
         r = frames.first()
         assert r["frame_idx"] >= 0 and len(r["frame_probe"]) <= 8
+
+
+class TestSamplingPacking:
+    def test_split_is_zero_shuffle(self, docs):
+        from etl_data_warehouse_spark.operators import sampling
+
+        plan = (
+            sampling.train_test_split(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # pure scan + project
+
+    def test_split_stable_under_corpus_growth(self, docs):
+        # hash assignment depends only on (salt, doc_id): computing the
+        # split over a subset must equal the full-corpus assignment
+        # restricted to that subset (random splits break this).
+        from etl_data_warehouse_spark.operators import sampling
+
+        full = {
+            r["doc_id"]: r["split"]
+            for r in sampling.train_test_split(docs).collect()
+        }
+        sub = {
+            r["doc_id"]: r["split"]
+            for r in sampling.train_test_split(
+                docs.filter(F.col("doc_id") % 7 == 0)
+            ).collect()
+        }
+        assert sub == {k: v for k, v in full.items() if k % 7 == 0}
+        assert set(full.values()) == {"train", "val", "test"}
+
+    def test_packing_invariants(self, docs):
+        from etl_data_warehouse_spark.operators import sampling
+
+        rows = sampling.sequence_packing(docs, budget=512).collect()
+        per_shard = {}
+        for r in rows:
+            assert 0 <= r["offset_in_chunk"] < 512
+            assert r["chunk_offset"] == r["chunk_in_shard"] * 512 + r["offset_in_chunk"]
+            per_shard.setdefault(r["source"], []).append(r)
+        for shard_rows in per_shard.values():
+            shard_rows.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in shard_rows:  # running offset is exactly the prefix sum
+                assert r["chunk_offset"] == cum
+                cum += r["n_tokens"]
+
+    def test_contamination_detects_planted_copy(self, spark):
+        import hashlib
+
+        from etl_data_warehouse_spark.operators import corpus
+
+        def bucket(doc_id):
+            return int(
+                hashlib.md5(f"split{doc_id}".encode()).hexdigest()[:8], 16
+            ) % 100
+
+        train_id = next(i for i in range(1000) if bucket(i) < 80)
+        test_id = next(i for i in range(1000) if bucket(i) >= 90)
+        clean_id = next(
+            i for i in range(test_id + 1, 2000) if bucket(i) >= 90
+        )
+        leaked = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (train_id, leaked, "en", "s0", len(leaked)),
+            (test_id, leaked, "en", "s0", len(leaked)),  # exact copy -> 1.0
+            (clean_id, "one two three four five six seven eight", "en", "s0", 40),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {
+            r["doc_id"]: r for r in corpus.contamination_check(docs).collect()
+        }
+        assert set(out) == {test_id, clean_id}
+        assert out[test_id]["contamination_ratio"] == 1.0
+        assert out[test_id]["is_contaminated"]
+        assert out[clean_id]["contamination_ratio"] == 0.0
