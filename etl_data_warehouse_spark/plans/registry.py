@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, llm_ops, sampling_plans, warehouse
+from . import analytics, layout_plans, llm_ops, sampling_plans, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -38,6 +38,8 @@ QUERIES.update(llm_ops.QUERIES)
 ORACLES.update(llm_ops.ORACLES)
 QUERIES.update(sampling_plans.QUERIES)
 ORACLES.update(sampling_plans.ORACLES)
+QUERIES.update(layout_plans.QUERIES)
+ORACLES.update(layout_plans.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
