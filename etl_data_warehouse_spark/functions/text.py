@@ -68,6 +68,36 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# PII patterns shared by the Spark path and the DuckDB oracle twin.
+# Both engines' regex dialects (Java util.regex / RE2) agree on this
+# subset: character classes, bounded repeats, \d, word boundaries.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied IN ORDER (SSN before the
+    # generic phone shape so 123-45-6789 is not half-eaten as a phone).
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0))
+    ).cast("long")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Sequentially replace every PII match with its placeholder.
+
+    Spark ``regexp_replace`` is replace-all by default; the DuckDB twin
+    must pass the ``'g'`` flag for identical semantics.
+    """
+    out = _c(col)
+    for _name, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 def rolling_hash(col_name: str, max_chars: int = 256) -> Column:
     """Polynomial rolling document fingerprint over the first max_chars
     characters: fold acc = (acc*31 + ascii(ch)) % (1e9+7). Portable —

@@ -48,6 +48,48 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     ).orderBy("rank")
 
 
+def tf_idf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf (idf = ln(N / doc_freq)).
+
+    The score is rounded to 6dp IN BOTH ENGINES before ranking: Java's
+    Math.log and DuckDB's ln may differ in the last ulp, and
+    mathematically-tied scores (e.g. 2·ln4 vs 4·ln2) must compare equal
+    so the (score DESC, token) tiebreak resolves identically
+    (determinism playbook: round engine-divergent doubles both sides,
+    never engine-identical ones).
+
+    Scale: explode + (doc, token) agg; the doc-frequency table is
+    vocabulary-sized — broadcast onto the tf rows; then one per-doc
+    window. No global sorts.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(para, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").alias("term_freq")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tf_idf",
+        F.round(
+            F.col("term_freq").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "term_freq", "doc_freq", "tf_idf")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     n: int = 3,

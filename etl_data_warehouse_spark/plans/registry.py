@@ -12,7 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, layout_plans, llm_ops, sampling_plans, warehouse
+from . import (
+    analytics,
+    layout_plans,
+    llm_ops,
+    sampling_plans,
+    text_quality,
+    warehouse,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -40,6 +47,8 @@ QUERIES.update(sampling_plans.QUERIES)
 ORACLES.update(sampling_plans.ORACLES)
 QUERIES.update(layout_plans.QUERIES)
 ORACLES.update(layout_plans.ORACLES)
+QUERIES.update(text_quality.QUERIES)
+ORACLES.update(text_quality.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
