@@ -1,0 +1,221 @@
+"""Corpus composition queries (q51-q52): source-mixture weights and the
+end-to-end cleaning funnel.
+
+q51 computes per-source sampling weights to hit a target token budget
+with a uniform source mix — the "data mixing" step of a pretraining
+recipe (keep fractions as exact-integer-derived doubles; the per-doc
+keep decision threshold is an integer in [0, 10000] so the decision is
+an integer compare, never a float one).
+
+q52 is the flagship one-pass cleaning funnel: ingest → language filter
+→ quality filter → exact dedup (canonical = min doc_id per
+fingerprint) → train split, reporting surviving docs + tokens per
+stage. All predicates are computed as cumulative booleans in a SINGLE
+scan (plus one fingerprint window) — at 100 TB this is one shuffle on
+the fingerprint, not five passes over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    punct_count,
+    stopword_hits,
+    token_count,
+)
+from ..operators.sampling import bucket_sql, hash_bucket
+from ..sources.catalog import load_table
+
+_BUDGET_TOKENS = 100_000
+_DECISION_SCALE = 10_000
+
+
+def q51_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    totals = stats.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    out = stats.crossJoin(F.broadcast(totals))
+    target = F.lit(float(_BUDGET_TOKENS)) / F.col("n_sources").cast("double")
+    keep_fraction = F.least(
+        F.lit(1.0), target / F.col("n_tokens").cast("double")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("share_of_corpus"),
+        target.alias("target_tokens"),
+        keep_fraction.alias("keep_fraction"),
+        F.floor(keep_fraction * _DECISION_SCALE)
+        .cast("long")
+        .alias("keep_threshold"),
+        F.floor(F.col("n_tokens").cast("double") * keep_fraction)
+        .cast("long")
+        .alias("expected_tokens"),
+    ).orderBy("source")
+
+
+Q51_ORACLE = f"""
+WITH stats AS (
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len(string_split_regex(trim(text), ' +')))::BIGINT AS n_tokens
+    FROM documents GROUP BY 1
+),
+totals AS (
+    SELECT COUNT(*)::BIGINT AS n_sources, SUM(n_tokens)::BIGINT AS total_tokens
+    FROM stats
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens::DOUBLE / total_tokens::DOUBLE AS share_of_corpus,
+       {float(_BUDGET_TOKENS)} / n_sources::DOUBLE AS target_tokens,
+       least(1.0, ({float(_BUDGET_TOKENS)} / n_sources::DOUBLE)
+                    / n_tokens::DOUBLE) AS keep_fraction,
+       floor(least(1.0, ({float(_BUDGET_TOKENS)} / n_sources::DOUBLE)
+                          / n_tokens::DOUBLE) * {_DECISION_SCALE})::BIGINT
+           AS keep_threshold,
+       floor(n_tokens::DOUBLE
+             * least(1.0, ({float(_BUDGET_TOKENS)} / n_sources::DOUBLE)
+                            / n_tokens::DOUBLE))::BIGINT AS expected_tokens
+FROM stats, totals
+ORDER BY source
+"""
+
+
+_STAGES = ["ingest", "lang_en", "quality", "dedup", "train_split"]
+
+
+def q52_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tc = token_count("text")
+    stop_ratio = stopword_hits("text").cast("double") / tc.cast("double")
+    punct_ratio = punct_count("text").cast("double") / F.length("text").cast(
+        "double"
+    )
+    quality = (
+        stop_ratio * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.when(tc.between(20, 500), 0.2).otherwise(0.0)
+    )
+    flagged = docs.select(
+        "doc_id",
+        tc.alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        (F.col("lang") == "en").alias("pass_lang"),
+        ((F.col("lang") == "en") & (quality >= 0.35)).alias("pass_quality"),
+        (hash_bucket("doc_id", "split") < 80).alias("in_train"),
+    )
+    # canonical = min doc_id among quality survivors of each fingerprint
+    w = Window.partitionBy("fingerprint")
+    flagged = flagged.withColumn(
+        "canonical_id",
+        F.min(F.when(F.col("pass_quality"), F.col("doc_id"))).over(w),
+    ).withColumn(
+        "pass_dedup",
+        F.col("pass_quality") & (F.col("doc_id") == F.col("canonical_id")),
+    )
+    flagged = flagged.withColumn(
+        "pass_split", F.col("pass_dedup") & F.col("in_train")
+    )
+    gates = ["pass_lang", "pass_quality", "pass_dedup", "pass_split"]
+    agg = flagged.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        *[
+            F.count(F.when(F.col(g), 1)).alias(f"d{i + 1}")
+            for i, g in enumerate(gates)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(g), F.col("n_tokens"))), F.lit(0)
+            ).alias(f"t{i + 1}")
+            for i, g in enumerate(gates)
+        ],
+    )
+    stack = ", ".join(
+        f"{i}, '{name}', d{i}, t{i}" for i, name in enumerate(_STAGES)
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(_STAGES)}, {stack}) AS "
+            "(stage, stage_name, n_docs, n_tokens)"
+        )
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            "stage_name",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+_SPLIT_B = bucket_sql("doc_id::VARCHAR", "split")
+_STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+Q52_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens,
+           md5(lower(trim(text))) AS fingerprint,
+           lang = 'en' AS pass_lang,
+           lang = 'en' AND (
+             (len(list_filter(string_split_regex(trim(text), ' +'),
+                  x -> lower(x) IN ({_STOP_SQL})))::DOUBLE
+               / len(string_split_regex(trim(text), ' +'))::DOUBLE) * 0.5
+             + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE
+                        / length(text)::DOUBLE) * 0.3
+             + (CASE WHEN len(string_split_regex(trim(text), ' +'))
+                          BETWEEN 20 AND 500 THEN 0.2 ELSE 0.0 END)
+           ) >= 0.35 AS pass_quality,
+           {_SPLIT_B} < 80 AS in_train
+    FROM documents
+),
+d AS (
+    SELECT *,
+           pass_quality AND doc_id = MIN(CASE WHEN pass_quality THEN doc_id END)
+               OVER (PARTITION BY fingerprint) AS pass_dedup
+    FROM t
+),
+f AS (SELECT *, pass_dedup AND in_train AS pass_split FROM d),
+agg AS (
+    SELECT COUNT(*)::BIGINT AS d0, SUM(n_tokens)::BIGINT AS t0,
+           COUNT(CASE WHEN pass_lang THEN 1 END)::BIGINT AS d1,
+           COALESCE(SUM(CASE WHEN pass_lang THEN n_tokens END), 0)::BIGINT AS t1,
+           COUNT(CASE WHEN pass_quality THEN 1 END)::BIGINT AS d2,
+           COALESCE(SUM(CASE WHEN pass_quality THEN n_tokens END), 0)::BIGINT AS t2,
+           COUNT(CASE WHEN pass_dedup THEN 1 END)::BIGINT AS d3,
+           COALESCE(SUM(CASE WHEN pass_dedup THEN n_tokens END), 0)::BIGINT AS t3,
+           COUNT(CASE WHEN pass_split THEN 1 END)::BIGINT AS d4,
+           COALESCE(SUM(CASE WHEN pass_split THEN n_tokens END), 0)::BIGINT AS t4
+    FROM f
+)
+SELECT 0::INT AS stage, 'ingest' AS stage_name, d0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT 1::INT, 'lang_en', d1, t1 FROM agg
+UNION ALL SELECT 2::INT, 'quality', d2, t2 FROM agg
+UNION ALL SELECT 3::INT, 'dedup', d3, t3 FROM agg
+UNION ALL SELECT 4::INT, 'train_split', d4, t4 FROM agg
+ORDER BY stage
+"""
+
+QUERIES = {
+    "q51_source_mixture": q51_source_mixture,
+    "q52_corpus_funnel": q52_corpus_funnel,
+}
+
+ORACLES = {
+    "q51_source_mixture": Q51_ORACLE,
+    "q52_corpus_funnel": Q52_ORACLE,
+}

@@ -16,6 +16,7 @@ from . import (
     analytics,
     layout_plans,
     llm_ops,
+    mixture,
     sampling_plans,
     text_quality,
     warehouse,
@@ -49,6 +50,8 @@ QUERIES.update(layout_plans.QUERIES)
 ORACLES.update(layout_plans.ORACLES)
 QUERIES.update(text_quality.QUERIES)
 ORACLES.update(text_quality.ORACLES)
+QUERIES.update(mixture.QUERIES)
+ORACLES.update(mixture.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
