@@ -17,6 +17,7 @@ from . import (
     layout_plans,
     llm_ops,
     mixture,
+    olap_ext,
     sampling_plans,
     text_quality,
     warehouse,
@@ -52,6 +53,8 @@ QUERIES.update(text_quality.QUERIES)
 ORACLES.update(text_quality.ORACLES)
 QUERIES.update(mixture.QUERIES)
 ORACLES.update(mixture.ORACLES)
+QUERIES.update(olap_ext.QUERIES)
+ORACLES.update(olap_ext.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
