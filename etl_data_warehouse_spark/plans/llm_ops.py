@@ -589,6 +589,46 @@ ORDER BY asset_id
 """
 
 
+# --- q55: per-vector embedding statistics ------------------------------------
+# Pure sequential folds (the q26-proven aggregate ≡ list_reduce idiom):
+# every stat is per-row array math — zero shuffles, bit-identical.
+
+def q55_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.col("embedding")
+    # cast BEFORE multiplying: float*float would round to float first,
+    # while the oracle multiplies in double (v::DOUBLE * v::DOUBLE).
+    ssum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    ssq = F.aggregate(
+        e,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).cast("int").alias("dim"),
+        F.sqrt(ssq).alias("l2_norm"),
+        (ssum / F.size(e).cast("double")).alias("mean_val"),
+        F.array_min(e).cast("double").alias("min_val"),
+        F.array_max(e).cast("double").alias("max_val"),
+    ).orderBy("vec_id")
+
+
+Q55_ORACLE = """
+SELECT vec_id, label,
+       len(embedding)::INT AS dim,
+       sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE),
+                        (x, y) -> x + y)) AS l2_norm,
+       list_reduce(list_transform(embedding, v -> v::DOUBLE), (x, y) -> x + y)
+         / len(embedding)::DOUBLE AS mean_val,
+       list_min(embedding)::DOUBLE AS min_val,
+       list_max(embedding)::DOUBLE AS max_val
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -605,6 +645,7 @@ QUERIES = {
     "q32_event_props_extract": q32_event_props_extract,
     "q33_multimodal_features": q33_multimodal_features,
     "q41_hyperplane_lsh_neardup": q41_hyperplane_lsh_neardup,
+    "q55_embedding_stats": q55_embedding_stats,
 }
 
 ORACLES = {
@@ -623,6 +664,7 @@ ORACLES = {
     "q32_event_props_extract": Q32_ORACLE,
     "q33_multimodal_features": Q33_ORACLE,
     "q41_hyperplane_lsh_neardup": Q41_ORACLE,
+    "q55_embedding_stats": Q55_ORACLE,
 }
 
 

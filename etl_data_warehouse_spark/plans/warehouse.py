@@ -866,3 +866,48 @@ ORDER BY order_key, line_number
 
 QUERIES["q42_fact_lineitem"] = q42_fact_lineitem
 ORACLES["q42_fact_lineitem"] = Q42_ORACLE
+
+
+# --- q56: skew-salted fact join, oracle-proven result-identical --------------
+# The salted physical strategy (operators/skew.py: salt the probe side,
+# explode the build side salt-fold) must be a pure PLAN change: q56
+# routes lineitem ⋈ orders through salted_join and hash-checks the
+# aggregate against the plain-SQL join — the hash gate itself proves
+# salting never alters results. At 100 TB this is the fallback when one
+# hot orderkey overwhelms a shuffle partition and AQE's skew split
+# isn't available (e.g. a bucketed-table SMJ).
+
+
+def q56_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(
+        spark, "lineitem", sf_dir, columns=["l_orderkey", "l_extendedprice"]
+    )
+    ords = load_table(
+        spark, "orders", sf_dir, columns=["o_orderkey", "o_orderpriority"]
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        salted_join(li, ords, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("gross_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q56_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS gross_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["q56_salted_revenue"] = q56_salted_revenue
+ORACLES["q56_salted_revenue"] = Q56_ORACLE
