@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q42_fact_lineitem",
     "q44_vocab_topk",
     "q46_contamination",
+    "q47_zorder_layout",
+    "q52_corpus_funnel",
+    "q53_order_value_quantiles",
 ]
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy

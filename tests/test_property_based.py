@@ -124,3 +124,137 @@ def test_dedup_first_is_deterministic_min(spark_global, rows):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+_longs = st.lists(
+    st.integers(min_value=0, max_value=10**12), min_size=1, max_size=12,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ids=_longs)
+def test_hash_split_is_a_stable_partition(spark_global, ids):
+    """Every id gets exactly one split consistent with its bucket, and
+    the assignment restricted to any subset equals the subset's own
+    assignment (hash splits are corpus-growth-stable)."""
+    from etl_data_warehouse_spark.operators.sampling import train_test_split
+
+    df = spark_global.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = train_test_split(df).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert 0 <= r["split_bucket"] < 100
+        expected = (
+            "train"
+            if r["split_bucket"] < 80
+            else "val" if r["split_bucket"] < 90 else "test"
+        )
+        assert r["split"] == expected
+    sub_ids = ids[:: 2]
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(
+            spark_global.createDataFrame([(i,) for i in sub_ids], "doc_id long")
+        ).collect()
+    }
+    full = {r["doc_id"]: r["split"] for r in rows}
+    assert sub == {i: full[i] for i in sub_ids}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),                  # doc_id
+            st.integers(1, 40),                     # n words
+            st.sampled_from(["s0", "s1", "s2"]),    # shard
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_sequence_packing_prefix_sum(spark_global, docs):
+    """chunk_offset is exactly the prefix sum of token counts within
+    each shard in doc_id order; chunk/offset decomposition is exact."""
+    from etl_data_warehouse_spark.operators.sampling import sequence_packing
+
+    rows = [(i, " ".join(["w"] * n), s) for i, n, s in docs]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sequence_packing(df, budget=7).collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["source"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["chunk_offset"] == cum
+            assert r["chunk_in_shard"] == cum // 7
+            assert r["offset_in_chunk"] == cum % 7
+            cum += r["n_tokens"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+def test_zvalue_bijective_and_bounded(spark_global, pts):
+    from etl_data_warehouse_spark.sources.layout import zvalue
+
+    df = spark_global.createDataFrame(pts, "x long, y long")
+    rows = df.withColumn("z", zvalue(["x", "y"], bits=8)).collect()
+    zs = {r["z"] for r in rows}
+    assert len(zs) == len(pts)  # injective on the grid
+    for r in rows:
+        assert 0 <= r["z"] < (1 << 16)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.text(alphabet="ab1@.- ", max_size=20),
+            st.sampled_from(
+                ["", " a@b.io ", " 123-45-6789 ", " 555-867-5309 "]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pii_redaction_is_idempotent(spark_global, texts):
+    """redact(redact(x)) == redact(x): placeholders never re-match."""
+    from etl_data_warehouse_spark.functions.text import redact_pii
+
+    rows = [(a + b,) for a, b in texts]
+    df = spark_global.createDataFrame(rows, "text string")
+    once = redact_pii("text").alias("r1")
+    out = df.select(
+        once,
+        redact_pii(redact_pii("text")).alias("r2"),
+    ).collect()
+    for r in out:
+        assert r["r1"] == r["r2"]
