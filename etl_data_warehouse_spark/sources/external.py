@@ -20,6 +20,7 @@ Spark twins:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -74,3 +75,44 @@ def read_json_documents(
     if predicate is not None:
         df = df.filter(predicate)
     return df
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    quarantine_malformed: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """CSV ingestion with malformed-row quarantine (the reference's
+    pandas ``read_csv`` + dropna cleaning, done scale-safe).
+
+    Explicit schema (never inferSchema at scale — it double-reads).
+    PERMISSIVE mode captures unparseable lines in ``_corrupt_record``;
+    returns (clean_rows, quarantined_rows) so bad lines are auditable
+    instead of silently dropped. Pass ``quarantine_malformed=False``
+    for a plain single-frame read.
+    """
+    full_schema = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema if quarantine_malformed else schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    if not quarantine_malformed:
+        return df, None
+    # caching avoids the double-scan Spark needs to resolve the
+    # corrupt-record column across the split
+    df = df.cache()
+    keep = [f.name for f in schema.fields]
+    clean = df.filter(F.col("_corrupt_record").isNull()).select(*keep)
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, bad

@@ -58,3 +58,49 @@ class TestIncrementalContract:
             predicate=F.col("o_orderdate") > F.lit(max_d),
         )
         assert df.count() == 0  # > excludes the watermark row itself
+
+
+class TestCsvIngestion:
+    def test_clean_and_quarantined_split(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from etl_data_warehouse_spark.sources.external import read_csv_table
+
+        p = tmp_path / "in.csv"
+        p.write_text(
+            "id,name,amount\n"
+            "1,alpha,10.5\n"
+            "2,beta,not_a_number\n"
+            "3,gamma,7.25\n"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("amount", T.DoubleType()),
+            ]
+        )
+        clean, bad = read_csv_table(spark, str(p), schema)
+        rows = {r["id"]: r for r in clean.collect()}
+        assert set(rows) == {1, 3}
+        assert rows[1]["amount"] == 10.5
+        assert bad.count() == 1
+        assert "not_a_number" in bad.first()["_corrupt_record"]
+
+    def test_plain_read_without_quarantine(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from etl_data_warehouse_spark.sources.external import read_csv_table
+
+        p = tmp_path / "ok.csv"
+        p.write_text("id,name,amount\n1,a,1.0\n2,b,2.0\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("amount", T.DoubleType()),
+            ]
+        )
+        df, bad = read_csv_table(spark, str(p), schema, quarantine_malformed=False)
+        assert bad is None
+        assert df.count() == 2
