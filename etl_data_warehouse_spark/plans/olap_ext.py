@@ -73,5 +73,106 @@ ORDER BY order_month
 """
 
 
-QUERIES = {"q53_order_value_quantiles": q53_order_value_quantiles}
-ORACLES = {"q53_order_value_quantiles": Q53_ORACLE}
+_STATUSES = ["F", "O", "P"]
+
+
+def q57_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue/order-count PIVOTED by order status.
+
+    The pivot value list is PINNED (never inferred with a distinct
+    collect — that's a full extra pass at 100 TB and nondeterministic
+    column order); empty cells coalesce to 0 so the wide frame is
+    null-free. Money via exact decimal sums.
+    """
+    orders = load_table(
+        spark, "orders", sf_dir,
+        columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+    wide = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .groupBy("order_month")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return wide.select(
+        "order_month",
+        *[
+            F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"rev_{s.lower()}")
+            for s in _STATUSES
+        ],
+        *[
+            F.coalesce(F.col(f"{s}_cnt"), F.lit(0).cast("long")).alias(
+                f"cnt_{s.lower()}"
+            )
+            for s in _STATUSES
+        ],
+    ).orderBy("order_month")
+
+
+Q57_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       {", ".join(
+           "COALESCE(CAST(SUM(CASE WHEN o_orderstatus = '" + s
+           + "' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)"
+           + " AS rev_" + s.lower()
+           for s in _STATUSES
+       )},
+       {", ".join(
+           "COUNT(CASE WHEN o_orderstatus = '" + s + "' THEN 1 END)::BIGINT"
+           + " AS cnt_" + s.lower()
+           for s in _STATUSES
+       )}
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q58_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) the wide status frame back to long form —
+    (order_month, status, revenue) — the wide↔long round-trip every
+    reporting layer needs. Null-free input ⇒ identical row counts in
+    both engines regardless of INCLUDE-NULLS dialect defaults."""
+    wide = q57_status_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["order_month"],
+        values=[f"rev_{s.lower()}" for s in _STATUSES],
+        variableColumnName="status_col",
+        valueColumnName="revenue",
+    )
+    return long.select(
+        "order_month",
+        F.upper(F.substring("status_col", 5, 1)).alias("status"),
+        "revenue",
+    ).orderBy("order_month", "status")
+
+
+Q58_ORACLE = f"""
+WITH wide AS ({Q57_ORACLE.replace("ORDER BY 1", "")})
+{" UNION ALL ".join(
+    "SELECT order_month, '" + s + "' AS status, rev_" + s.lower()
+    + " AS revenue FROM wide"
+    for s in _STATUSES
+)}
+ORDER BY order_month, status
+"""
+
+QUERIES = {
+    "q53_order_value_quantiles": q53_order_value_quantiles,
+    "q57_status_pivot": q57_status_pivot,
+    "q58_status_unpivot": q58_status_unpivot,
+}
+ORACLES = {
+    "q53_order_value_quantiles": Q53_ORACLE,
+    "q57_status_pivot": Q57_ORACLE,
+    "q58_status_unpivot": Q58_ORACLE,
+}

@@ -29,3 +29,40 @@ class TestQuantiles:
             if r["o_orderdate"].strftime("%Y-%m") == month
         )
         assert one_month["p50"] == vals[math.ceil(0.5 * len(vals)) - 1]
+
+
+class TestPivotUnpivot:
+    def test_pivot_is_null_free_and_partitions_totals(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_data_warehouse_spark.plans.olap_ext import q57_status_pivot
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        wide = q57_status_pivot(spark, sf_dir)
+        rows = wide.collect()
+        assert rows
+        for r in rows:
+            for c in wide.columns:
+                assert r[c] is not None
+        # per-month status counts must re-add to the plain count
+        plain = {
+            r["order_month"]: r["n"]
+            for r in load_table(spark, "orders", sf_dir)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for r in rows:
+            assert r["cnt_f"] + r["cnt_o"] + r["cnt_p"] == plain[r["order_month"]]
+
+    def test_unpivot_round_trips_pivot(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.olap_ext import (
+            q57_status_pivot,
+            q58_status_unpivot,
+        )
+
+        wide = {r["order_month"]: r for r in q57_status_pivot(spark, sf_dir).collect()}
+        long_rows = q58_status_unpivot(spark, sf_dir).collect()
+        assert len(long_rows) == 3 * len(wide)
+        for r in long_rows:
+            assert r["revenue"] == wide[r["order_month"]][f"rev_{r['status'].lower()}"]
