@@ -23,7 +23,7 @@ from ..functions.text import (
     stopword_hits,
     token_count,
 )
-from ..operators import dedup, multimodal, sessionize, similarity
+from ..operators import dedup, graph, multimodal, sessionize, similarity
 from ..sources.catalog import load_table
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
@@ -629,6 +629,46 @@ ORDER BY vec_id
 """
 
 
+# --- q59: dedup clusters (connected components over near-dup pairs) ---------
+
+def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs (exact-verified, so the
+    edge set equals the exact-Jaccard graph) → connected components →
+    per-doc cluster id / size / canonical flag. The oracle closes the
+    same pair graph with a recursive CTE."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return graph.dedup_clusters(docs, pairs)
+
+
+Q59_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lbl AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+assigned AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lbl l USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       (COUNT(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM assigned
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -646,6 +686,7 @@ QUERIES = {
     "q33_multimodal_features": q33_multimodal_features,
     "q41_hyperplane_lsh_neardup": q41_hyperplane_lsh_neardup,
     "q55_embedding_stats": q55_embedding_stats,
+    "q59_dedup_clusters": q59_dedup_clusters,
 }
 
 ORACLES = {
@@ -665,6 +706,7 @@ ORACLES = {
     "q33_multimodal_features": Q33_ORACLE,
     "q41_hyperplane_lsh_neardup": Q41_ORACLE,
     "q55_embedding_stats": Q55_ORACLE,
+    "q59_dedup_clusters": Q59_ORACLE,
 }
 
 

@@ -166,13 +166,143 @@ WITH wide AS ({Q57_ORACLE.replace("ORDER BY 1", "")})
 ORDER BY order_month, status
 """
 
+def q60_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — ((year, status), (year), (status)) —
+    the general form ROLLUP (q17) / CUBE (q18) specialize. Native
+    ``groupingSets`` API (one Expand node, single shuffle — NOT a
+    UNION ALL of three scans, which would read the fact 3×). grp_id
+    disambiguates the NULLs of the superaggregate rows from data NULLs.
+    """
+    orders = load_table(
+        spark, "orders", sf_dir, columns=["o_orderdate", "o_orderstatus", "o_totalprice"]
+    )
+    base = orders.select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets(
+            [["order_year", "status"], ["order_year"], ["status"]],
+            "order_year",
+            "status",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("order_count"),
+            F.grouping_id().cast("int").alias("grp_id"),
+        )
+        .orderBy("grp_id", "order_year", "status")
+    )
+
+
+Q60_ORACLE = """
+SELECT year(o_orderdate)::INT AS order_year,
+       o_orderstatus          AS status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*)               AS order_count,
+       (GROUPING(year(o_orderdate)::INT) * 2
+        + GROUPING(o_orderstatus))::INT AS grp_id
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)::INT, o_orderstatus),
+                        (year(o_orderdate)::INT),
+                        (o_orderstatus))
+ORDER BY grp_id, order_year, status
+"""
+
+
+def q61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window suite over the month partition:
+    PERCENT_RANK / CUME_DIST / FIRST_VALUE / LAST_VALUE / NTH_VALUE /
+    LEAD. Rank-derived ratios are exact in both engines ((rank-1)/(n-1)
+    — one division, no accumulation order); every window carries the
+    o_orderkey tiebreak (repo ranking rule). LAST_VALUE gets the full
+    frame — the default RANGE..CURRENT ROW frame is the classic
+    'last_value returns current row' trap this query pins down.
+
+    Scale: all six functions share ONE window spec → one shuffle on
+    order_month, one partition-local sort.
+    """
+    orders = load_table(
+        spark, "orders", sf_dir, columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("order_month").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = base.select(
+        "order_month",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_totalprice").over(wfull).alias("month_min"),
+        F.last("o_totalprice").over(wfull).alias("month_max"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("month_2nd"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+    # top-5 per month keeps the result driver-sized at any SF while
+    # still exercising every function (lead is NULL on the last row)
+    return (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("order_month").orderBy(
+                    F.desc("o_totalprice"), F.desc("o_orderkey")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("order_month", "o_totalprice", "o_orderkey")
+    )
+
+
+Q61_ORACLE = """
+WITH win AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderkey,
+           o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           first_value(o_totalprice) OVER wf AS month_min,
+           last_value(o_totalprice)  OVER wf AS month_max,
+           nth_value(o_totalprice, 2) OVER wf AS month_2nd,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           row_number() OVER (
+               PARTITION BY strftime(o_orderdate, '%Y-%m')
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+                 ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT order_month, o_orderkey, o_totalprice, pct_rank, cume,
+       month_min, month_max, month_2nd, next_price
+FROM win
+WHERE rn <= 5
+ORDER BY order_month, o_totalprice, o_orderkey
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
+    "q60_grouping_sets": q60_grouping_sets,
+    "q61_distribution_windows": q61_distribution_windows,
 }
 ORACLES = {
     "q53_order_value_quantiles": Q53_ORACLE,
     "q57_status_pivot": Q57_ORACLE,
     "q58_status_unpivot": Q58_ORACLE,
+    "q60_grouping_sets": Q60_ORACLE,
+    "q61_distribution_windows": Q61_ORACLE,
 }

@@ -66,3 +66,31 @@ class TestPivotUnpivot:
         assert len(long_rows) == 3 * len(wide)
         for r in long_rows:
             assert r["revenue"] == wide[r["order_month"]][f"rev_{r['status'].lower()}"]
+
+
+class TestOlapPlanShapes:
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_grouping_sets_is_one_expand_not_a_union(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.olap_ext import q60_grouping_sets
+
+        plan = self._plan(q60_grouping_sets(spark, sf_dir))
+        assert "Expand" in plan  # one scan fanned to the 3 grouping sets
+        assert "Union" not in plan  # NOT 3 rescans of the fact
+
+    def test_distribution_windows_share_one_shuffle(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.olap_ext import (
+            q61_distribution_windows,
+        )
+
+        df = q61_distribution_windows(spark, sf_dir)
+        df.collect()  # finalize AQE
+        plan = self._plan(df)
+        # AQE toString prints Final Plan then Initial Plan — grade the final
+        final = plan.split("== Initial Plan ==")[0]
+        # both window specs hash-partition on order_month; the top-5
+        # filter window reuses it -> exactly one exchange on the column
+        assert final.count("Exchange hashpartitioning(order_month") == 1
+        # the rank<=5 predicate was pushed into the sort (top-k, not full)
+        assert "WindowGroupLimit" in final
