@@ -114,3 +114,44 @@ def generate_reviews(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             + (F.col("_r6") * 365 * 86400).cast("long")
         ).alias("review_date"),
     )
+
+
+def generate_clustered_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 16,
+    n_clusters: int = 64,
+    noise: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic clustered vectors — the workload ANN indexes are
+    FOR (real embedding spaces are clustered; uniform noise is the
+    adversarial case where no ANN structure can help).
+
+    vec[j] = center(cluster, j) + noise * unit(id, j), all derived from
+    xxhash64 — pure Catalyst expressions, reproducible on any cluster
+    layout (unlike rand(), which depends on partitioning), distributed
+    via spark.range. Output: (vec_id, label, embedding array<float>).
+    """
+
+    def unit(*cols) -> F.Column:  # hash -> [-0.5, 0.5)
+        return (
+            F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(100000)).cast("double")
+            / 100000.0
+            - 0.5
+        )
+
+    cluster = F.pmod(F.col("id"), F.lit(n_clusters))
+    vec = F.array(
+        *[
+            (unit(F.lit("c"), cluster, F.lit(j)) * 4.0
+             + unit(F.lit("p"), F.col("id"), F.lit(j)) * F.lit(noise))
+            .cast("float")
+            for j in range(dim)
+        ]
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.concat(F.lit("cluster_"), cluster.cast("string")).alias("label"),
+        vec.alias("embedding"),
+    )

@@ -260,3 +260,38 @@ class TestSamplingPacking:
         assert out[test_id]["contamination_ratio"] == 1.0
         assert out[test_id]["is_contaminated"]
         assert out[clean_id]["contamination_ratio"] == 0.0
+
+
+class TestIvfRecallAtScale:
+    """IVF on CLUSTERED vectors — the workload ANN is for. Uniform-random
+    vectors (TestSimilarity above) are the no-structure adversarial case;
+    here a 64-cluster corpus at 8x the sf-test size must give near-exact
+    recall with an 8x candidate-set reduction (nprobe/n_cells = 8/64)."""
+
+    def test_recall_on_clustered_corpus(self, spark):
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_clustered_embeddings,
+        )
+
+        emb = generate_clustered_embeddings(
+            spark, 2000, dim=16, n_clusters=64
+        ).localCheckpoint()
+        bf = similarity.brute_force_topk(emb, emb, k=5).collect()
+        ivf = similarity.ivf_topk(emb, k=5, n_cells=64, nprobe=8).collect()
+        truth = {(r["src_id"], r["neighbor_id"]) for r in bf}
+        approx = {(r["src_id"], r["neighbor_id"]) for r in ivf}
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.95, f"ivf recall on clustered corpus {recall}"
+
+    def test_generator_is_layout_independent(self, spark):
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_clustered_embeddings,
+        )
+
+        a = generate_clustered_embeddings(spark, 200, dim=4).collect()
+        b = (
+            generate_clustered_embeddings(spark, 200, dim=4)
+            .repartition(7)
+            .collect()
+        )
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

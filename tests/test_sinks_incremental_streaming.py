@@ -303,3 +303,77 @@ class TestStreamingDedup:
         out = spark.read.parquet(out_dir)
         assert out.filter("order_id = 1").count() == 1
         assert out.filter("order_id = 3").count() == 1
+
+
+class TestStreamStaticEnrichment:
+    def _write_orders(self, spark, input_dir, rows):
+        spark.createDataFrame(
+            rows,
+            "order_id long, customer_id long, order_ts timestamp, amount double",
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def test_enriched_rollup_equals_batch_twin_and_sees_dim_refresh(
+        self, spark, tmp_path, sf_dir
+    ):
+        import datetime
+
+        from etl_data_warehouse_spark.sources.catalog import load_table
+        from etl_data_warehouse_spark.streaming.enriched_stream import (
+            enrich_orders,
+            segment_revenue_aggregate,
+            start_enriched_stream,
+        )
+
+        ts = datetime.datetime
+        input_dir = str(tmp_path / "in")
+        out_path = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(input_dir)
+        customers = load_table(spark, "customer", sf_dir)
+        known = [r["c_custkey"] for r in customers.limit(3).collect()]
+        rows = [
+            (1, known[0], ts(2024, 2, 1, 10), 10.0),
+            (2, known[1], ts(2024, 2, 1, 11), 20.0),
+            (3, known[2], ts(2024, 2, 2, 9), 5.0),
+            (4, 10**12, ts(2024, 2, 2, 10), 7.0),  # orphan
+        ]
+        self._write_orders(spark, input_dir, rows)
+        q = start_enriched_stream(spark, input_dir, customers, out_path, ckpt)
+        q.awaitTermination(120)
+        got = sorted(
+            (str(r["sales_date"]), r["segment"], r["revenue"], r["order_count"])
+            for r in spark.read.parquet(out_path).collect()
+        )
+        # batch twin over the same rows
+        batch = spark.createDataFrame(
+            rows,
+            "order_id long, customer_id long, order_ts timestamp, amount double",
+        )
+        want = sorted(
+            (str(r["sales_date"]), r["segment"], r["revenue"], r["order_count"])
+            for r in segment_revenue_aggregate(
+                enrich_orders(batch, customers)
+            ).collect()
+        )
+        assert got == want
+        assert any(seg == "UNKNOWN" for _, seg, _, _ in got)  # orphan kept
+
+        # dim refresh between triggers: the formerly-orphan key appears
+        # in the static side; the next microbatch resolves it without a
+        # new query plan
+        fixed = customers.limit(1).select(
+            F.lit(10**12).alias("c_custkey"),
+            *[F.col(c) for c in customers.columns if c != "c_custkey"],
+        )
+        refreshed = customers.union(fixed.select(customers.columns))
+        self._write_orders(
+            spark, input_dir, [(5, 10**12, ts(2024, 2, 3, 8), 9.0)]
+        )
+        q2 = start_enriched_stream(spark, input_dir, refreshed, out_path, ckpt)
+        q2.awaitTermination(120)
+        day3 = [
+            r
+            for r in spark.read.parquet(out_path).collect()
+            if str(r["sales_date"]) == "2024-02-03"
+        ]
+        assert len(day3) == 1 and day3[0]["segment"] != "UNKNOWN"
