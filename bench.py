@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "q47_zorder_layout",
     "q52_corpus_funnel",
     "q53_order_value_quantiles",
+    "q62_tpch_q1_pricing_summary",
+    "q63_tpch_q3_shipping_priority",
+    "q64_tpch_q5_local_supplier_volume",
+    "q65_tpch_q6_forecast_revenue",
+    "q66_tpch_q10_returned_items",
 ]
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy

@@ -20,6 +20,7 @@ from . import (
     olap_ext,
     sampling_plans,
     text_quality,
+    tpch,
     warehouse,
 )
 
@@ -55,6 +56,8 @@ QUERIES.update(mixture.QUERIES)
 ORACLES.update(mixture.ORACLES)
 QUERIES.update(olap_ext.QUERIES)
 ORACLES.update(olap_ext.ORACLES)
+QUERIES.update(tpch.QUERIES)
+ORACLES.update(tpch.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:

@@ -293,3 +293,149 @@ def scd2_upsert(
     )
     _atomic_swap_write(merged, path)
     return {"inserted": n_new, "changed": n_changed, "unchanged": n_unchanged}
+
+
+def scd2_upsert_partitioned(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    business_key: str,
+    tracked_cols: list[str],
+    effective_date: str,
+) -> dict:
+    """Date-partitioned Type-2 SCD merge — same semantics as
+    ``scd2_upsert`` but the history table is partitioned on
+    ``scd_part`` ('current' | 'closed_YYYY-MM' of valid_to), so one
+    run rewrites ONLY the current partition plus the single month
+    partition receiving newly closed rows. Months closed in earlier
+    runs are never touched again.
+
+    This is the 100 TB variant: ``scd2_upsert`` re-unions the FULL
+    history every run (cost grows with table age); here run cost is
+    ∝ |current dim| + |this month's closures|, constant over time,
+    and the as-of read path (``scd2_snapshot``) partition-prunes to
+    'current' + months after the snapshot date.
+    """
+    incoming = incoming.dropDuplicates([business_key])
+    part_of_eff = "closed_" + effective_date[:7]
+    change_hash = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in tracked_cols]
+        )
+    )
+    stamped = (
+        incoming.withColumn("valid_from", F.lit(effective_date).cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("version", F.lit(1).cast("int"))
+        .withColumn("scd_part", F.lit("current"))
+    )
+    if not os.path.exists(path):
+        n = stamped.count()
+        stamped.write.partitionBy("scd_part").mode("overwrite").parquet(path)
+        return {"inserted": n, "changed": 0, "unchanged": 0}
+
+    table = spark.read.parquet(path)
+    # partition-pruned: only the 'current' directory is scanned
+    current = table.filter(F.col("scd_part") == "current").drop("scd_part")
+
+    inc = incoming.withColumn("__new_hash", change_hash)
+    cur = current.withColumn("__cur_hash", change_hash)
+    joined = inc.alias("i").join(
+        F.broadcast(
+            cur.select(
+                F.col(business_key).alias("__bk"),
+                "__cur_hash",
+                F.col("version").alias("__cur_version"),
+            )
+        ),
+        F.col(f"i.{business_key}") == F.col("__bk"),
+        "left",
+    )
+    brand_new = joined.filter(F.col("__bk").isNull())
+    changed = joined.filter(
+        F.col("__bk").isNotNull() & (F.col("__new_hash") != F.col("__cur_hash"))
+    )
+    n_new = brand_new.count()
+    n_changed = changed.count()
+    n_unchanged = inc.count() - n_new - n_changed
+
+    changed_keys = changed.select(F.col("__bk").alias(business_key))
+    closed = (
+        current.join(changed_keys, business_key, "left_semi")
+        .withColumn("valid_to", F.lit(effective_date).cast("date"))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched_current = current.join(changed_keys, business_key, "left_anti")
+
+    inc_cols = incoming.columns
+    new_versions = changed.select(
+        *[F.col(f"i.{c}").alias(c) for c in inc_cols],
+        F.lit(effective_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        (F.col("__cur_version") + 1).cast("int").alias("version"),
+    )
+    first_versions = brand_new.select(
+        *[F.col(f"i.{c}").alias(c) for c in inc_cols],
+        F.lit(effective_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    data_cols = [c for c in table.columns if c != "scd_part"]
+    new_current = (
+        untouched_current.select(*data_cols)
+        .unionByName(new_versions.select(*data_cols))
+        .unionByName(first_versions.select(*data_cols))
+        .withColumn("scd_part", F.lit("current"))
+    )
+    out = new_current
+    if n_changed > 0:
+        # rewrite exactly one closed month: prior closures of that month
+        # (partition-pruned scan) + this run's closures
+        month_existing = table.filter(
+            F.col("scd_part") == part_of_eff
+        ).drop("scd_part")
+        month_rows = (
+            month_existing.select(*data_cols)
+            .unionByName(closed.select(*data_cols))
+            .withColumn("scd_part", F.lit(part_of_eff))
+        )
+        out = new_current.unionByName(month_rows)
+
+    out = out.localCheckpoint()  # sever self-read-overwrite lineage
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.partitionBy("scd_part").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {"inserted": n_new, "changed": n_changed, "unchanged": n_unchanged}
+
+
+def scd2_snapshot(spark: SparkSession, path: str, as_of: str) -> DataFrame:
+    """Dimension state as of ``as_of`` (inclusive) from a
+    ``scd2_upsert_partitioned`` table.
+
+    Partition pruning does the heavy lifting: rows closed in months
+    BEFORE the snapshot month cannot satisfy ``valid_to > as_of``
+    ('closed_YYYY-MM' sorts lexicographically, and 'current' > any
+    'closed_*'), so their directories are never scanned.
+    """
+    floor_part = "closed_" + as_of[:7]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("scd_part") >= floor_part)  # partition filter
+        .filter(
+            (F.col("valid_from") <= F.lit(as_of).cast("date"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.lit(as_of).cast("date"))
+            )
+        )
+        .drop("scd_part")
+    )

@@ -82,3 +82,114 @@ class TestSCD2:
             "2024-02-01",
             "2024-03-01",
         ]
+
+
+class TestSCD2Partitioned:
+    def _run_both(self, spark, tmp_path, days):
+        from etl_data_warehouse_spark.sources.sinks import (
+            scd2_upsert_partitioned,
+        )
+
+        flat = str(tmp_path / "flat")
+        part = str(tmp_path / "part")
+        for rows, eff in days:
+            cf = scd2_upsert(
+                spark, _dim(spark, rows), flat, "customer_id",
+                ["segment", "city"], eff,
+            )
+            cp = scd2_upsert_partitioned(
+                spark, _dim(spark, rows), part, "customer_id",
+                ["segment", "city"], eff,
+            )
+            assert cf == cp, eff
+        return flat, part
+
+    def test_partitioned_equals_flat_across_months(self, spark, tmp_path):
+        days = [
+            ([(1, "gold", "rome"), (2, "silver", "oslo")], "2024-01-01"),
+            ([(1, "platinum", "rome"), (2, "silver", "oslo"),
+              (3, "gold", "riga")], "2024-02-01"),
+            ([(1, "platinum", "lyon"), (2, "gold", "oslo"),
+              (3, "gold", "riga")], "2024-03-01"),
+            ([(1, "platinum", "lyon"), (2, "gold", "oslo"),
+              (3, "silver", "riga")], "2024-03-15"),
+        ]
+        flat, part = self._run_both(spark, tmp_path, days)
+        key = ["customer_id", "version"]
+        a = sorted(
+            tuple(r) for r in spark.read.parquet(flat).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(part).drop("scd_part").select(
+                spark.read.parquet(flat).columns
+            ).collect()
+        )
+        assert a == b
+
+    def test_old_month_partitions_not_rewritten(self, spark, tmp_path):
+        import os
+
+        from etl_data_warehouse_spark.sources.sinks import (
+            scd2_upsert_partitioned,
+        )
+
+        part = str(tmp_path / "p2")
+        scd2_upsert_partitioned(
+            spark, _dim(spark, [(1, "gold", "rome")]), part,
+            "customer_id", ["segment", "city"], "2024-01-01",
+        )
+        scd2_upsert_partitioned(
+            spark, _dim(spark, [(1, "silver", "rome")]), part,
+            "customer_id", ["segment", "city"], "2024-02-01",
+        )
+        jan_dir = os.path.join(part, "scd_part=closed_2024-02")
+        mtimes = {
+            f: os.path.getmtime(os.path.join(jan_dir, f))
+            for f in os.listdir(jan_dir)
+            if f.endswith(".parquet")
+        }
+        assert mtimes
+        # a later-month change must not touch the February directory
+        scd2_upsert_partitioned(
+            spark, _dim(spark, [(1, "bronze", "rome")]), part,
+            "customer_id", ["segment", "city"], "2024-05-01",
+        )
+        after = {
+            f: os.path.getmtime(os.path.join(jan_dir, f))
+            for f in os.listdir(jan_dir)
+            if f.endswith(".parquet")
+        }
+        assert after == mtimes
+
+    def test_snapshot_as_of(self, spark, tmp_path):
+        from etl_data_warehouse_spark.sources.sinks import (
+            scd2_snapshot,
+            scd2_upsert_partitioned,
+        )
+
+        part = str(tmp_path / "p3")
+        days = [
+            ([(1, "gold", "rome"), (2, "silver", "oslo")], "2024-01-01"),
+            ([(1, "platinum", "rome"), (2, "silver", "oslo")], "2024-02-01"),
+            ([(1, "platinum", "lyon"), (2, "gold", "oslo")], "2024-04-01"),
+        ]
+        for rows, eff in days:
+            scd2_upsert_partitioned(
+                spark, _dim(spark, rows), part, "customer_id",
+                ["segment", "city"], eff,
+            )
+        snap = {
+            r["customer_id"]: r
+            for r in scd2_snapshot(spark, part, "2024-02-15").collect()
+        }
+        assert snap[1]["segment"] == "platinum" and snap[1]["city"] == "rome"
+        assert snap[2]["segment"] == "silver"
+        # pre-history snapshot is empty-safe
+        assert scd2_snapshot(spark, part, "2023-12-31").count() == 0
+        # today's snapshot == current
+        today = {
+            r["customer_id"]: r["segment"]
+            for r in scd2_snapshot(spark, part, "2024-05-01").collect()
+        }
+        assert today == {1: "platinum", 2: "gold"}
