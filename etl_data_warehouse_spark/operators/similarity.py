@@ -58,7 +58,12 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for every query vector.
 
     Output: (src_id, neighbor_id, cosine_sim, rank). Deterministic:
-    rank ties broken by neighbor_id."""
+    rank ties broken by neighbor_id.
+
+    Scale shape: the QUERY side is broadcast (queries ≪ corpus in the
+    brute-force regime), so the corpus is scanned once in place with no
+    shuffle of the N×Q sims — the rank<=k filter becomes a partial
+    WindowGroupLimit, shuffling only ≤ Q·k survivors per partition."""
     q = with_norm(queries).select(
         F.col("vec_id").alias("src_id"),
         F.col("_v").alias("qv"),
@@ -70,7 +75,7 @@ def brute_force_topk(
         F.col("_norm").alias("nn"),
     )
     sims = (
-        q.crossJoin(v)
+        v.crossJoin(F.broadcast(q))
         .filter(F.col("src_id") != F.col("neighbor_id"))
         .select(
             "src_id",

@@ -897,3 +897,58 @@ ORDER BY 1
 
 QUERIES["q38_range_join"] = q38_range_join
 ORACLES["q38_range_join"] = Q38_ORACLE
+
+
+# --- q67: NATIVE session_window sessionization -------------------------------
+# Same semantic as q30's composed islands-and-gaps pipeline, but through
+# Spark's built-in session_window aggregation — the operator Structured
+# Streaming uses for streaming sessions, here proven in batch against a
+# plain-SQL oracle. Boundary subtlety pinned by the oracle: Spark session
+# windows are HALF-OPEN [start, last+gap) — an event arriving at exactly
+# gap after the previous one starts a NEW session (oracle: >= gap), while
+# q30's composed sessionizer keeps it (oracle: > gap).
+
+def q67_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.min("ts")) / F.lit(1000)).cast("long")
+            .alias("session_start_ms"),
+            (F.unix_micros(F.max("ts")) / F.lit(1000)).cast("long")
+            .alias("session_end_ms"),
+        )
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
+Q67_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id,
+           epoch_ms(ts) AS ts_ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_idx AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                     ROWS UNBOUNDED PRECEDING)::INT AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) AS session_end_ms,
+       COUNT(*)   AS n_events
+FROM with_idx
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_start_ms
+"""
+
+QUERIES["q67_native_session_window"] = q67_native_session_window
+ORACLES["q67_native_session_window"] = Q67_ORACLE

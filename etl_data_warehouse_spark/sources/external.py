@@ -116,3 +116,19 @@ def read_csv_table(
         "_corrupt_record"
     )
     return clean, bad
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC sink — the columnar interchange format for Hive-side
+    consumers (parquet stays the native format, sinks.py). zstd default
+    matches the parquet sink's codec posture."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan with explicit projection (column pruning reaches the
+    ORC reader exactly as it does parquet)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

@@ -104,3 +104,21 @@ class TestCsvIngestion:
         df, bad = read_csv_table(spark, str(p), schema, quarantine_malformed=False)
         assert bad is None
         assert df.count() == 2
+
+
+class TestOrcRoundTrip:
+    def test_orc_preserves_values_and_prunes(self, spark, sf_dir, tmp_path):
+        from etl_data_warehouse_spark.sources.catalog import load_table
+        from etl_data_warehouse_spark.sources.external import read_orc, write_orc
+
+        orders = load_table(spark, "orders", sf_dir)
+        path = str(tmp_path / "orders_orc")
+        write_orc(orders, path)
+        back = read_orc(spark, path)
+        assert back.schema == orders.schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, orders.collect())
+        )
+        pruned = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "o_orderstatus" not in plan.split("ReadSchema")[-1][:300]
