@@ -8,9 +8,9 @@ reproduces exactly with ``list_reduce`` — bit-identical similarities.
 (broadcast the query side when small). The scale path is IVF: one pass
 to assign vectors to nearest centroid (narrow, linear), queries probe
 ``nprobe`` cells → candidate set shrinks by ~K/nprobe; both stages are
-plain broadcast joins + one shuffle on cell id. Centroids here are
-deterministically seeded (first K vec_ids) — at real scale you'd k-means
-them; the operator shape is identical.
+plain broadcast joins + one shuffle on cell id. Centroids default to a
+deterministic seed (first K vec_ids); ``kmeans_centroids`` trains real
+ones (Lloyd's iterations as DataFrame ops) and plugs into ``ivf_topk``.
 """
 
 from __future__ import annotations
@@ -135,29 +135,38 @@ def ivf_topk(
     k: int = 5,
     n_cells: int | None = None,
     nprobe: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize to n_cells centroids
-    (deterministically seeded with the first n_cells vec_ids), probe the
+    (default seeding: the first n_cells vec_ids; pass
+    ``centroids=kmeans_centroids(...)`` for trained cells), probe the
     nprobe nearest cells per query, exact-rank within candidates.
 
     Defaults scale with the table: n_cells ≈ N/64 (clamped [16, 256]),
     nprobe = n_cells/8 — candidate sets shrink ~n_cells/nprobe-fold vs
     brute force. Output: (src_id, neighbor_id, cosine_sim, rank);
     recall measured against brute_force_topk in tests."""
+    if centroids is not None and n_cells is None:
+        n_cells = centroids.count()
     if n_cells is None or nprobe is None:
         n = vectors.count()
         n_cells = n_cells or min(256, max(16, n // 64))
         nprobe = nprobe or max(3, n_cells // 8)
-    centroids = (
-        with_norm(vectors)
-        .orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("_v").alias("cv"),
-            F.col("_norm").alias("cn"),
+    if centroids is not None:
+        centroids = centroids.select(
+            "cell_id", "cv", _norm(F.col("cv")).alias("cn")
         )
-    )
+    else:
+        centroids = (
+            with_norm(vectors)
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .select(
+                F.col("vec_id").alias("cell_id"),
+                F.col("_v").alias("cv"),
+                F.col("_norm").alias("cn"),
+            )
+        )
     v = with_norm(vectors).select(
         F.col("vec_id").alias("vid"),
         F.col("_v").alias("vv"),
@@ -373,3 +382,120 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .orderBy("src_id", "rank")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    max_iterations: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over DataFrame ops — real centroids
+    for the IVF coarse quantizer (ivf_topk's default seeding is the
+    first n_cells vec_ids; this refines them).
+
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast join — centroids are small by construction) → recompute
+    centroids as per-cell means (one shuffle on cell_id, map-side
+    partial aggs via posexplode + groupBy). Deterministic: seeded by
+    the n_cells lowest vec_ids, ties broken on cell_id, empty cells
+    keep their previous centroid. Stops early when assignments stop
+    changing (one driver-side count per round — inherent to any
+    fixed-point loop; lineage truncated per round via localCheckpoint).
+
+    100 TB posture: per round, one broadcast of k·dim doubles and ONE
+    shuffle whose key space is k — linear in the corpus, constant in
+    history. k-means++ init would add one cheap weighted-sampling pass;
+    omitted to keep the operator deterministic without an RNG contract.
+    """
+    dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+    v = vectors.select(
+        "vec_id", _as_double(vec_col).alias("vv")
+    ).localCheckpoint()
+
+    centroids = (
+        v.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cell_id"),
+            F.col("vv").alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    prev_assign = None
+    for _ in range(max_iterations):
+        dist = F.aggregate(
+            F.zip_with("vv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+                ),
+            )
+            .filter(F.col("r") == 1)
+            .select("vec_id", "vv", "cell_id")
+            .localCheckpoint()
+        )
+        if prev_assign is not None:
+            changed = (
+                assigned.select("vec_id", "cell_id")
+                .exceptAll(prev_assign)
+                .count()
+            )
+            if changed == 0:
+                break
+        prev_assign = assigned.select("vec_id", "cell_id")
+        means = (
+            assigned.select(
+                "cell_id", F.posexplode("vv").alias("pos", "x")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell_id",
+                F.transform("pm", lambda s: s["m"]).alias("cv"),
+            )
+        )
+        # empty cells keep their previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    assert dim is not None  # non-empty input contract
+    return centroids
+
+
+def inertia(vectors: DataFrame, centroids: DataFrame, vec_col: str = "embedding"):
+    """Sum of squared distances to the nearest centroid (the k-means
+    objective) — one broadcast join + one global sum."""
+    dist = F.aggregate(
+        F.zip_with("vv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = (
+        vectors.select("vec_id", _as_double(vec_col).alias("vv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d2"))
+    )
+    return per_vec.agg(F.sum("d2")).first()[0]

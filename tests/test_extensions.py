@@ -295,3 +295,45 @@ class TestIvfRecallAtScale:
             .collect()
         )
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestKmeansCentroids:
+    def _emb(self, spark, n=600, k=16):
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_clustered_embeddings,
+        )
+
+        return generate_clustered_embeddings(
+            spark, n, dim=8, n_clusters=k
+        ).localCheckpoint()
+
+    def test_inertia_improves_over_seeded_init(self, spark):
+        emb = self._emb(spark)
+        seeded = (
+            similarity.with_norm(emb)
+            .orderBy("vec_id")
+            .limit(16)
+            .selectExpr("vec_id as cell_id", "_v as cv")
+        )
+        i0 = similarity.inertia(emb, seeded)
+        cents = similarity.kmeans_centroids(emb, 16, max_iterations=8)
+        i1 = similarity.inertia(emb, cents)
+        assert i1 < i0
+        assert cents.count() == 16  # empty cells retained, k stable
+
+    def test_deterministic(self, spark):
+        emb = self._emb(spark, n=300, k=8)
+        a = sorted(map(tuple, similarity.kmeans_centroids(emb, 8, 4).collect()))
+        b = sorted(map(tuple, similarity.kmeans_centroids(emb, 8, 4).collect()))
+        assert a == b
+
+    def test_ivf_accepts_trained_centroids(self, spark):
+        emb = self._emb(spark)
+        cents = similarity.kmeans_centroids(emb, 16, max_iterations=4)
+        ivf = similarity.ivf_topk(emb, k=3, nprobe=4, centroids=cents)
+        rows = ivf.collect()
+        assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+        bf = similarity.brute_force_topk(emb, emb, k=3).collect()
+        truth = {(r["src_id"], r["neighbor_id"]) for r in bf}
+        approx = {(r["src_id"], r["neighbor_id"]) for r in rows}
+        assert len(truth & approx) / len(truth) >= 0.9

@@ -94,3 +94,42 @@ class TestOlapPlanShapes:
         assert final.count("Exchange hashpartitioning(order_month") == 1
         # the rank<=5 predicate was pushed into the sort (top-k, not full)
         assert "WindowGroupLimit" in final
+
+
+class TestSketchQuantiles:
+    def test_percentile_approx_within_rank_error_of_exact(self, spark, sf_dir):
+        """percentile_approx (KLL-style sketch) is the 100-TB path when
+        q53's per-partition exact selection is too expensive; bound its
+        RANK error against the exact rank-selection values: with
+        accuracy=10000 the sketch quantile must land within 1% of the
+        sorted position the exact quantile occupies."""
+        from pyspark.sql import functions as F
+
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        orders = load_table(spark, "orders", sf_dir)
+        month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        approx = {
+            r["order_month"]: r["qs"]
+            for r in orders.select(month, "o_totalprice")
+            .groupBy("order_month")
+            .agg(
+                F.percentile_approx(
+                    "o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000
+                ).alias("qs")
+            )
+            .collect()
+        }
+        import bisect
+
+        vals_by_month: dict[str, list] = {}
+        for r in orders.select(month, "o_totalprice").collect():
+            vals_by_month.setdefault(r["order_month"], []).append(
+                r["o_totalprice"]
+            )
+        for m, vals in vals_by_month.items():
+            vals.sort()
+            n = len(vals)
+            for q, got in zip([0.25, 0.5, 0.75, 0.9], approx[m]):
+                rank = bisect.bisect_left(vals, got)
+                assert abs(rank - q * n) <= max(2, 0.01 * n), (m, q)
