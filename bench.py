@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "q64_tpch_q5_local_supplier_volume",
     "q65_tpch_q6_forecast_revenue",
     "q66_tpch_q10_returned_items",
+    "q69_tpch_q7_volume_shipping",
+    "q71_tpch_q9_product_profit",
+    "q72_tpch_q13_order_counts",
+    "q76_tpch_q18_large_orders",
+    "q77_tpch_q19_disjunctive_revenue",
 ]
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy

@@ -21,6 +21,7 @@ from . import (
     sampling_plans,
     text_quality,
     tpch,
+    tpch2,
     warehouse,
 )
 
@@ -58,6 +59,8 @@ QUERIES.update(olap_ext.QUERIES)
 ORACLES.update(olap_ext.ORACLES)
 QUERIES.update(tpch.QUERIES)
 ORACLES.update(tpch.ORACLES)
+QUERIES.update(tpch2.QUERIES)
+ORACLES.update(tpch2.ORACLES)
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
