@@ -35,6 +35,27 @@ def write_bucketed(
     )
 
 
+def ctas_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    select_sql: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """SQL CTAS surface for the same physical design: CREATE TABLE ..
+    USING parquet CLUSTERED BY (key) INTO n BUCKETS AS SELECT ... —
+    the declarative twin of ``write_bucketed`` for SQL-first users
+    (mirrors the reference's CREATE TABLE AS staging DDL,
+    reference: warehouse/target_schema.sql)."""
+    spark.sql(
+        f"CREATE TABLE {table_name} USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}' "
+        f"AS {select_sql}"
+    )
+
+
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
 ) -> DataFrame:

@@ -194,6 +194,48 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
+    def test_ctas_bucketed_sql_surface(self, spark, sf_dir, tmp_path):
+        """The SQL CTAS twin must produce the same zero-shuffle layout
+        as the DataFrame writer path."""
+        from etl_data_warehouse_spark.sources.bucketing import (
+            colocated_join,
+            ctas_bucketed,
+        )
+
+        orders = load_table(spark, "orders", sf_dir)
+        orders.createOrReplaceTempView("tmp_orders_src")
+        li = load_table(spark, "lineitem", sf_dir)
+        li.createOrReplaceTempView("tmp_li_src")
+        ctas_bucketed(
+            spark,
+            "cb_orders",
+            "SELECT * FROM tmp_orders_src",
+            "o_orderkey",
+            8,
+            str(tmp_path / "cb_orders"),
+        )
+        ctas_bucketed(
+            spark,
+            "cb_lineitem",
+            "SELECT l_orderkey AS o_orderkey, l_quantity FROM tmp_li_src",
+            "o_orderkey",
+            8,
+            str(tmp_path / "cb_lineitem"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = colocated_join(spark, "cb_orders", "cb_lineitem",
+                                    "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS cb_orders")
+            spark.sql("DROP TABLE IF EXISTS cb_lineitem")
+
 
 class TestApproxDistinct:
     def test_hll_within_5pct_of_exact(self, spark, sf_dir):
