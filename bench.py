@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q72_tpch_q13_order_counts",
     "q76_tpch_q18_large_orders",
     "q77_tpch_q19_disjunctive_revenue",
+    "q80_sliding_window_activity",
 ]
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy

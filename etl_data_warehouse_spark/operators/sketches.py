@@ -1,0 +1,70 @@
+"""Mergeable distinct-count sketches (HLL) — the 100 TB COUNT(DISTINCT)
+pattern.
+
+Exact COUNT(DISTINCT) requires a full shuffle of every distinct value
+per group (Expand + two-phase agg); at petabyte scale the idiomatic
+answer is pre-aggregated HyperLogLog sketches: build one small binary
+sketch per fine-grained partition (e.g. per day), persist it, and
+answer ANY coarser rollup (month, year, total, sliding window) by
+merging sketches — no rescan of the fact, no re-shuffle of raw values,
+and sketch union is lossless w.r.t. the sketch's own accuracy
+(register-wise max), so pre-agg + merge == one-pass sketch on raw data.
+
+Spark exposes Apache DataSketches HLL natively (Spark 3.5+):
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate`` —
+JVM-side, no UDFs. The reference's analytics use exact COUNT(DISTINCT)
+only (reference: analytics/customer_metrics.sql); this module is the
+scale superset; its accuracy and merge-consistency contracts are pinned
+in tests (TestHllSketches) rather than the DuckDB oracle because
+DataSketches binaries are not reproducible in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LG_K = 12  # 4096 registers, ~1.6% relative standard error
+
+
+def daily_distinct_sketches(
+    events: DataFrame,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Per-day HLL sketch of ``value_col`` — the fine-grained
+    pre-aggregate a pipeline would persist alongside its daily
+    partitions. One shuffle at day grain; map-side partial sketches."""
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_distinct(
+    sketches: DataFrame, grain_expr: F.Column, grain_name: str = "grain"
+) -> DataFrame:
+    """Merge per-day sketches to any coarser grain and estimate.
+    ``grain_expr`` maps the ``day`` column, e.g.
+    ``F.date_trunc('month', F.col('day'))``."""
+    return (
+        sketches.groupBy(grain_expr.alias(grain_name))
+        .agg(
+            F.hll_union_agg("sketch").alias("merged"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            grain_name,
+            F.hll_sketch_estimate("merged").alias("approx_distinct"),
+            "n_rows",
+        )
+    )
+
+
+def total_distinct(sketches: DataFrame) -> int:
+    """Global distinct estimate from the persisted daily sketches."""
+    row = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).first()
+    return int(row["est"])

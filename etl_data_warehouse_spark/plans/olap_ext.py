@@ -292,12 +292,60 @@ ORDER BY order_month, o_totalprice, o_orderkey
 """
 
 
+def q80_sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows in BATCH: 1-hour windows advancing
+    every 15 minutes over the events table — the overlapping-window
+    rollup Structured Streaming runs with the same ``F.window`` call
+    (each event lands in window/slide = 4 windows; Spark plans this as
+    one generate + aggregate, no self-joins).
+
+    Oracle: DuckDB reproduces the window fan-out with an UNNEST of the
+    4 slide offsets off each event's 15-minute bucket; with window =
+    4 x slide every generated window qualifies, so the twin needs no
+    range filter. Distinct users per window exercises the
+    expand-then-aggregate path under fan-out.
+
+    100 TB: fan-out multiplies rows by 4 BEFORE the shuffle; the
+    partial aggregation collapses each partition's (window, user)
+    duplicates map-side, so the shuffle carries near-distinct pairs —
+    same reasoning that makes streaming sliding windows viable.
+    """
+    events = load_table(spark, "events", sf_dir, columns=["ts", "user_id", "value"])
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / F.lit(1000)).cast("long")
+            .alias("window_start_ms"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start_ms")
+    )
+
+
+Q80_ORACLE = """
+SELECT (epoch_ms(time_bucket(INTERVAL '15 minutes', ts))
+          - offs.i * 900000)::BIGINT AS window_start_ms,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) offs
+GROUP BY window_start_ms
+ORDER BY window_start_ms
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
     "q61_distribution_windows": q61_distribution_windows,
+    "q80_sliding_window_activity": q80_sliding_window_activity,
 }
 ORACLES = {
     "q53_order_value_quantiles": Q53_ORACLE,
@@ -305,4 +353,5 @@ ORACLES = {
     "q58_status_unpivot": Q58_ORACLE,
     "q60_grouping_sets": Q60_ORACLE,
     "q61_distribution_windows": Q61_ORACLE,
+    "q80_sliding_window_activity": Q80_ORACLE,
 }
