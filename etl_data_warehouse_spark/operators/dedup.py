@@ -138,45 +138,32 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 32,
-    threshold: float = JACCARD_THRESHOLD,
-    n: int = 3,
-) -> DataFrame:
-    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
-
-    bands=32 × rows=2: P(miss | J=0.8) = (1-0.8²)^32 ≈ 6e-15 —
-    effectively exact recall at the target threshold (so the driver's
-    hash gate against the exact-Jaccard oracle cannot flake on an
-    unlucky corpus), still linear cost. The verify join makes the
-    output equal to jaccard_pairs(), so the same SQL oracle applies.
-    Wider bands admit more low-J candidates than 16×4 would; the
-    exact verify absorbs them and stays candidate-proportional.
-    """
-    rows_per_band = num_hashes // bands
-    # One materialization of the shingle table feeds signatures, sizes,
-    # and the verify join (otherwise Spark re-shingles three times).
-    # Shingles are carried as xxhash64 LONGS, not strings: ~4x smaller
-    # state and shuffles. Jaccard over hashes equals Jaccard over
-    # strings absent 64-bit collisions (P ≈ n²/2^65; verified
-    # collision-free on the test corpora, and deterministic either way).
-    sh = (
-        shingle_table(docs, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with shingles carried as xxhash64 LONGS: ~4x
+    smaller state/shuffles than strings; Jaccard over hashes equals
+    Jaccard over strings absent 64-bit collisions (P ≈ n²/2^65)."""
+    return shingle_table(docs, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
-    sig = sh.withColumn(
-        "h30", F.pmod(F.col("shingle"), F.lit(_P30))
-    ).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
+
+
+def band_table(sh: DataFrame, num_hashes: int = 64, bands: int = 32) -> DataFrame:
+    """(doc_id, band_idx, bh) banded MinHash signatures from a hashed
+    shingle table — the LSH index rows (persist these for incremental
+    dedup, see dedup_index.py)."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        sh.withColumn("h30", F.pmod(F.col("shingle"), F.lit(_P30)))
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs(num_hashes))
+    )
     band_cols = [
         F.xxhash64(
             F.lit(b), *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -187,19 +174,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.bh")
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "bh"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
-    )
-    candidates = (
-        left.join(right, ["band_idx", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # Exact verify on candidates only (cheap: candidate set is tiny).
+
+
+def verify_pairs(
+    candidates: DataFrame, sh: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
+    against a hashed shingle table: output identical to jaccard_pairs
+    restricted to the candidate set."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -231,6 +213,45 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
+
+    bands=32 × rows=2: P(miss | J=0.8) = (1-0.8²)^32 ≈ 6e-15 —
+    effectively exact recall at the target threshold (so the driver's
+    hash gate against the exact-Jaccard oracle cannot flake on an
+    unlucky corpus), still linear cost. The verify join makes the
+    output equal to jaccard_pairs(), so the same SQL oracle applies.
+    Wider bands admit more low-J candidates than 16×4 would; the
+    exact verify absorbs them and stays candidate-proportional.
+    """
+    # One materialization of the shingle table feeds signatures, sizes,
+    # and the verify join (otherwise Spark re-shingles three times);
+    # collision-safety of the long-hashed shingles documented on
+    # hashed_shingles.
+    sh = hashed_shingles(docs, n).localCheckpoint()
+    banded = band_table(sh, num_hashes, bands)
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bh"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
+    candidates = (
+        left.join(right, ["band_idx", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact verify on candidates only (cheap: candidate set is tiny).
+    return verify_pairs(candidates, sh, threshold)
 
 
 def _tokens_spread(docs: DataFrame) -> DataFrame:

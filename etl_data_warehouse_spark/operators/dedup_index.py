@@ -1,0 +1,119 @@
+"""Persisted MinHash-LSH index: dedup NEW documents against an
+EXISTING corpus without recomputing the corpus.
+
+The 100 TB dedup problem is rarely one-shot — it is "dedup today's
+crawl against the 100 TB already ingested". Recomputing signatures for
+the full corpus per batch is O(corpus) per day; the scale answer is to
+PERSIST the LSH state once and join each new batch against it:
+
+- ``bands/``    (doc_id, band_idx, bh)  — the LSH candidate index
+- ``shingles/`` (doc_id, shingle:long)  — for the exact-Jaccard verify
+
+Per batch the cost is O(batch) signature computation + an equi-join of
+the batch's bands against the index (bucket-local at scale: both sides
+hash-partition on (band_idx, bh)) + verification only of candidate
+pairs against only the TOUCHED index docs (semi-join pruned shingle
+scan, predicate-pushed on doc_id). ``append_to_index`` then makes the
+batch part of the corpus — build(A) + append(B) produces byte-identical
+index CONTENT to build(A ∪ B) because signatures are per-document.
+
+Equality contract (tested): incremental_dedup(new, index(A)) returns
+exactly the pairs of minhash_lsh_pairs(A ∪ new) that involve at least
+one new document. The reference has no incremental near-dedup (its
+dedup is a pandas drop_duplicates, reference: transformers/
+document_transformer.py); this is the Spark-first extension the brief's
+training-data pipeline asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    JACCARD_THRESHOLD,
+    band_table,
+    hashed_shingles,
+    verify_pairs,
+)
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+) -> None:
+    """One-time (or per-backfill) index build: persist band and shingle
+    tables for the corpus. At cluster scale, write both bucketed on
+    their join keys (sources/bucketing.py) to make every subsequent
+    batch join shuffle-free on the index side."""
+    sh = hashed_shingles(docs, n).localCheckpoint()
+    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    band_table(sh, num_hashes, bands).write.mode("overwrite").parquet(
+        f"{index_dir}/bands"
+    )
+
+
+def append_to_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+) -> None:
+    """Make a deduped batch part of the corpus: append its rows to both
+    index tables. Append-only (no rewrite of existing index files);
+    per-document state means the result equals a fresh full build."""
+    sh = hashed_shingles(new_docs, n).localCheckpoint()
+    sh.write.mode("append").parquet(f"{index_dir}/shingles")
+    band_table(sh, num_hashes, bands).write.mode("append").parquet(
+        f"{index_dir}/bands"
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, exact-Jaccard verified)
+    between the new batch and the indexed corpus, PLUS within the batch
+    itself — i.e. every pair minhash_lsh_pairs would emit on the full
+    corpus that involves a new document. New doc_ids must not collide
+    with indexed ones (enforce upstream; they identify documents)."""
+    new_sh = hashed_shingles(new_docs, n).localCheckpoint()
+    new_bands = band_table(new_sh, num_hashes, bands).localCheckpoint()
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+
+    # candidates: new × (index ∪ new); the index side never re-banded
+    all_bands = idx_bands.unionByName(new_bands)
+    left = new_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "bh")
+    right = all_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "bh")
+    candidates = (
+        left.join(right, ["band_idx", "bh"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # verify against only the shingles of touched docs: semi-join prune
+    # so the 100 TB shingle table is read only where candidates point
+    touched = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    idx_sh = spark.read.parquet(f"{index_dir}/shingles").join(
+        F.broadcast(touched), "doc_id", "left_semi"
+    )
+    all_sh = idx_sh.unionByName(new_sh)
+    return verify_pairs(candidates, all_sh, threshold)

@@ -52,6 +52,61 @@ class TestDynamicPartitionPruning:
         )
 
 
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark, tmp_path):
+        """The engine's declared skew posture is AQE-first (salting is
+        the manual fallback, operators/skew.py): a hot key whose
+        partition dwarfs the median must be split at runtime. Thresholds
+        are scaled down from the 256 MB defaults to trigger on MB-scale
+        test data."""
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        left.write.mode("overwrite").parquet(str(tmp_path / "skewed"))
+        right = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+        )
+        right.write.mode("overwrite").parquet(str(tmp_path / "uniform"))
+
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+        saved = {k: spark.conf.get(k) for k in keys}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256k",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        try:
+            j = (
+                spark.read.parquet(str(tmp_path / "skewed"))
+                .join(spark.read.parquet(str(tmp_path / "uniform")), "k")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            rows = j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            assert "skew=true" in final
+            # key 0 matches right row 0 -> 1.8M rows; keys id%10==9 match
+            # nothing above 200k; ids 9,19,..,199999 -> 20k rows
+            assert rows[0]["n"] == 1_800_000 + 20_000
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+
 class TestRuntimeBloomFilter:
     def test_bloom_pushed_into_application_side(self, spark, tmp_path):
         big = spark.range(3_000_000).select(
