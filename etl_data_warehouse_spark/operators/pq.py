@@ -1,0 +1,236 @@
+"""Product quantization (PQ) — compressed-domain ANN scan.
+
+Completes the ANN ladder (operators/similarity.py): brute force (exact
+baseline, q26) → hyperplane LSH (pair generation, q41) → IVF (coarse
+cell pruning, q28) → PQ (this module): each vector is stored as m
+small code ids (one per subspace) instead of d floats, and query-time
+scoring is table lookups — the memory-bound trick that makes
+billion-vector scans fit in RAM (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011; public method).
+
+Spark-first shapes:
+- training: m independent ``kmeans_centroids`` runs over sliced
+  subvectors (slices are Catalyst ``slice`` calls, no UDFs);
+- encoding: long-form (vec_id, subspace, code_id) via a broadcast
+  argmin join — ONE table, partitionable by anything, m rows/vector
+  (m * ceil(log2(k))/8 bytes effective vs 4d bytes raw: 16 bytes vs
+  256 for d=64, m=4 — a 16x state reduction at 100 TB);
+- ADC scan: the query builds an (m × k) partial-similarity table
+  (broadcast), the codes table aggregates sum-of-partials per
+  (query, vector) — no original vectors touched;
+- refine: exact cosine re-rank of the ADC shortlist (the standard
+  production composition: PQ recalls the neighborhood, exact scoring
+  orders it; within-quantization-cell ties are unrecoverable from
+  codes alone).
+
+Cosine under ADC: cos(q, x) ≈ Σ_s q_s·c_{s,code} / (|q| · sqrt(Σ_s
+|c_{s,code}|²)) — both the numerator partials and the reconstruction
+norm come from the same broadcast tables.
+
+Reference parity: none (the reference has no vector search at all);
+this is brief-mandated training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import kmeans_centroids
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _subvectors(vectors: DataFrame, m: int, dim: int, vec_col: str) -> DataFrame:
+    """Long-form (vec_id, subspace, sv:array<double>) — one row per
+    (vector, subspace), sliced JVM-side."""
+    sub_dim = dim // m
+    dbl = F.transform(vec_col, lambda x: x.cast("double"))
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(dbl, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return vectors.select(
+        "vec_id", F.explode(slices).alias("p")
+    ).select("vec_id", "p.subspace", "p.sv")
+
+
+def _vec_dim(vectors: DataFrame, vec_col: str) -> int:
+    row = vectors.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    codes: int = 16,
+    max_iterations: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """m per-subspace codebooks of ``codes`` entries each, trained with
+    the deterministic Lloyd's operator. Returns (subspace, code_id, cv,
+    cnorm2), small by construction (m·codes rows) — always broadcast.
+    """
+    dim = _vec_dim(vectors, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = _subvectors(vectors, m, dim, vec_col)
+    books = []
+    for s in range(m):
+        cb = kmeans_centroids(
+            sub.filter(F.col("subspace") == s).select(
+                "vec_id", F.col("sv").alias("embedding")
+            ),
+            n_cells=codes,
+            max_iterations=max_iterations,
+        )
+        books.append(
+            cb.select(
+                F.lit(s).alias("subspace"),
+                F.col("cell_id").alias("code_id"),
+                "cv",
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.withColumn("cnorm2", _dot("cv", "cv")).localCheckpoint()
+
+
+def pq_encode(
+    vectors: DataFrame, codebooks: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, subspace, code_id): nearest codebook entry per subspace
+    (broadcast argmin join, deterministic code_id tiebreak). This long
+    layout IS the PQ index — persist it partitioned however the corpus
+    is partitioned."""
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    dim = _vec_dim(vectors, vec_col)
+    sub = _subvectors(vectors, m, dim, vec_col)
+    l2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist", "code_id")
+    return (
+        sub.join(F.broadcast(codebooks), "subspace")
+        .withColumn("dist", l2)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "subspace", "code_id")
+    )
+
+
+def pq_topk(
+    codes_table: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k per query over the PQ codes.
+
+    Pure-ADC mode (refine_with=None): rank by the table-lookup cosine.
+    Refine mode: ADC shortlists k*refine_factor candidates, then exact
+    cosine over the original vectors (``refine_with``) re-ranks —
+    touching only shortlist rows of the raw corpus.
+    Output: (src_id, neighbor_id, score, rank); self-matches excluded.
+    """
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    dim = _vec_dim(queries, vec_col)
+    qsub = _subvectors(
+        queries.select(F.col("vec_id"), F.col(vec_col)), m, dim, vec_col
+    ).withColumnRenamed("vec_id", "src_id")
+    # (src_id, subspace, code_id, partial, cnorm2): m·codes rows/query
+    table = (
+        qsub.join(F.broadcast(codebooks), "subspace")
+        .select(
+            "src_id",
+            "subspace",
+            "code_id",
+            _dot("sv", "cv").alias("partial"),
+            "cnorm2",
+        )
+    )
+    qnorm = queries.select(
+        F.col("vec_id").alias("src_id"),
+        F.sqrt(
+            _dot(
+                F.transform(vec_col, lambda x: x.cast("double")),
+                F.transform(vec_col, lambda x: x.cast("double")),
+            )
+        ).alias("qn"),
+    )
+    adc = (
+        codes_table.join(F.broadcast(table), ["subspace", "code_id"])
+        .groupBy("src_id", "vec_id")
+        .agg(
+            F.sum("partial").alias("num"),
+            F.sum("cnorm2").alias("rnorm2"),
+            F.count(F.lit(1)).alias("m_terms"),
+        )
+        .filter(F.col("m_terms") == m)  # guard against partial indexes
+        .join(F.broadcast(qnorm), "src_id")
+        .filter(F.col("src_id") != F.col("vec_id"))
+        .select(
+            "src_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.col("num") / (F.col("qn") * F.sqrt(F.col("rnorm2")))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), "neighbor_id")
+    if refine_with is None:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("src_id", "rank")
+        )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine_factor)
+        .select("src_id", "neighbor_id")
+    )
+    dblv = F.transform(vec_col, lambda x: x.cast("double"))
+    corpus = refine_with.select(
+        F.col("vec_id").alias("neighbor_id"), dblv.alias("nv")
+    )
+    qv = queries.select(F.col("vec_id").alias("src_id"), dblv.alias("qv"))
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(qv), "src_id")
+        .select(
+            "src_id",
+            "neighbor_id",
+            (
+                _dot("qv", "nv")
+                / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("nv", "nv")))
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("src_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("src_id", "rank")
+    )
+
+
+def compression_ratio(dim: int, m: int, codes: int) -> float:
+    """Raw float32 bytes per vector vs effective PQ code bytes."""
+    return (4.0 * dim) / (m * max(1.0, math.ceil(math.log2(codes)) / 8.0))
