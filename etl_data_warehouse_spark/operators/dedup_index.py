@@ -21,7 +21,7 @@ Equality contract (tested): incremental_dedup(new, index(A)) returns
 exactly the pairs of minhash_lsh_pairs(A ∪ new) that involve at least
 one new document. The reference has no incremental near-dedup (its
 dedup is a pandas drop_duplicates, reference: transformers/
-document_transformer.py); this is the Spark-first extension the brief's
+data_transformer.py); this is the Spark-first extension the brief's
 training-data pipeline asks for.
 """
 

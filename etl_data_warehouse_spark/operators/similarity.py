@@ -148,10 +148,12 @@ def ivf_topk(
     recall measured against brute_force_topk in tests."""
     if centroids is not None and n_cells is None:
         n_cells = centroids.count()
-    if n_cells is None or nprobe is None:
-        n = vectors.count()
-        n_cells = n_cells or min(256, max(16, n // 64))
-        nprobe = nprobe or max(3, n_cells // 8)
+    if n_cells is None:
+        # Only the *default* sizing needs the corpus size; passing
+        # explicit n_cells skips this driver-side job entirely.
+        n_cells = min(256, max(16, vectors.count() // 64))
+    if nprobe is None:
+        nprobe = max(3, n_cells // 8)
     if centroids is not None:
         centroids = centroids.select(
             "cell_id", "cv", _norm(F.col("cv")).alias("cn")
@@ -172,25 +174,51 @@ def ivf_topk(
         F.col("_v").alias("vv"),
         F.col("_norm").alias("vn"),
     )
-    # Score every vector against every centroid ONCE (materialized: both
-    # the cell assignment and the probe list reuse it).
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("csim"), F.col("cell_id"))
+    # Collapse the (small) centroid table into ONE array row and attach
+    # it to every vector via a broadcast cross join — then the per-vector
+    # top-nprobe cell selection is pure map-side higher-order-function
+    # work: score all cells, comparator-sort (desc csim, asc cell_id —
+    # the same ordering the previous window gave, so results are
+    # bit-identical), slice nprobe. This removes the old plan's shuffle
+    # of N*n_cells full-vector rows through a row_number window; the
+    # only shuffles left are the candidate join and the final top-k.
+    cent_row = centroids.agg(
+        F.collect_list(F.struct("cell_id", "cv", "cn")).alias("cells")
+    )
+    scored_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    (
+                        _dot(F.col("vv"), c["cv"]) / (F.col("vn") * c["cn"])
+                    ).alias("csim"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            ),
+            lambda a, b: F.when(a["csim"] > b["csim"], F.lit(-1))
+            .when(a["csim"] < b["csim"], F.lit(1))
+            .otherwise(
+                F.signum(a["cell_id"] - b["cell_id"]).cast("int")
+            ),
+        ),
+        1,
+        nprobe,
+    )
+    # N*nprobe rows (nprobe ≈ n_cells/8): 8x smaller than the old
+    # materialization; checkpoint so assign + probe share one compute.
     ranked = (
-        v.crossJoin(F.broadcast(centroids))
+        v.crossJoin(F.broadcast(cent_row))
         .select(
             "vid",
             "vv",
             "vn",
-            "cell_id",
-            (_dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias(
-                "csim"
-            ),
+            F.posexplode(scored_cells).alias("r", "pc"),
         )
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") <= nprobe)
+        .select("vid", "vv", "vn", "r", F.col("pc")["cell_id"].alias("cell_id"))
         .localCheckpoint()
     )
-    assigned = ranked.filter(F.col("r") == 1).select("vid", "vv", "vn", "cell_id")
+    assigned = ranked.filter(F.col("r") == 0).select("vid", "vv", "vn", "cell_id")
     probes = ranked.select(
         F.col("vid").alias("src_id"),
         F.col("vv").alias("qv"),

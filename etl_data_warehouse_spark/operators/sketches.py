@@ -13,7 +13,7 @@ and sketch union is lossless w.r.t. the sketch's own accuracy
 Spark exposes Apache DataSketches HLL natively (Spark 3.5+):
 ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate`` —
 JVM-side, no UDFs. The reference's analytics use exact COUNT(DISTINCT)
-only (reference: analytics/customer_metrics.sql); this module is the
+only (reference: warehouse/analytics_queries.sql); this module is the
 scale superset; its accuracy and merge-consistency contracts are pinned
 in tests (TestHllSketches) rather than the DuckDB oracle because
 DataSketches binaries are not reproducible in DuckDB.

@@ -62,6 +62,52 @@ ORACLES.update(tpch.ORACLES)
 QUERIES.update(tpch2.QUERIES)
 ORACLES.update(tpch2.ORACLES)
 
+# --- Driver correctness window rotation (round 4) ------------------------
+# The driver hash-checks the FIRST 50 insertion-ordered entries of
+# QUERIES. Rounds 1-3 always presented the same head, so the 29 entries
+# past position 50 (TPC-H pack II, olap_ext, text-quality, mixture,
+# layout, sampling tails) never received a driver-checked row. Rotate
+# them to the front, then the two queries un-broken this round
+# (q30/q67, the TIMESTAMP_NTZ regression), then the original order —
+# every query stays registered; only the insertion order changes.
+_WINDOW_FIRST = [
+    "q47_zorder_layout",
+    "q48_pii_scrub",
+    "q49_repetition_stats",
+    "q50_tfidf_topk",
+    "q51_source_mixture",
+    "q52_corpus_funnel",
+    "q53_order_value_quantiles",
+    "q57_status_pivot",
+    "q58_status_unpivot",
+    "q60_grouping_sets",
+    "q61_distribution_windows",
+    "q80_sliding_window_activity",
+    "q62_tpch_q1_pricing_summary",
+    "q63_tpch_q3_shipping_priority",
+    "q64_tpch_q5_local_supplier_volume",
+    "q65_tpch_q6_forecast_revenue",
+    "q66_tpch_q10_returned_items",
+    "q68_tpch_q4_priority_check",
+    "q69_tpch_q7_volume_shipping",
+    "q70_tpch_q8_market_share",
+    "q71_tpch_q9_product_profit",
+    "q72_tpch_q13_order_counts",
+    "q73_tpch_q14_promo_revenue",
+    "q74_tpch_q15_top_supplier",
+    "q75_tpch_q17_small_qty_revenue",
+    "q76_tpch_q18_large_orders",
+    "q77_tpch_q19_disjunctive_revenue",
+    "q78_tpch_q21_waiting_supplier",
+    "q79_tpch_q22_lapsed_customers",
+    "q30_sessionization",
+    "q67_native_session_window",
+]
+_rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
+for _k, _v in QUERIES.items():
+    _rotated.setdefault(_k, _v)
+QUERIES = _rotated
+
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     QUERIES[name] = fn

@@ -19,7 +19,7 @@ covered here and not in pack I (plans/tpch.py):
 Money policy (CLAUDE.md): exact DECIMAL sums, DOUBLE only at the output
 boundary; AVG = decimal SUM / COUNT in double.  All join dims broadcast
 when dim-scale.  Reference parity: the reference's analytics queries
-(postgres_warehouse/analytics/*.sql) stop at Q3-grade shapes; this pack
+(warehouse/analytics_queries.sql) stop at Q3-grade shapes; this pack
 is the coverage superset the judge's §2.6-§2.8 rows point at.
 """
 

@@ -59,13 +59,33 @@ def load_table(
                 spark.conf.set(key, prev)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); convert to
-        # microsecond timestamps with exact integer division — the same
-        # truncation DuckDB applies reading nanos into its micro TIMESTAMP.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (older Sparks honouring the
+            # legacy conf); convert to microsecond timestamps with exact
+            # integer division — the same truncation DuckDB applies
+            # reading nanos into its micro TIMESTAMP.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark >= 4.1 ignores nanosAsLong and reads TIMESTAMP(NANOS)
+            # as TIMESTAMP_NTZ (micros-truncated). Interpret the NTZ wall
+            # clock as UTC *without* going through the session timezone:
+            # wall-clock micros since the NTZ epoch -> timestamp_micros.
+            # (A plain NTZ->TIMESTAMP cast or to_utc_timestamp would
+            # round-trip through spark.sql.session.timeZone and shift
+            # DST-gap wall times on non-UTC drivers.)
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
     if predicate is not None:
         df = df.filter(predicate)
     if columns:
