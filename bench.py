@@ -2,25 +2,44 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {"q1": sec, ...}, "sf": <sf>, ...}
 
 Each query is executed to completion with a noop sink (full compute,
 no driver collect). Only scale-ready queries are benchmarked — the
 exact all-pairs correctness variants are replaced by their LSH/bucketed
 scale paths where applicable.
+
+Two sections:
+- "queries": the registry headline set at sf_dir (method-stable
+  p50-of-5-warm since r2; per-query min/p50/p90 under "spread").
+- "scale": dedup/ANN operators on a GENERATED corpus of
+  $SPARK_GRAFT_SCALE_DOCS docs / vectors (default 100K) with planted
+  near-dups and clustered embeddings — the testdata documents table is
+  ~500 rows at every SF, so headline timings for q24/q25/q28/q41
+  measure stage overhead; these measure operator work.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_data_warehouse_spark.operators import dedup, similarity  # noqa: E402
 from etl_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
 from etl_data_warehouse_spark.session import get_spark  # noqa: E402
+from etl_data_warehouse_spark.sources.catalog import load_table  # noqa: E402
+from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
+    generate_clustered_embeddings,
+    generate_documents,
+)
 
 # Headline set: reference-parity analytics + scale-path extension ops.
 # Quadratic correctness baselines (exact jaccard q23, brute-force
@@ -59,9 +78,97 @@ BENCH_QUERIES = [
     "q80_sliding_window_activity",
 ]
 
+
+def _q25_bench(spark, sf_dir):
+    """Bench variant of q25: the xxhash64 (JVM-native) SimHash fast
+    path instead of the md5-portable oracle twin the registry keeps
+    for DuckDB parity — same blocked-pair plan, faster signatures."""
+    docs = load_table(spark, "documents", sf_dir, columns=["doc_id", "text"])
+    return dedup.simhash_pairs_blocked(
+        docs, max_hamming=6, signatures=dedup.simhash_signatures
+    )
+
+
+# Bench-only substitutions: same operator, faster engine-native variant
+# (the registry entry stays the oracle-checkable twin).
+BENCH_OVERRIDES = {"q25_simhash_pairs": _q25_bench}
+
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy
 # for 0.6s queries to trust round-over-round regression deltas.
 N_RUNS = 5
+N_RUNS_SCALE = 3
+
+
+def _run_timed(make_df, n_runs: int):
+    """One untimed warm-up + n_runs timed noop-sink executions."""
+    make_df().write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        make_df().write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    runs.sort()
+    return {
+        "min": round(runs[0], 3),
+        "p50": round(runs[len(runs) // 2], 3),
+        "p90": round(runs[min(len(runs) - 1, int(len(runs) * 0.9))], 3),
+    }
+
+
+def _scale_section(spark) -> dict:
+    """Dedup/ANN operators at generated scale (default 100K rows)."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+    n_queries = 1000
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_scale_bench")
+    shutil.rmtree(base, ignore_errors=True)
+    para = spark.sparkContext.defaultParallelism
+    # Materialize once (generation excluded from op timings).
+    generate_documents(spark, n_docs).repartition(para).write.parquet(
+        f"{base}/docs.parquet"
+    )
+    generate_clustered_embeddings(
+        spark, n_docs, dim=16, n_clusters=256
+    ).repartition(para).write.parquet(f"{base}/vecs.parquet")
+    generate_clustered_embeddings(
+        spark, n_queries, dim=16, n_clusters=256, seed=77
+    ).repartition(8).write.parquet(f"{base}/qvecs.parquet")
+    # Near-dup corpus: n/4 clusters of ~4 mutual twins — sparse planted
+    # groups (output pairs linear in N). The 256-cluster ivf corpus
+    # would make every ~390-vector cluster an all-pairs clique (~20M
+    # pairs), a data-design quadratic, not an operator measurement.
+    generate_clustered_embeddings(
+        spark, n_docs, dim=16, n_clusters=max(1, n_docs // 4), noise=0.02
+    ).repartition(para).write.parquet(f"{base}/ndvecs.parquet")
+    docs = spark.read.parquet(f"{base}/docs.parquet")
+    vecs = spark.read.parquet(f"{base}/vecs.parquet")
+    qvecs = spark.read.parquet(f"{base}/qvecs.parquet")
+    ndvecs = spark.read.parquet(f"{base}/ndvecs.parquet")
+
+    ops = {
+        "exact_dedup": lambda: dedup.exact_dedup_groups(docs),
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(docs),
+        "simhash_blocked": lambda: dedup.simhash_pairs_blocked(docs),
+        "ivf_topk_arrow": lambda: similarity.ivf_topk(
+            vecs, k=5, n_cells=256, nprobe=8, queries=qvecs, assign_arrow=True
+        ),
+        "hyperplane_lsh_neardup": lambda: similarity.hyperplane_lsh_neardup(
+            ndvecs, threshold=0.90
+        ),
+    }
+    timings, spread = {}, {}
+    for name, make_df in ops.items():
+        s = _run_timed(make_df, N_RUNS_SCALE)
+        timings[name] = s["p50"]
+        spread[name] = s
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "n_vectors": n_docs,
+        "n_queries": n_queries,
+        "method": f"p50_of_{N_RUNS_SCALE}_warm",
+        "queries": timings,
+        "spread": spread,
+    }
 
 
 def main() -> None:
@@ -75,19 +182,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        if name not in QUERIES:
+        fn = BENCH_OVERRIDES.get(name) or QUERIES.get(name)
+        if fn is None:
             continue
-        fn = QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        s = _run_timed(lambda: fn(spark, sf_dir), N_RUNS)
+        timings[name] = s["p50"]
+        spread[name] = s
         total += timings[name]
+    scale = _scale_section(spark)
     print(
         json.dumps(
             {
@@ -100,6 +205,8 @@ def main() -> None:
                 # ~15-40% higher for the same plans — compare
                 # like-for-like across rounds.
                 "method": f"p50_of_{N_RUNS}_warm",
+                "spread": spread,
+                "scale": scale,
             }
         )
     )

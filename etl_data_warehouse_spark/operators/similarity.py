@@ -136,11 +136,28 @@ def ivf_topk(
     n_cells: int | None = None,
     nprobe: int | None = None,
     centroids: DataFrame | None = None,
+    queries: DataFrame | None = None,
+    assign_arrow: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize to n_cells centroids
     (default seeding: the first n_cells vec_ids; pass
     ``centroids=kmeans_centroids(...)`` for trained cells), probe the
     nprobe nearest cells per query, exact-rank within candidates.
+
+    ``queries=None`` ranks every corpus vector against the corpus
+    (all-pairs self search, the oracle-checked q28 shape). Passing a
+    separate ``queries`` DataFrame gives the production shape — small
+    query batch vs large indexed corpus; corpus-side work stays linear
+    (one assignment pass) and the candidate join touches only
+    |Q| * N * nprobe / n_cells rows.
+
+    ``assign_arrow=True`` switches the cell-ranking stage (vector x all
+    centroids) from Catalyst higher-order folds to an Arrow-batched
+    numpy matmul per partition — ~10x faster at bench scale because
+    lambda-expression folds are interpreted, not codegen'd. Candidate
+    scoring stays fold-based either way. BLAS reorders the summation,
+    so assignment can differ on exact cosine ties (ulp-level): use the
+    default fold path when bit-exact oracle parity matters (q28).
 
     Defaults scale with the table: n_cells ≈ N/64 (clamped [16, 256]),
     nprobe = n_cells/8 — candidate sets shrink ~n_cells/nprobe-fold vs
@@ -205,26 +222,97 @@ def ivf_topk(
         1,
         nprobe,
     )
-    # N*nprobe rows (nprobe ≈ n_cells/8): 8x smaller than the old
-    # materialization; checkpoint so assign + probe share one compute.
-    ranked = (
-        v.crossJoin(F.broadcast(cent_row))
-        .select(
-            "vid",
-            "vv",
-            "vn",
-            F.posexplode(scored_cells).alias("r", "pc"),
+    def _rank_cells_fold(vdf: DataFrame) -> DataFrame:
+        return (
+            vdf.crossJoin(F.broadcast(cent_row))
+            .select(
+                "vid",
+                "vv",
+                "vn",
+                F.posexplode(scored_cells).alias("r", "pc"),
+            )
+            .select(
+                "vid", "vv", "vn", "r", F.col("pc")["cell_id"].alias("cell_id")
+            )
         )
-        .select("vid", "vv", "vn", "r", F.col("pc")["cell_id"].alias("cell_id"))
-        .localCheckpoint()
-    )
-    assigned = ranked.filter(F.col("r") == 0).select("vid", "vv", "vn", "cell_id")
-    probes = ranked.select(
-        F.col("vid").alias("src_id"),
-        F.col("vv").alias("qv"),
-        F.col("vn").alias("qn"),
-        "cell_id",
-    )
+
+    def _rank_cells_arrow(vdf: DataFrame) -> DataFrame:
+        # Centroid matrix is tiny (n_cells x dim doubles); collect once
+        # and ship in the task closure. np.lexsort reproduces the fold
+        # path's ordering (desc csim, asc cell_id) exactly up to BLAS
+        # summation ulps.
+        import numpy as np
+        import pandas as pd
+
+        rows = centroids.select("cell_id", "cv", "cn").collect()
+        cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+        cmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+        cmat = cmat / np.array([r["cn"] for r in rows], dtype=np.float64)[:, None]
+        np_, pd_ = np, pd
+
+        def topcells(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vmat = np_.stack(
+                    [np_.asarray(x, dtype=np_.float64) for x in pdf["vv"]]
+                )
+                sims = (vmat / pdf["vn"].to_numpy()[:, None]) @ cmat.T
+                # order: desc csim, asc cell_id (last lexsort key is primary)
+                order = np_.lexsort(
+                    (np_.broadcast_to(cell_ids, sims.shape), -sims), axis=1
+                )[:, :nprobe]
+                m, p = order.shape
+                yield pd_.DataFrame(
+                    {
+                        "vid": pdf["vid"].to_numpy().repeat(p),
+                        "vv": pdf["vv"].to_numpy().repeat(p),
+                        "vn": pdf["vn"].to_numpy().repeat(p),
+                        "r": np_.tile(np_.arange(p), m),
+                        "cell_id": cell_ids[order].ravel(),
+                    }
+                )
+
+        schema = (
+            "vid bigint, vv array<double>, vn double, r int, cell_id bigint"
+        )
+        return vdf.mapInPandas(topcells, schema=schema)
+
+    _rank_cells = _rank_cells_arrow if assign_arrow else _rank_cells_fold
+
+    if queries is None:
+        # Self-search: assignment and probe lists come from one compute.
+        # N*nprobe rows (nprobe ≈ n_cells/8): 8x smaller than the old
+        # materialization; checkpoint so assign + probe share it.
+        ranked = _rank_cells(v).localCheckpoint()
+        assigned = ranked.filter(F.col("r") == 0).select(
+            "vid", "vv", "vn", "cell_id"
+        )
+        probes = ranked.select(
+            F.col("vid").alias("src_id"),
+            F.col("vv").alias("qv"),
+            F.col("vn").alias("qn"),
+            "cell_id",
+        )
+    else:
+        # Separate query batch: corpus only needs its r==0 assignment
+        # (nprobe=1 slice would also do, but reuse keeps one code path);
+        # queries probe their own top-nprobe cells.
+        assigned = (
+            _rank_cells(v).filter(F.col("r") == 0)
+            .select("vid", "vv", "vn", "cell_id")
+        )
+        q = with_norm(queries).select(
+            F.col("vec_id").alias("vid"),
+            F.col("_v").alias("vv"),
+            F.col("_norm").alias("vn"),
+        )
+        probes = _rank_cells(q).select(
+            F.col("vid").alias("src_id"),
+            F.col("vv").alias("qv"),
+            F.col("vn").alias("qn"),
+            "cell_id",
+        )
     # Each neighbor lives in exactly one cell → no pair duplicates.
     cands = probes.join(assigned, "cell_id").filter(
         F.col("src_id") != F.col("vid")

@@ -155,3 +155,62 @@ def generate_clustered_embeddings(
         F.concat(F.lit("cluster_"), cluster.cast("string")).alias("label"),
         vec.alias("embedding"),
     )
+
+
+def generate_documents(
+    spark: SparkSession,
+    n: int,
+    n_words: int = 40,
+    vocab: int = 5000,
+    dup_rate: float = 0.10,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic synthetic corpus with PLANTED near-duplicates, for
+    benchmarking the dedup operators on realistic row counts (the
+    testdata documents table is ~500 rows at every SF, so its timings
+    measure stage overhead, not operator work).
+
+    The first ``(1-dup_rate)*n`` ids are base documents: ``n_words``
+    words drawn from a ``vocab``-word lexicon by xxhash64. The remaining
+    ids are near-duplicates — a copy of a hash-chosen base document with
+    exactly ONE word position rewritten, i.e. token-Jaccard ≈
+    (n_words-1)/(n_words+1), well above the usual 0.7/0.8 thresholds.
+    All pure Catalyst expressions (same 100 TB rationale as
+    generate_clustered_embeddings: distributed, partition-independent,
+    reproducible). Output matches the documents table shape:
+    (doc_id, text, lang, source, n_chars).
+    """
+    n_base = max(1, int(n * (1.0 - dup_rate)))
+    is_dup = F.col("id") >= F.lit(n_base)
+    base_id = F.when(
+        is_dup, F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_base))
+    ).otherwise(F.col("id"))
+
+    def word(doc, j):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(doc, j, F.lit(seed)), F.lit(vocab)).cast("string"),
+        )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: word(base_id, j),
+    )
+    # Near-dups rewrite one hash-chosen position with a word derived
+    # from the DUP id (so it differs from the base document's word).
+    pert_pos = F.pmod(F.xxhash64(F.lit("pos"), F.col("id"), F.lit(seed)),
+                      F.lit(n_words))
+    words = F.transform(
+        words,
+        lambda x, i: F.when(
+            is_dup & (i == pert_pos), word(F.col("id"), F.lit(-1))
+        ).otherwise(x),
+    )
+    text = F.concat_ws(" ", words)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.when(is_dup, "synthetic_dup").otherwise("synthetic").alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

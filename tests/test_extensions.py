@@ -337,3 +337,66 @@ class TestKmeansCentroids:
         truth = {(r["src_id"], r["neighbor_id"]) for r in bf}
         approx = {(r["src_id"], r["neighbor_id"]) for r in rows}
         assert len(truth & approx) / len(truth) >= 0.9
+
+
+class TestIvfQueryBatch:
+    """ivf_topk with a separate query batch (production shape) and the
+    Arrow-batched assignment path."""
+
+    def _data(self, spark):
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_clustered_embeddings,
+        )
+
+        corpus = generate_clustered_embeddings(
+            spark, 2000, dim=8, n_clusters=32
+        )
+        queries = generate_clustered_embeddings(
+            spark, 100, dim=8, n_clusters=32, seed=99
+        )
+        return corpus, queries
+
+    def test_query_batch_recall_vs_brute_force(self, spark):
+        from etl_data_warehouse_spark.operators import similarity
+
+        corpus, queries = self._data(spark)
+        ivf = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries
+        ).collect()
+        bf = similarity.brute_force_topk(corpus, queries, k=3).collect()
+        ivf_set = {(r["src_id"], r["neighbor_id"]) for r in ivf}
+        bf_set = {(r["src_id"], r["neighbor_id"]) for r in bf}
+        recall = len(ivf_set & bf_set) / len(bf_set)
+        assert recall >= 0.95, recall
+
+    def test_arrow_assignment_matches_fold(self, spark):
+        """assign_arrow=True must return the same (src, neighbor, rank)
+        set as the fold path on clustered data (ties are measure-zero
+        here; BLAS ulp drift cannot flip well-separated assignments)."""
+        from etl_data_warehouse_spark.operators import similarity
+
+        corpus, queries = self._data(spark)
+        fold = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries
+        ).collect()
+        arrow = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries,
+            assign_arrow=True,
+        ).collect()
+        assert [(r["src_id"], r["neighbor_id"], r["rank"]) for r in fold] == [
+            (r["src_id"], r["neighbor_id"], r["rank"]) for r in arrow
+        ]
+
+    def test_no_cartesian_in_query_batch_plan(self, spark):
+        from etl_data_warehouse_spark.operators import similarity
+
+        corpus, queries = self._data(spark)
+        plan = (
+            similarity.ivf_topk(
+                corpus, k=3, n_cells=32, nprobe=4, queries=queries
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan

@@ -103,3 +103,35 @@ class TestSqlSurface:
             """
         )
         assert df.count() > 0
+
+
+class TestDocumentGenerator:
+    def test_determinism_and_shape(self, spark):
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_documents,
+        )
+
+        a = generate_documents(spark, 500, seed=9)
+        assert a.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+        assert a.count() == 500
+        b = generate_documents(spark, 500, seed=9).repartition(7)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_planted_near_dups_recovered_by_minhash(self, spark):
+        """Every planted near-dup (1 of 40 words rewritten, J ≈ 0.95)
+        must surface as a MinHash-LSH pair with its base document."""
+        from etl_data_warehouse_spark.operators import dedup
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_documents,
+        )
+
+        docs = generate_documents(spark, 400, dup_rate=0.10, seed=5)
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        dups = docs.filter("source = 'synthetic_dup'").count()
+        assert dups == 40
+        # every dup id (>= 360) appears in at least one pair
+        dup_ids = {
+            i for a, b in found for i in (a, b) if i >= 360
+        }
+        assert len(dup_ids) == 40
