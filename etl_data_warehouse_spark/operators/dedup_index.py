@@ -30,12 +30,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.bucketing import write_bucketed
 from .dedup import (
     JACCARD_THRESHOLD,
     band_table,
     hashed_shingles,
     verify_pairs,
 )
+
+BAND_KEYS = ["band_idx", "bh"]
+
+
+def _read_bands(spark: SparkSession, index_dir: str, bands_table: str | None):
+    if bands_table:
+        return spark.table(bands_table)
+    return spark.read.parquet(f"{index_dir}/bands")
+
+
+def _read_shingles(
+    spark: SparkSession, index_dir: str, shingles_table: str | None
+):
+    if shingles_table:
+        return spark.table(shingles_table)
+    return spark.read.parquet(f"{index_dir}/shingles")
 
 
 def build_minhash_index(
@@ -44,16 +61,35 @@ def build_minhash_index(
     num_hashes: int = 64,
     bands: int = 32,
     n: int = 3,
+    buckets: int | None = None,
+    table_prefix: str | None = None,
 ) -> None:
     """One-time (or per-backfill) index build: persist band and shingle
-    tables for the corpus. At cluster scale, write both bucketed on
-    their join keys (sources/bucketing.py) to make every subsequent
-    batch join shuffle-free on the index side."""
+    tables for the corpus.
+
+    With ``buckets`` + ``table_prefix``, both tables are written
+    hash-BUCKETED on their join keys (bands on (band_idx, bh), shingles
+    on doc_id) as external tables ``{table_prefix}_bands`` /
+    ``{table_prefix}_shingles`` — every subsequent batch join then reads
+    the index side with NO Exchange (only the small batch side
+    shuffles), which is the 100 TB posture: the per-batch join cost is
+    O(batch), never O(corpus)."""
     sh = hashed_shingles(docs, n).localCheckpoint()
+    bt = band_table(sh, num_hashes, bands)
+    if buckets:
+        if not table_prefix:
+            raise ValueError("bucketed index build requires table_prefix")
+        write_bucketed(
+            sh, f"{table_prefix}_shingles", "doc_id", buckets,
+            f"{index_dir}/shingles",
+        )
+        write_bucketed(
+            bt, f"{table_prefix}_bands", BAND_KEYS, buckets,
+            f"{index_dir}/bands",
+        )
+        return
     sh.write.mode("overwrite").parquet(f"{index_dir}/shingles")
-    band_table(sh, num_hashes, bands).write.mode("overwrite").parquet(
-        f"{index_dir}/bands"
-    )
+    bt.write.mode("overwrite").parquet(f"{index_dir}/bands")
 
 
 def append_to_index(
@@ -62,15 +98,49 @@ def append_to_index(
     num_hashes: int = 64,
     bands: int = 32,
     n: int = 3,
+    buckets: int | None = None,
+    table_prefix: str | None = None,
+    skip_indexed: bool = True,
 ) -> None:
     """Make a deduped batch part of the corpus: append its rows to both
     index tables. Append-only (no rewrite of existing index files);
-    per-document state means the result equals a fresh full build."""
+    per-document state means the result equals a fresh full build.
+
+    ``skip_indexed`` (default on) makes the append IDEMPOTENT: doc_ids
+    already present are anti-joined away first, so a re-run after a
+    partial failure cannot double-insert shingle rows (verify_pairs
+    counts rows — duplicates would inflate intersections and corrupt
+    Jaccard). The probe reads only the shingle table's doc_id column
+    (column-pruned scan; bucketed-on-doc_id when the index is bucketed).
+    Pass skip_indexed=False only when doc_ids are guaranteed fresh and
+    the probe scan is worth skipping."""
+    spark = new_docs.sparkSession
+    if skip_indexed:
+        indexed = (
+            _read_shingles(
+                spark, index_dir,
+                f"{table_prefix}_shingles" if table_prefix else None,
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        new_docs = new_docs.join(indexed, "doc_id", "left_anti")
     sh = hashed_shingles(new_docs, n).localCheckpoint()
+    bt = band_table(sh, num_hashes, bands)
+    if buckets:
+        if not table_prefix:
+            raise ValueError("bucketed index append requires table_prefix")
+        write_bucketed(
+            sh, f"{table_prefix}_shingles", "doc_id", buckets,
+            f"{index_dir}/shingles", mode="append",
+        )
+        write_bucketed(
+            bt, f"{table_prefix}_bands", BAND_KEYS, buckets,
+            f"{index_dir}/bands", mode="append",
+        )
+        return
     sh.write.mode("append").parquet(f"{index_dir}/shingles")
-    band_table(sh, num_hashes, bands).write.mode("append").parquet(
-        f"{index_dir}/bands"
-    )
+    bt.write.mode("append").parquet(f"{index_dir}/bands")
 
 
 def incremental_dedup(
@@ -81,6 +151,8 @@ def incremental_dedup(
     bands: int = 32,
     threshold: float = JACCARD_THRESHOLD,
     n: int = 3,
+    bands_table: str | None = None,
+    shingles_table: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, exact-Jaccard verified)
     between the new batch and the indexed corpus, PLUS within the batch
@@ -89,14 +161,22 @@ def incremental_dedup(
     with indexed ones (enforce upstream; they identify documents)."""
     new_sh = hashed_shingles(new_docs, n).localCheckpoint()
     new_bands = band_table(new_sh, num_hashes, bands).localCheckpoint()
-    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    idx_bands = _read_bands(spark, index_dir, bands_table)
 
-    # candidates: new × (index ∪ new); the index side never re-banded
-    all_bands = idx_bands.unionByName(new_bands)
+    # candidates: new × (index ∪ new); the index side never re-banded.
+    # Joined per side (join distributes over union) so a BUCKETED index
+    # keeps its hash distribution — unioning first would wrap the index
+    # scan in a Union node and force an Exchange on the corpus side.
     left = new_bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "bh")
-    right = all_bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "bh")
+    right_idx = idx_bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
+    right_new = new_bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bh"
+    )
     candidates = (
-        left.join(right, ["band_idx", "bh"])
+        left.join(right_idx, BAND_KEYS)
+        .unionByName(left.join(right_new, BAND_KEYS))
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
@@ -112,7 +192,7 @@ def incremental_dedup(
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    idx_sh = spark.read.parquet(f"{index_dir}/shingles").join(
+    idx_sh = _read_shingles(spark, index_dir, shingles_table).join(
         F.broadcast(touched), "doc_id", "left_semi"
     )
     all_sh = idx_sh.unionByName(new_sh)

@@ -85,27 +85,93 @@ def train_pq_codebooks(
     dim = _vec_dim(vectors, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = _subvectors(vectors, m, dim, vec_col)
-    books = []
-    for s in range(m):
-        cb = kmeans_centroids(
-            sub.filter(F.col("subspace") == s).select(
-                "vec_id", F.col("sv").alias("embedding")
-            ),
-            n_cells=codes,
-            max_iterations=max_iterations,
+    sub = _subvectors(vectors, m, dim, vec_col).localCheckpoint()
+
+    # All m subspaces train in ONE Lloyd's fixed-point loop (subspace is
+    # just another grouping column) instead of m sequential kmeans runs
+    # — same per-subspace math and seeding, so the result is identical,
+    # but the driver schedules iterations once, not m times. A subspace
+    # that converges early just stops changing (no-op iterations).
+    w_seed = Window.partitionBy("subspace").orderBy("vec_id")
+    centroids = (
+        sub.withColumn("r", F.row_number().over(w_seed))
+        .filter(F.col("r") <= codes)
+        .select(
+            "subspace", F.col("r").alias("code_id"), F.col("sv").alias("cv")
         )
-        books.append(
-            cb.select(
-                F.lit(s).alias("subspace"),
-                F.col("cell_id").alias("code_id"),
-                "cv",
+        .localCheckpoint()
+    )
+    prev_assign = None
+    for _ in range(max_iterations):
+        cent_row = centroids.groupBy().agg(
+            F.collect_list(F.struct("subspace", "code_id", "cv")).alias("cells")
+        )
+        best = F.aggregate(
+            F.transform(
+                F.filter("cells", lambda c: c["subspace"] == F.col("subspace")),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "sv", c["cv"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["code_id"].alias("code_id"),
+                ),
+            ),
+            F.struct(
+                F.lit(float("inf")).alias("dist"),
+                F.lit(2147483647).alias("code_id"),
+            ),
+            lambda acc, c: F.when(
+                (c["dist"] < acc["dist"])
+                | ((c["dist"] == acc["dist"]) & (c["code_id"] < acc["code_id"])),
+                c,
+            ).otherwise(acc),
+        )
+        assigned = (
+            sub.crossJoin(F.broadcast(cent_row))
+            .select("vec_id", "subspace", "sv", best["code_id"].alias("code_id"))
+            .localCheckpoint()
+        )
+        if prev_assign is not None:
+            changed = (
+                assigned.select("vec_id", "subspace", "code_id")
+                .exceptAll(prev_assign)
+                .count()
+            )
+            if changed == 0:
+                break
+        prev_assign = assigned.select("vec_id", "subspace", "code_id")
+        means = (
+            assigned.select(
+                "subspace", "code_id", F.posexplode("sv").alias("pos", "x")
+            )
+            .groupBy("subspace", "code_id", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("subspace", "code_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm")
+            )
+            .select(
+                "subspace",
+                "code_id",
+                F.transform("pm", lambda s: s["mu"]).alias("cv"),
             )
         )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out.withColumn("cnorm2", _dot("cv", "cv")).localCheckpoint()
+        # empty cells keep their previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), ["subspace", "code_id"], "left")
+            .select(
+                "subspace",
+                "code_id",
+                F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return centroids.withColumn("cnorm2", _dot("cv", "cv")).localCheckpoint()
 
 
 def pq_encode(
@@ -234,3 +300,153 @@ def pq_topk(
 def compression_ratio(dim: int, m: int, codes: int) -> float:
     """Raw float32 bytes per vector vs effective PQ code bytes."""
     return (4.0 * dim) / (m * max(1.0, math.ceil(math.log2(codes)) / 8.0))
+
+
+def ivfadc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    m: int = 4,
+    codes: int = 16,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes_table: DataFrame | None = None,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 10,
+    vec_col: str = "embedding",
+    assign_arrow: bool = False,
+) -> DataFrame:
+    """IVFADC: IVF cell pruning composed with PQ ADC scoring and exact
+    refine — the standard production ANN form (Jégou et al. 2011, §IV:
+    coarse quantizer + product codes; this variant PQ-encodes raw
+    vectors rather than cell residuals, trading a little ADC fidelity
+    for one shared codebook — the exact-refine stage absorbs the
+    difference).
+
+    Stages (all DataFrame ops, no cartesian):
+    1. coarse-assign every corpus vector to its nearest of ``n_cells``
+       trained centroids (one linear pass, ``similarity.rank_cells``);
+    2. PQ-encode the corpus (m codes/vector — the only per-vector state
+       the scan touches);
+    3. queries probe their ``nprobe`` nearest cells; ADC-score ONLY the
+       codes of vectors in probed cells via two broadcast joins
+       (candidates ≈ |Q|·N·nprobe/n_cells, each m code rows);
+    4. exact cosine re-rank of the k*refine_factor ADC shortlist
+       against the raw corpus (touches shortlist rows only).
+
+    Pass pre-trained ``centroids``/``codebooks``/``codes_table`` to
+    amortize index build across query batches (the 100 TB shape: train
+    once, persist the codes table partitioned by cell).
+    Output: (src_id, neighbor_id, score, rank) — score is exact cosine
+    when refining (default), ADC cosine otherwise.
+    """
+    from .similarity import rank_cells, with_norm
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors, n_cells=n_cells, vec_col=vec_col
+        )
+    cents = centroids.select(
+        "cell_id",
+        "cv",
+        F.sqrt(_dot("cv", "cv")).alias("cn"),
+    ).localCheckpoint()
+    if codebooks is None:
+        codebooks = train_pq_codebooks(vectors, m=m, codes=codes,
+                                       vec_col=vec_col)
+    if codes_table is None:
+        codes_table = pq_encode(vectors, codebooks, vec_col=vec_col)
+
+    v = with_norm(vectors, vec_col).select(
+        F.col("vec_id").alias("vid"),
+        F.col("_v").alias("vv"),
+        F.col("_norm").alias("vn"),
+    )
+    assigned = (
+        rank_cells(v, cents, 1, assign_arrow=assign_arrow)
+        .select(F.col("vid").alias("vec_id"), "cell_id")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col("vec_id").alias("vid"),
+        F.col("_v").alias("vv"),
+        F.col("_norm").alias("vn"),
+    )
+    probe_cells = (
+        rank_cells(q, cents, nprobe, assign_arrow=assign_arrow)
+        .select(F.col("vid").alias("src_id"), "cell_id")
+    )
+
+    # Query ADC lookup table: m*codes partial dot products per query.
+    mm = codebooks.select(F.max("subspace")).first()[0] + 1
+    dim = _vec_dim(queries, vec_col)
+    qsub = _subvectors(
+        queries.select("vec_id", vec_col), mm, dim, vec_col
+    ).withColumnRenamed("vec_id", "src_id")
+    table = qsub.join(F.broadcast(codebooks), "subspace").select(
+        "src_id", "subspace", "code_id",
+        _dot("sv", "cv").alias("partial"), "cnorm2",
+    )
+    qnorm = queries.select(
+        F.col("vec_id").alias("src_id"),
+        F.sqrt(
+            _dot(
+                F.transform(vec_col, lambda x: x.cast("double")),
+                F.transform(vec_col, lambda x: x.cast("double")),
+            )
+        ).alias("qn"),
+    )
+    # Cell restriction + ADC lookup fused: corpus code rows pick up the
+    # probing queries via their cell, then their partial via the code.
+    adc = (
+        codes_table.join(assigned, "vec_id")
+        .join(F.broadcast(probe_cells), "cell_id")
+        .join(F.broadcast(table), ["src_id", "subspace", "code_id"])
+        .groupBy("src_id", "vec_id")
+        .agg(
+            F.sum("partial").alias("num"),
+            F.sum("cnorm2").alias("rnorm2"),
+            F.count(F.lit(1)).alias("m_terms"),
+        )
+        .filter(F.col("m_terms") == mm)
+        .join(F.broadcast(qnorm), "src_id")
+        .filter(F.col("src_id") != F.col("vec_id"))
+        .select(
+            "src_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("num") / (F.col("qn") * F.sqrt(F.col("rnorm2"))))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), "neighbor_id")
+    if refine_with is None:
+        refine_with = vectors
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine_factor)
+        .select("src_id", "neighbor_id")
+    )
+    dblv = F.transform(vec_col, lambda x: x.cast("double"))
+    corpus = refine_with.select(
+        F.col("vec_id").alias("neighbor_id"), dblv.alias("nv")
+    )
+    qv = queries.select(F.col("vec_id").alias("src_id"), dblv.alias("qv"))
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(qv), "src_id")
+        .select(
+            "src_id",
+            "neighbor_id",
+            (
+                _dot("qv", "nv")
+                / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("nv", "nv")))
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("src_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("src_id", "rank")
+    )

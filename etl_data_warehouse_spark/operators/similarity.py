@@ -130,6 +130,105 @@ def cosine_neardup_pairs(
     )
 
 
+def rank_cells(
+    vdf: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    assign_arrow: bool = False,
+) -> DataFrame:
+    """Rank each vector's top-``nprobe`` nearest centroids by cosine.
+
+    Input ``vdf``: (vid, vv array<double>, vn); ``centroids``:
+    (cell_id, cv, cn). Output: (vid, vv, vn, r, cell_id) with r in
+    [0, nprobe), ordered desc csim with asc cell_id tiebreak. Shared
+    by ivf_topk (coarse search) and ivfadc_topk (cell restriction).
+
+    Fold path: collapse the (small) centroid table into ONE array row,
+    attach via broadcast cross join, then the selection is pure
+    map-side higher-order-function work — score all cells,
+    comparator-sort, slice. No shuffle (the previous design pushed
+    N*n_cells full-vector rows through a row_number window).
+
+    Arrow path: the same ranking as a numpy matmul per Arrow batch —
+    ~10x faster at 100K+ rows (lambda folds are interpreted, not
+    codegen'd), equal up to BLAS summation ulps on cosine ties.
+    """
+    if not assign_arrow:
+        cent_row = centroids.agg(
+            F.collect_list(F.struct("cell_id", "cv", "cn")).alias("cells")
+        )
+        scored_cells = F.slice(
+            F.array_sort(
+                F.transform(
+                    "cells",
+                    lambda c: F.struct(
+                        (
+                            _dot(F.col("vv"), c["cv"]) / (F.col("vn") * c["cn"])
+                        ).alias("csim"),
+                        c["cell_id"].alias("cell_id"),
+                    ),
+                ),
+                lambda a, b: F.when(a["csim"] > b["csim"], F.lit(-1))
+                .when(a["csim"] < b["csim"], F.lit(1))
+                .otherwise(
+                    F.signum(a["cell_id"] - b["cell_id"]).cast("int")
+                ),
+            ),
+            1,
+            nprobe,
+        )
+        return (
+            vdf.crossJoin(F.broadcast(cent_row))
+            .select(
+                "vid",
+                "vv",
+                "vn",
+                F.posexplode(scored_cells).alias("r", "pc"),
+            )
+            .select(
+                "vid", "vv", "vn", "r", F.col("pc")["cell_id"].alias("cell_id")
+            )
+        )
+
+    # Arrow path. Centroid matrix is tiny (n_cells x dim doubles);
+    # collect once and ship in the task closure. np.lexsort reproduces
+    # the fold path's ordering (desc csim, asc cell_id).
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("cell_id", "cv", "cn").collect()
+    cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    cmat = cmat / np.array([r["cn"] for r in rows], dtype=np.float64)[:, None]
+    np_, pd_ = np, pd
+
+    def topcells(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np_.stack(
+                [np_.asarray(x, dtype=np_.float64) for x in pdf["vv"]]
+            )
+            sims = (vmat / pdf["vn"].to_numpy()[:, None]) @ cmat.T
+            # order: desc csim, asc cell_id (last lexsort key is primary)
+            order = np_.lexsort(
+                (np_.broadcast_to(cell_ids, sims.shape), -sims), axis=1
+            )[:, :nprobe]
+            m, p = order.shape
+            yield pd_.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy().repeat(p),
+                    "vv": pdf["vv"].to_numpy().repeat(p),
+                    "vn": pdf["vn"].to_numpy().repeat(p),
+                    "r": np_.tile(np_.arange(p), m),
+                    "cell_id": cell_ids[order].ravel(),
+                }
+            )
+
+    schema = "vid bigint, vv array<double>, vn double, r int, cell_id bigint"
+    return vdf.mapInPandas(topcells, schema=schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
@@ -191,94 +290,9 @@ def ivf_topk(
         F.col("_v").alias("vv"),
         F.col("_norm").alias("vn"),
     )
-    # Collapse the (small) centroid table into ONE array row and attach
-    # it to every vector via a broadcast cross join — then the per-vector
-    # top-nprobe cell selection is pure map-side higher-order-function
-    # work: score all cells, comparator-sort (desc csim, asc cell_id —
-    # the same ordering the previous window gave, so results are
-    # bit-identical), slice nprobe. This removes the old plan's shuffle
-    # of N*n_cells full-vector rows through a row_number window; the
-    # only shuffles left are the candidate join and the final top-k.
-    cent_row = centroids.agg(
-        F.collect_list(F.struct("cell_id", "cv", "cn")).alias("cells")
-    )
-    scored_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                "cells",
-                lambda c: F.struct(
-                    (
-                        _dot(F.col("vv"), c["cv"]) / (F.col("vn") * c["cn"])
-                    ).alias("csim"),
-                    c["cell_id"].alias("cell_id"),
-                ),
-            ),
-            lambda a, b: F.when(a["csim"] > b["csim"], F.lit(-1))
-            .when(a["csim"] < b["csim"], F.lit(1))
-            .otherwise(
-                F.signum(a["cell_id"] - b["cell_id"]).cast("int")
-            ),
-        ),
-        1,
-        nprobe,
-    )
-    def _rank_cells_fold(vdf: DataFrame) -> DataFrame:
-        return (
-            vdf.crossJoin(F.broadcast(cent_row))
-            .select(
-                "vid",
-                "vv",
-                "vn",
-                F.posexplode(scored_cells).alias("r", "pc"),
-            )
-            .select(
-                "vid", "vv", "vn", "r", F.col("pc")["cell_id"].alias("cell_id")
-            )
-        )
 
-    def _rank_cells_arrow(vdf: DataFrame) -> DataFrame:
-        # Centroid matrix is tiny (n_cells x dim doubles); collect once
-        # and ship in the task closure. np.lexsort reproduces the fold
-        # path's ordering (desc csim, asc cell_id) exactly up to BLAS
-        # summation ulps.
-        import numpy as np
-        import pandas as pd
-
-        rows = centroids.select("cell_id", "cv", "cn").collect()
-        cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
-        cmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
-        cmat = cmat / np.array([r["cn"] for r in rows], dtype=np.float64)[:, None]
-        np_, pd_ = np, pd
-
-        def topcells(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vmat = np_.stack(
-                    [np_.asarray(x, dtype=np_.float64) for x in pdf["vv"]]
-                )
-                sims = (vmat / pdf["vn"].to_numpy()[:, None]) @ cmat.T
-                # order: desc csim, asc cell_id (last lexsort key is primary)
-                order = np_.lexsort(
-                    (np_.broadcast_to(cell_ids, sims.shape), -sims), axis=1
-                )[:, :nprobe]
-                m, p = order.shape
-                yield pd_.DataFrame(
-                    {
-                        "vid": pdf["vid"].to_numpy().repeat(p),
-                        "vv": pdf["vv"].to_numpy().repeat(p),
-                        "vn": pdf["vn"].to_numpy().repeat(p),
-                        "r": np_.tile(np_.arange(p), m),
-                        "cell_id": cell_ids[order].ravel(),
-                    }
-                )
-
-        schema = (
-            "vid bigint, vv array<double>, vn double, r int, cell_id bigint"
-        )
-        return vdf.mapInPandas(topcells, schema=schema)
-
-    _rank_cells = _rank_cells_arrow if assign_arrow else _rank_cells_fold
+    def _rank_cells(vdf: DataFrame) -> DataFrame:
+        return rank_cells(vdf, centroids, nprobe, assign_arrow=assign_arrow)
 
     if queries is None:
         # Self-search: assignment and probe lists come from one compute.
@@ -511,13 +525,19 @@ def kmeans_centroids(
     first n_cells vec_ids; this refines them).
 
     Each iteration: assign every vector to its nearest centroid
-    (broadcast join — centroids are small by construction) → recompute
-    centroids as per-cell means (one shuffle on cell_id, map-side
-    partial aggs via posexplode + groupBy). Deterministic: seeded by
-    the n_cells lowest vec_ids, ties broken on cell_id, empty cells
-    keep their previous centroid. Stops early when assignments stop
-    changing (one driver-side count per round — inherent to any
-    fixed-point loop; lineage truncated per round via localCheckpoint).
+    (map-side argmin fold over a broadcast centroid-array row — no
+    shuffle) → recompute centroids as per-cell means (one shuffle on
+    cell_id, map-side partial aggs via posexplode + groupBy).
+    Deterministic CONTROL FLOW: seeded by the n_cells lowest vec_ids,
+    assignment ties broken on cell_id, empty cells keep their previous
+    centroid. Centroid VALUES are reproducible only up to
+    floating-point summation order — F.avg folds partials in partition
+    order, so a different partitioning can move means by ulps and, on
+    exact-tie boundaries, flip an assignment; identical input
+    partitioning gives bit-identical output. Stops early when
+    assignments stop changing (one driver-side count per round —
+    inherent to any fixed-point loop; lineage truncated per round via
+    localCheckpoint).
 
     100 TB posture: per round, one broadcast of k·dim doubles and ONE
     shuffle whose key space is k — linear in the corpus, constant in
@@ -541,22 +561,39 @@ def kmeans_centroids(
     )
     prev_assign = None
     for _ in range(max_iterations):
-        dist = F.aggregate(
-            F.zip_with("vv", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # Map-side argmin via higher-order fold over ONE collected-array
+        # centroid row (same no-shuffle trick as rank_cells): strictly
+        # equal to orderBy(dist, cell_id) pick-first — argmin distance,
+        # asc cell_id tiebreak. The old shape shuffled N*k rows through
+        # a row_number window EVERY iteration.
+        cent_row = centroids.agg(
+            F.collect_list(F.struct("cell_id", "cv")).alias("cells")
+        )
+        best = F.aggregate(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with("vv", c["cv"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            ),
+            F.struct(
+                F.lit(float("inf")).alias("dist"),
+                F.lit(2147483647).alias("cell_id"),
+            ),
+            lambda acc, c: F.when(
+                (c["dist"] < acc["dist"])
+                | ((c["dist"] == acc["dist"]) & (c["cell_id"] < acc["cell_id"])),
+                c,
+            ).otherwise(acc),
         )
         assigned = (
-            v.crossJoin(F.broadcast(centroids))
-            .withColumn("dist", dist)
-            .withColumn(
-                "r",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy("dist", "cell_id")
-                ),
-            )
-            .filter(F.col("r") == 1)
-            .select("vec_id", "vv", "cell_id")
+            v.crossJoin(F.broadcast(cent_row))
+            .select("vec_id", "vv", best["cell_id"].alias("cell_id"))
             .localCheckpoint()
         )
         if prev_assign is not None:

@@ -19,18 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    key: str,
+    key: str | list[str],
     buckets: int,
     path: str,
+    mode: str = "overwrite",
 ) -> None:
-    """Persist df hash-bucketed (and sorted) by key as an external
-    parquet table — both join sides must use the same bucket count."""
+    """Persist df hash-bucketed (and sorted) by key — single column or
+    composite key list — as an external parquet table; both join sides
+    must use the same bucket count. ``mode="append"`` adds files with
+    the same bucket spec (Spark rejects a mismatched spec)."""
+    keys = [key] if isinstance(key, str) else list(key)
     (
         df.write.format("parquet")
-        .bucketBy(buckets, key)
-        .sortBy(key)
+        .bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
         .option("path", path)
-        .mode("overwrite")
+        .mode(mode)
         .saveAsTable(table_name)
     )
 

@@ -106,12 +106,26 @@ def assign_stable_keys(
     ``max(existing key) + ROW_NUMBER`` ordered by business key.
     ``incoming``'s own ``key_col`` (if present) is ignored.
 
+    ``incoming`` is deduplicated on the business key first (keep-first
+    under a deterministic full-column ordering) — otherwise duplicate
+    business keys in one batch would each draw a DIFFERENT fresh
+    surrogate, breaking key uniqueness downstream.
+
     Scale: the key map is (key, business_key) — dimension-scale, joined
     on the business key. The ROW_NUMBER window over NEW rows only is an
     unpartitioned sort, acceptable at dim scale per the W9 rule
     (star.py scale notes); facts never take this path.
     """
     incoming = incoming.drop(key_col)
+    other = [c for c in incoming.columns if c not in business_keys]
+    w_dedup = Window.partitionBy(*business_keys).orderBy(
+        *(other or business_keys)
+    )
+    incoming = (
+        incoming.withColumn("_sk_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_sk_rn") == 1)
+        .drop("_sk_rn")
+    )
     if existing is None:
         w = Window.orderBy(*business_keys)
         return incoming.select(

@@ -87,3 +87,81 @@ class TestIncrementalDedup:
             (F.col("doc_a") % 3 == 2) | (F.col("doc_b") % 3 == 2)
         )
         assert _pairs_set(inc2) == _pairs_set(expected)
+
+
+class TestBucketedIndex:
+    def test_bucketed_index_join_no_exchange_on_index_side(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The 100 TB contract: the per-batch band join reads the
+        bucketed index with NO Exchange — only the batch side shuffles."""
+        from etl_data_warehouse_spark.operators.dedup import (
+            band_table,
+            hashed_shingles,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "idx_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_lsh_bands")
+        spark.sql("DROP TABLE IF EXISTS t_lsh_shingles")
+        build_minhash_index(
+            corpus, idx, buckets=4, table_prefix="t_lsh"
+        )
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            new_bands = band_table(hashed_shingles(batch))
+            j = new_bands.join(
+                spark.table("t_lsh_bands"), ["band_idx", "bh"]
+            )
+            j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        # the index side feeds each SortMergeJoin straight from the
+        # bucketed scan: exactly ONE band-keyed Exchange per join (the
+        # batch side); an unbucketed index would need two
+        assert plan.count("Exchange hashpartitioning(band_idx") == plan.count(
+            "SortMergeJoin"
+        ), plan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+    def test_bucketed_incremental_matches_plain(
+        self, spark, sf_dir, tmp_path
+    ):
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        idx_b = str(tmp_path / "idx_b")
+        idx_p = str(tmp_path / "idx_p")
+        spark.sql("DROP TABLE IF EXISTS t_lsh2_bands")
+        spark.sql("DROP TABLE IF EXISTS t_lsh2_shingles")
+        build_minhash_index(corpus, idx_b, buckets=4, table_prefix="t_lsh2")
+        build_minhash_index(corpus, idx_p)
+        got = incremental_dedup(
+            spark, batch, idx_b,
+            bands_table="t_lsh2_bands", shingles_table="t_lsh2_shingles",
+        )
+        want = incremental_dedup(spark, batch, idx_p)
+        assert _pairs_set(got) == _pairs_set(want)
+        assert _pairs_set(got)
+
+    def test_append_is_idempotent(self, spark, sf_dir, tmp_path):
+        """Re-appending the same batch (failure retry) must not
+        double-insert rows — verify_pairs counts shingle rows, so
+        duplicates would corrupt Jaccard."""
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "idx_idem")
+        build_minhash_index(corpus, idx)
+        append_to_index(batch, idx)
+        n_sh = spark.read.parquet(f"{idx}/shingles").count()
+        n_bd = spark.read.parquet(f"{idx}/bands").count()
+        append_to_index(batch, idx)  # retry: must be a no-op
+        assert spark.read.parquet(f"{idx}/shingles").count() == n_sh
+        assert spark.read.parquet(f"{idx}/bands").count() == n_bd

@@ -112,3 +112,59 @@ class TestPq:
         # d=64 float32 = 256 bytes; m=4, 16 codes -> 4 codes of 4 bits
         assert compression_ratio(64, 4, 16) == 256.0 / 4.0
         assert math.isclose(compression_ratio(16, 4, 256), 64.0 / 4.0)
+
+
+class TestIvfPq:
+    """IVFADC composition: IVF cell pruning + ADC scoring + exact
+    refine (operators/pq.py:ivfadc_topk)."""
+
+    @pytest.fixture(scope="class")
+    def nd_data(self, spark):
+        corpus = generate_clustered_embeddings(
+            spark, 2000, dim=16, n_clusters=400, noise=0.4
+        ).localCheckpoint()
+        queries = generate_clustered_embeddings(
+            spark, 60, dim=16, n_clusters=400, noise=0.4
+        ).localCheckpoint()
+        return corpus, queries
+
+    def test_recall_vs_brute_force(self, spark, nd_data):
+        from etl_data_warehouse_spark.operators.pq import ivfadc_topk
+
+        corpus, queries = nd_data
+        got = ivfadc_topk(
+            corpus, queries, k=3, n_cells=32, nprobe=8, m=4, codes=16
+        )
+        a = {(r["src_id"], r["neighbor_id"]) for r in got.collect()}
+        bf = similarity.brute_force_topk(corpus, queries, k=3).collect()
+        b = {(r["src_id"], r["neighbor_id"]) for r in bf}
+        assert len(a & b) / len(b) >= 0.9
+
+    def test_no_cartesian_and_prebuilt_index_reuse(self, spark, nd_data):
+        from etl_data_warehouse_spark.operators.pq import (
+            ivfadc_topk,
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        corpus, queries = nd_data
+        cents = similarity.kmeans_centroids(
+            corpus, n_cells=32, max_iterations=4
+        )
+        books = train_pq_codebooks(corpus, m=4, codes=16, max_iterations=4)
+        codes_t = pq_encode(corpus, books).localCheckpoint()
+        df = ivfadc_topk(
+            corpus, queries, k=3, n_cells=32, nprobe=8,
+            centroids=cents, codebooks=books, codes_table=codes_t,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        rows = df.collect()
+        assert {r["src_id"] for r in rows} == {
+            r["vec_id"] for r in queries.collect()
+        }
+        # ranks are dense 1..k per query
+        per = {}
+        for r in rows:
+            per.setdefault(r["src_id"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())

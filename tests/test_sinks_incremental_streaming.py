@@ -152,6 +152,28 @@ class TestStableKeys:
         }
         assert out == {10: 7, 20: 8}
 
+    def test_assign_stable_keys_dedups_incoming(self, spark):
+        """Duplicate business keys in one batch must collapse to ONE
+        surrogate (keep-first under deterministic ordering), never mint
+        several keys for the same business key."""
+        existing = spark.createDataFrame(
+            [(7, 10, "ann")], "customer_key long, customer_id long, name string"
+        )
+        incoming = spark.createDataFrame(
+            [(0, 20, "bob_a"), (0, 20, "bob_b"), (0, 10, "ann2"), (0, 30, "cat")],
+            "customer_key long, customer_id long, name string",
+        )
+        rows = assign_stable_keys(
+            existing, incoming, ["customer_id"], "customer_key"
+        ).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["customer_id"], []).append(r)
+        assert {k: len(v) for k, v in by_id.items()} == {10: 1, 20: 1, 30: 1}
+        assert by_id[10][0]["customer_key"] == 7
+        assert {by_id[20][0]["customer_key"], by_id[30][0]["customer_key"]} == {8, 9}
+        assert by_id[20][0]["name"] == "bob_a"  # deterministic keep-first
+
 
 class TestIncremental:
     def test_watermark_advances_and_filters(self, spark, tmp_path, sf_dir):
