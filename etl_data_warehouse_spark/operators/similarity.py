@@ -519,6 +519,7 @@ def kmeans_centroids(
     n_cells: int,
     max_iterations: int = 10,
     vec_col: str = "embedding",
+    assign_arrow: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over DataFrame ops — real centroids
     for the IVF coarse quantizer (ivf_topk's default seeding is the
@@ -538,6 +539,12 @@ def kmeans_centroids(
     assignments stop changing (one driver-side count per round —
     inherent to any fixed-point loop; lineage truncated per round via
     localCheckpoint).
+
+    ``assign_arrow=True`` runs the per-iteration assignment as a numpy
+    distance matmul over Arrow batches instead of the Catalyst fold —
+    same ~10x speedup story as rank_cells at 100K+ rows, same caveat
+    (BLAS summation can flip exact-distance ties; use the fold path
+    when bit-stable replay matters). Requires a bigint vec_id.
 
     100 TB posture: per round, one broadcast of k·dim doubles and ONE
     shuffle whose key space is k — linear in the corpus, constant in
@@ -559,14 +566,13 @@ def kmeans_centroids(
         )
         .localCheckpoint()
     )
-    prev_assign = None
-    for _ in range(max_iterations):
+    def _assign_fold(cents: DataFrame) -> DataFrame:
         # Map-side argmin via higher-order fold over ONE collected-array
         # centroid row (same no-shuffle trick as rank_cells): strictly
         # equal to orderBy(dist, cell_id) pick-first — argmin distance,
         # asc cell_id tiebreak. The old shape shuffled N*k rows through
         # a row_number window EVERY iteration.
-        cent_row = centroids.agg(
+        cent_row = cents.agg(
             F.collect_list(F.struct("cell_id", "cv")).alias("cells")
         )
         best = F.aggregate(
@@ -591,11 +597,49 @@ def kmeans_centroids(
                 c,
             ).otherwise(acc),
         )
-        assigned = (
-            v.crossJoin(F.broadcast(cent_row))
-            .select("vec_id", "vv", best["cell_id"].alias("cell_id"))
-            .localCheckpoint()
+        return v.crossJoin(F.broadcast(cent_row)).select(
+            "vec_id", "vv", best["cell_id"].alias("cell_id")
         )
+
+    def _assign_arrow(cents: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        rows = cents.select("cell_id", "cv").collect()
+        cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+        cmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+        cnorm2 = (cmat * cmat).sum(axis=1)
+        np_, pd_ = np, pd
+
+        def nearest(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vmat = np_.stack(
+                    [np_.asarray(x, dtype=np_.float64) for x in pdf["vv"]]
+                )
+                # ||v-c||^2 up to the row-constant ||v||^2 term
+                d = cnorm2[None, :] - 2.0 * (vmat @ cmat.T)
+                order = np_.lexsort(
+                    (np_.broadcast_to(cell_ids, d.shape), d), axis=1
+                )[:, 0]
+                yield pd_.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "vv": pdf["vv"],
+                        "cell_id": cell_ids[order].astype("int32"),
+                    }
+                )
+
+        return v.mapInPandas(
+            nearest, schema="vec_id bigint, vv array<double>, cell_id int"
+        )
+
+    _assign = _assign_arrow if assign_arrow else _assign_fold
+
+    prev_assign = None
+    for _ in range(max_iterations):
+        assigned = _assign(centroids).localCheckpoint()
         if prev_assign is not None:
             changed = (
                 assigned.select("vec_id", "cell_id")

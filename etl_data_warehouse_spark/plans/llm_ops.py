@@ -669,6 +669,21 @@ ORDER BY doc_id
 """
 
 
+
+# --- q81: IVFADC (IVF cells x PQ codes x exact refine; rows-only check) ------
+# The composition trains k-means quantizers (fp-summation-order state),
+# so there is no bit-exact SQL replay — the driver applies its weaker
+# rows-only gate; recall >= 0.9 vs brute force is pinned in TestIvfPq.
+
+def q81_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfadc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivfadc_topk(
+        emb, emb, k=5, n_cells=16, nprobe=4, m=4, codes=16
+    )
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -686,6 +701,7 @@ QUERIES = {
     "q33_multimodal_features": q33_multimodal_features,
     "q41_hyperplane_lsh_neardup": q41_hyperplane_lsh_neardup,
     "q55_embedding_stats": q55_embedding_stats,
+    "q81_ivfadc_topk": q81_ivfadc_topk,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 

@@ -400,3 +400,32 @@ class TestIvfQueryBatch:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestKmeansArrowAssignment:
+    def test_arrow_assignment_matches_fold(self, spark):
+        from etl_data_warehouse_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_clustered_embeddings,
+        )
+
+        data = generate_clustered_embeddings(
+            spark, 800, dim=8, n_clusters=16
+        ).localCheckpoint()
+        fold = {
+            r["cell_id"]: r["cv"]
+            for r in kmeans_centroids(data, 16, max_iterations=5).collect()
+        }
+        arrow = {
+            r["cell_id"]: r["cv"]
+            for r in kmeans_centroids(
+                data, 16, max_iterations=5, assign_arrow=True
+            ).collect()
+        }
+        assert fold.keys() == arrow.keys()
+        for k in fold:
+            assert all(
+                abs(x - y) < 1e-9 for x, y in zip(fold[k], arrow[k])
+            )

@@ -399,3 +399,76 @@ class TestStreamStaticEnrichment:
             if str(r["sales_date"]) == "2024-02-03"
         ]
         assert len(day3) == 1 and day3[0]["segment"] != "UNKNOWN"
+
+
+class TestMergeInto:
+    """MERGE INTO surface (sources/merge.py): statement generation,
+    capability gate, and join-merge parity (reference ON CONFLICT,
+    warehouse_loader.py:55-83)."""
+
+    def test_merge_sql_do_update(self):
+        from etl_data_warehouse_spark.sources.merge import merge_sql
+
+        sql = merge_sql(
+            "wh.dim_customers", "batch", ["customer_id"],
+            ["customer_id", "name", "tier"],
+        )
+        assert sql == (
+            "MERGE INTO wh.dim_customers t\n"
+            "USING batch s\n"
+            "ON t.customer_id = s.customer_id\n"
+            "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.tier = s.tier\n"
+            "WHEN NOT MATCHED THEN INSERT (customer_id, name, tier) "
+            "VALUES (s.customer_id, s.name, s.tier)"
+        )
+
+    def test_merge_sql_do_nothing(self):
+        from etl_data_warehouse_spark.sources.merge import merge_sql
+
+        sql = merge_sql(
+            "t", "s", ["k"], ["k", "v"], insert_only=True
+        )
+        assert "WHEN MATCHED" not in sql
+        assert "WHEN NOT MATCHED THEN INSERT (k, v)" in sql
+
+    def test_gate_false_in_vanilla_session_and_fallback_parity(
+        self, spark, tmp_path
+    ):
+        from etl_data_warehouse_spark.sources.merge import (
+            catalog_supports_merge,
+            merge_into,
+        )
+
+        assert not catalog_supports_merge(spark)
+        p_merge = str(tmp_path / "via_merge")
+        p_twin = str(tmp_path / "via_upsert")
+        base = _dim(spark, [(10, "ann"), (20, "bob")])
+        batch = _dim(spark, [(20, "bob2"), (30, "cat")])
+        for p in (p_merge, p_twin):
+            merge_upsert(spark, base, p, ["customer_id"])
+        counts = merge_into(
+            spark, batch, ["customer_id"], target_table="wh.dim", path=p_merge
+        )
+        twin = merge_upsert(spark, batch, p_twin, ["customer_id"])
+        assert counts == twin == {"inserted": 1, "updated": 1}
+        a = sorted(map(tuple, spark.read.parquet(p_merge).collect()))
+        b = sorted(map(tuple, spark.read.parquet(p_twin).collect()))
+        assert a == b
+
+    def test_insert_only_fallback(self, spark, tmp_path):
+        from etl_data_warehouse_spark.sources.merge import merge_into
+
+        p = str(tmp_path / "ins_only")
+        merge_into(
+            spark, _dim(spark, [(1, "a")]), ["customer_id"], path=p
+        )
+        out = merge_into(
+            spark, _dim(spark, [(1, "A2"), (2, "b")]), ["customer_id"],
+            path=p, insert_only=True,
+        )
+        assert out == {"inserted": 1, "updated": 0}
+        rows = {
+            r["customer_id"]: r["name"]
+            for r in spark.read.parquet(p).collect()
+        }
+        assert rows == {1: "a", 2: "b"}  # DO NOTHING kept the old row
