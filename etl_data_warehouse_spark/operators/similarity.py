@@ -698,3 +698,103 @@ def inertia(vectors: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
         .agg(F.min("dist").alias("d2"))
     )
     return per_vec.agg(F.sum("d2")).first()[0]
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    centroids: DataFrame | None = None,
+    assign_arrow: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, then drop any
+    document whose cosine similarity to an EARLIER document in the same
+    cluster is >= ``threshold``. Extends the reference's duplicate
+    handling (transformers/data_transformer.py drop_duplicates;
+    loaders ON CONFLICT) from exact-key to semantic-similarity space.
+
+    Keep policy: lowest vec_id wins (deterministic, SQL-replayable).
+    The paper keeps the example with the LOWEST centroid similarity
+    (preferring outliers); that policy changes which member of a dup
+    group survives but not the group structure — min-id is used here so
+    the DuckDB oracle can replay the output bit-for-bit.
+
+    Output: (vec_id, cell_id, kept, dup_of) — dup_of is the smallest
+    earlier same-cell vec_id above threshold (NULL when kept).
+
+    Scale shape: assignment is one map-side pass (broadcast centroid
+    array or Arrow matmul — rank_cells nprobe=1); the pair search is a
+    self-join ON cell_id, so cost is sum over cells of |cell|^2, the
+    SemDeDup cost model — n_cells is the knob that bounds cell size
+    (size it so N/n_cells stays ~10^4 at 100 TB). One shuffle on
+    cell_id, one aggregate on vec_id, one left join back. No
+    CartesianProduct at any size.
+
+    Default centroids: the first n_cells vec_ids (the ivf_topk seeding,
+    deterministic); pass ``centroids=kmeans_centroids(...)`` for
+    trained cells in production.
+    """
+    if centroids is not None and n_cells is None:
+        n_cells = centroids.count()
+    if n_cells is None:
+        n_cells = min(256, max(16, vectors.count() // 64))
+    if centroids is not None:
+        cents = centroids.select(
+            "cell_id", "cv", _norm(F.col("cv")).alias("cn")
+        )
+    else:
+        cents = (
+            with_norm(vectors)
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .select(
+                F.col("vec_id").alias("cell_id"),
+                F.col("_v").alias("cv"),
+                F.col("_norm").alias("cn"),
+            )
+        )
+    v = with_norm(vectors).select(
+        F.col("vec_id").alias("vid"),
+        F.col("_v").alias("vv"),
+        F.col("_norm").alias("vn"),
+    )
+    assigned = (
+        rank_cells(v, cents, 1, assign_arrow=assign_arrow)
+        .filter(F.col("r") == 0)
+        .select("vid", "vv", "vn", "cell_id")
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        "cell_id",
+        F.col("vid").alias("earlier_id"),
+        F.col("vv").alias("av"),
+        F.col("vn").alias("an"),
+    )
+    b = assigned.select(
+        "cell_id",
+        F.col("vid").alias("vec_id"),
+        F.col("vv").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    dups = (
+        a.join(b, "cell_id")
+        .filter(F.col("earlier_id") < F.col("vec_id"))
+        .filter(
+            _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+            >= threshold
+        )
+        .groupBy("vec_id")
+        .agg(F.min("earlier_id").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col("vid").alias("vec_id"), "cell_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )

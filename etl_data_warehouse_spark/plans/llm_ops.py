@@ -684,6 +684,72 @@ def q81_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q82: SemDeDup semantic dedup (cluster → within-cell prune) --------------
+# Same planted-twin corpus as q41 (the raw embeddings are random noise
+# with max pair cosine ~0.51 — nothing to deduplicate). Deterministic
+# replay like q28: seed centroids are the first n_cells vec_ids,
+# assignment ranks by the fold-cosine, prune keeps the lowest vec_id —
+# so the DuckDB oracle replays the whole algorithm and the driver
+# hash-checks the semantic-dedup verdicts themselves.
+
+def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.semantic_dedup(_twin_corpus(emb), threshold=0.9)
+
+
+Q82_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vv
+    FROM embeddings
+),
+twins AS (
+    SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE
+                    * (1.0 + 0.05 * ((vec_id + i - 1) % 5)::DOUBLE)) AS vv
+    FROM embeddings
+),
+v AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+params AS (
+    SELECT least(256, greatest(16, COUNT(*) // 64)) AS n_cells FROM v
+),
+cent AS (
+    SELECT vec_id AS cell_id, vv AS cv
+    FROM v
+    QUALIFY row_number() OVER (ORDER BY vec_id)
+                <= (SELECT n_cells FROM params)
+),
+assigned AS (
+    SELECT vid AS vec_id, cell_id FROM (
+        SELECT v.vec_id AS vid, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.vv", b="c.cv")}
+                              / ({_NORM_SQL.format(a="v.vv")}
+                                 * {_NORM_SQL.format(a="c.cv")}) DESC,
+                            c.cell_id
+               ) AS r
+        FROM v CROSS JOIN cent c
+    ) WHERE r = 1
+),
+dups AS (
+    SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+    FROM assigned a
+    JOIN assigned b USING (cell_id)
+    JOIN v va ON va.vec_id = a.vec_id
+    JOIN v vb ON vb.vec_id = b.vec_id
+    WHERE a.vec_id < b.vec_id
+      AND {_DOT_SQL.format(a="va.vv", b="vb.vv")}
+            / ({_NORM_SQL.format(a="va.vv")}
+               * {_NORM_SQL.format(a="vb.vv")}) >= 0.9
+    GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell_id, d.dup_of IS NULL AS kept, d.dup_of
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+ORDER BY s.vec_id
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -702,6 +768,7 @@ QUERIES = {
     "q41_hyperplane_lsh_neardup": q41_hyperplane_lsh_neardup,
     "q55_embedding_stats": q55_embedding_stats,
     "q81_ivfadc_topk": q81_ivfadc_topk,
+    "q82_semantic_dedup": q82_semantic_dedup,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 
@@ -722,6 +789,7 @@ ORACLES = {
     "q33_multimodal_features": Q33_ORACLE,
     "q41_hyperplane_lsh_neardup": Q41_ORACLE,
     "q55_embedding_stats": Q55_ORACLE,
+    "q82_semantic_dedup": Q82_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
 }
 

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import PII_PATTERNS, pii_count, redact_pii, tokens
+from ..functions.text import (
+    EN_STOPWORDS,
+    PII_PATTERNS,
+    pii_count,
+    redact_pii,
+    tokens,
+)
 from ..operators import corpus
 from ..sources.catalog import load_table
 
@@ -161,14 +167,125 @@ WHERE rank <= 3
 ORDER BY doc_id, rank
 """
 
+def q83_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1, adapted
+    thresholds): per-rule boolean verdicts + the conjunctive pass flag a
+    pretraining ingest pipeline gates on. Extends the reference's
+    validators (transformers/data_transformer.py quality checks) from
+    schema-level to content-level rules.
+
+    Pure projection (zero shuffles): every signal is a Catalyst
+    expression over the text column; ratios are computed identically in
+    both engines (exact BIGINT folds, division in double) so the
+    boolean thresholds are bit-stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+    n_words = F.size(tok).cast("long")
+    sum_word_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length("text").cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    ).cast("long")
+    n_digits = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(tok, lambda t: F.lower(t).isin(EN_STOPWORDS))
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(tok)).cast("long")
+    mean_word_len = sum_word_len.cast("double") / n_words.cast("double")
+    symbol_word_ratio = n_punct.cast("double") / n_words.cast("double")
+    digit_char_ratio = n_digits.cast("double") / n_chars.cast("double")
+    distinct_ratio = n_distinct.cast("double") / n_words.cast("double")
+    rules = {
+        "rule_word_count": (n_words >= 10) & (n_words <= 2000),
+        "rule_mean_word_len": (mean_word_len >= 2.0) & (mean_word_len <= 12.0),
+        "rule_symbol_ratio": symbol_word_ratio <= 0.5,
+        "rule_digit_ratio": digit_char_ratio <= 0.2,
+        "rule_stopwords": n_stop >= 2,
+        "rule_lexical_diversity": distinct_ratio >= 0.3,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        digit_char_ratio.alias("digit_char_ratio"),
+        n_stop.alias("n_stopwords"),
+        distinct_ratio.alias("distinct_ratio"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+Q83_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), ' +') AS tok,
+           length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_punct,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           len(tok)::BIGINT AS n_words,
+           list_reduce(list_concat([0::BIGINT],
+               list_transform(tok, x -> length(x)::BIGINT)),
+               (acc, x) -> acc + x) AS sum_word_len,
+           n_chars, n_punct, n_digits,
+           len(list_filter(tok, x -> lower(x) IN ({_STOPLIST_SQL})))::BIGINT
+               AS n_stopwords,
+           len(list_distinct(tok))::BIGINT AS n_distinct
+    FROM t
+),
+r AS (
+    SELECT doc_id, n_words,
+           sum_word_len::DOUBLE / n_words::DOUBLE AS mean_word_len,
+           n_punct::DOUBLE / n_words::DOUBLE AS symbol_word_ratio,
+           n_digits::DOUBLE / n_chars::DOUBLE AS digit_char_ratio,
+           n_stopwords,
+           n_distinct::DOUBLE / n_words::DOUBLE AS distinct_ratio
+    FROM s
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, digit_char_ratio,
+       n_stopwords, distinct_ratio,
+       (n_words >= 10 AND n_words <= 2000) AS rule_word_count,
+       (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS rule_mean_word_len,
+       (symbol_word_ratio <= 0.5) AS rule_symbol_ratio,
+       (digit_char_ratio <= 0.2) AS rule_digit_ratio,
+       (n_stopwords >= 2) AS rule_stopwords,
+       (distinct_ratio >= 0.3) AS rule_lexical_diversity,
+       ((n_words >= 10 AND n_words <= 2000)
+        AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+        AND (symbol_word_ratio <= 0.5)
+        AND (digit_char_ratio <= 0.2)
+        AND (n_stopwords >= 2)
+        AND (distinct_ratio >= 0.3)) AS passes_quality
+FROM r
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q48_pii_scrub": q48_pii_scrub,
     "q49_repetition_stats": q49_repetition_stats,
     "q50_tfidf_topk": q50_tfidf_topk,
+    "q83_quality_rules": q83_quality_rules,
 }
 
 ORACLES = {
     "q48_pii_scrub": Q48_ORACLE,
     "q49_repetition_stats": Q49_ORACLE,
     "q50_tfidf_topk": Q50_ORACLE,
+    "q83_quality_rules": Q83_ORACLE,
 }

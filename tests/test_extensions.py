@@ -429,3 +429,74 @@ class TestKmeansArrowAssignment:
             assert all(
                 abs(x - y) < 1e-9 for x, y in zip(fold[k], arrow[k])
             )
+
+
+class TestSemanticDedup:
+    """SemDeDup composition: planted twins must be dropped in favor of
+    their lower-id source; verdicts are deterministic; the within-cell
+    pair search never degenerates to a CartesianProduct."""
+
+    def _twin_corpus(self, emb):
+        from etl_data_warehouse_spark.plans.llm_ops import _twin_corpus
+
+        return _twin_corpus(emb)
+
+    def test_planted_twins_are_dropped(self, emb):
+        out = similarity.semantic_dedup(
+            self._twin_corpus(emb), threshold=0.9
+        ).collect()
+        by_id = {r["vec_id"]: r for r in out}
+        n_base = emb.count()
+        # Every base vector is the earliest member of its dup group.
+        dropped = [r for r in out if not r["kept"]]
+        assert dropped, "expected planted twins to be deduplicated"
+        for r in dropped:
+            assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+            assert r["dup_of"] in by_id
+        # A twin is only droppable if it landed in its source's cell —
+        # cluster-local pruning misses cross-cell pairs by design
+        # (SemDeDup §3: recall is traded for the O(sum |cell|^2) cost
+        # model). On this corpus ~94% co-locate; require the bulk gone.
+        n_twins_dropped = sum(
+            1 for r in dropped if r["vec_id"] >= 1_000_000
+        )
+        assert n_twins_dropped >= int(0.9 * n_base)
+
+    def test_kept_set_has_no_remaining_neardup_pair_in_cell(self, emb):
+        corpus = self._twin_corpus(emb)
+        out = similarity.semantic_dedup(corpus, threshold=0.9)
+        kept = out.filter("kept").select("vec_id", "cell_id")
+        # Within every cell, kept members must be pairwise below
+        # threshold: re-verify with the exact cosine on kept survivors.
+        vn = similarity.with_norm(corpus)
+        a = kept.join(vn, "vec_id").select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("ia"),
+            F.col("_v").alias("va"),
+            F.col("_norm").alias("na"),
+        )
+        b = kept.join(vn, "vec_id").select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("ib"),
+            F.col("_v").alias("vb"),
+            F.col("_norm").alias("nb"),
+        )
+        from etl_data_warehouse_spark.operators.similarity import _dot
+
+        viol = (
+            a.join(b, "cell_id")
+            .filter(F.col("ia") < F.col("ib"))
+            .filter(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                >= 0.9
+            )
+            .count()
+        )
+        assert viol == 0
+
+    def test_no_cartesian_in_plan(self, emb):
+        plan = similarity.semantic_dedup(
+            self._twin_corpus(emb), threshold=0.9
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
