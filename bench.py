@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "q76_tpch_q18_large_orders",
     "q77_tpch_q19_disjunctive_revenue",
     "q80_sliding_window_activity",
+    # round 4 additions (set grows: totals are comparable per-query,
+    # not via "value", across rounds)
+    "q83_quality_rules",
+    "q85_crossdoc_ngram_dup",
 ]
 
 
@@ -171,6 +175,15 @@ def _scale_section(spark) -> dict:
         ),
         "hyperplane_lsh_neardup": lambda: similarity.hyperplane_lsh_neardup(
             ndvecs, threshold=0.90
+        ),
+        # SemDeDup at scale: Arrow assignment + per-cell numpy gram
+        # matrices; 1024 seed cells bound the within-cell pair cost.
+        "semantic_dedup": lambda: similarity.semantic_dedup(
+            ndvecs,
+            threshold=0.90,
+            n_cells=1024,
+            assign_arrow=True,
+            pairs_arrow=True,
         ),
     }
     # IVFADC: index build (train + encode + assign) is amortized across

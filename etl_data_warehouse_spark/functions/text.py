@@ -68,6 +68,21 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """All word n-grams in document order (array<string>, WITH repeats
+    — word_shingles is the distinct variant); empty when < n tokens."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # PII patterns shared by the Spark path and the DuckDB oracle twin.
 # Both engines' regex dialects (Java util.regex / RE2) agree on this
 # subset: character classes, bounded repeats, \d, word boundaries.

@@ -706,6 +706,7 @@ def semantic_dedup(
     n_cells: int | None = None,
     centroids: DataFrame | None = None,
     assign_arrow: bool = False,
+    pairs_arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, then drop any
@@ -734,6 +735,14 @@ def semantic_dedup(
     Default centroids: the first n_cells vec_ids (the ivf_topk seeding,
     deterministic); pass ``centroids=kmeans_centroids(...)`` for
     trained cells in production.
+
+    ``pairs_arrow=True`` replaces the within-cell pair self-join with a
+    grouped applyInPandas: one numpy gram matrix per cell — exactly the
+    per-cluster similarity matrix the paper computes. ~10x+ faster at
+    bench scale (fold cosines are interpreted); same caveat as
+    assign_arrow — BLAS summation can flip exact-threshold ties, so the
+    fold path remains the oracle-checked default. One shuffle on
+    cell_id either way.
     """
     if centroids is not None and n_cells is None:
         n_cells = centroids.count()
@@ -765,28 +774,56 @@ def semantic_dedup(
         .select("vid", "vv", "vn", "cell_id")
         .localCheckpoint()
     )
-    a = assigned.select(
-        "cell_id",
-        F.col("vid").alias("earlier_id"),
-        F.col("vv").alias("av"),
-        F.col("vn").alias("an"),
-    )
-    b = assigned.select(
-        "cell_id",
-        F.col("vid").alias("vec_id"),
-        F.col("vv").alias("bv"),
-        F.col("vn").alias("bn"),
-    )
-    dups = (
-        a.join(b, "cell_id")
-        .filter(F.col("earlier_id") < F.col("vec_id"))
-        .filter(
-            _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
-            >= threshold
+    if pairs_arrow:
+        import numpy as np
+        import pandas as pd
+
+        tau = float(threshold)
+
+        def prune(pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame({"vec_id": [], "dup_of": []}).astype(
+                    {"vec_id": "int64", "dup_of": "int64"}
+                )
+            order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+            ids = pdf["vid"].to_numpy()[order]
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["vv"]]
+            )[order]
+            V = V / pdf["vn"].to_numpy()[order][:, None]
+            hits = np.triu(V @ V.T >= tau, k=1)  # hits[i, j]: i < j
+            any_dup = hits.any(axis=0)
+            first = hits.argmax(axis=0)  # first i with hits[i, j]
+            return pd.DataFrame(
+                {"vec_id": ids[any_dup], "dup_of": ids[first[any_dup]]}
+            )
+
+        dups = assigned.groupBy("cell_id").applyInPandas(
+            prune, "vec_id bigint, dup_of bigint"
         )
-        .groupBy("vec_id")
-        .agg(F.min("earlier_id").alias("dup_of"))
-    )
+    else:
+        a = assigned.select(
+            "cell_id",
+            F.col("vid").alias("earlier_id"),
+            F.col("vv").alias("av"),
+            F.col("vn").alias("an"),
+        )
+        b = assigned.select(
+            "cell_id",
+            F.col("vid").alias("vec_id"),
+            F.col("vv").alias("bv"),
+            F.col("vn").alias("bn"),
+        )
+        dups = (
+            a.join(b, "cell_id")
+            .filter(F.col("earlier_id") < F.col("vec_id"))
+            .filter(
+                _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+                >= threshold
+            )
+            .groupBy("vec_id")
+            .agg(F.min("earlier_id").alias("dup_of"))
+        )
     return (
         assigned.select(F.col("vid").alias("vec_id"), "cell_id")
         .join(dups, "vec_id", "left")

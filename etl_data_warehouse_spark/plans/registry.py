@@ -102,6 +102,11 @@ _WINDOW_FIRST = [
     "q79_tpch_q22_lapsed_customers",
     "q30_sessionization",
     "q67_native_session_window",
+    # round-4 additions — need their first driver-checked rows
+    "q82_semantic_dedup",
+    "q83_quality_rules",
+    "q84_ngram_repetition",
+    "q85_crossdoc_ngram_dup",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

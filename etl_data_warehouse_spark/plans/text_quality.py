@@ -24,6 +24,7 @@ from ..functions.text import (
     pii_count,
     redact_pii,
     tokens,
+    word_ngrams,
 )
 from ..operators import corpus
 from ..sources.catalog import load_table
@@ -276,11 +277,162 @@ ORDER BY doc_id
 """
 
 
+def q84_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated n-gram fraction (MassiveText quality filters, Rae et
+    al. 2021 §A1.1; RefinedWeb carries the same family): 1 − distinct/
+    total over word 2-grams and 3-grams — the standard boilerplate /
+    template-spam signal a pretraining filter thresholds on. Pure
+    per-row projection (zero shuffles): the n-gram arrays are built and
+    reduced inside one expression, never exploded."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.select("doc_id", "text")
+    for n in (2, 3):
+        grams = word_ngrams("text", n)
+        total = F.size(grams).cast("long")
+        distinct = F.size(F.array_distinct(grams)).cast("long")
+        frac = F.when(
+            total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+        out = (
+            out.withColumn(f"n_{n}grams", total)
+            .withColumn(f"n_distinct_{n}grams", distinct)
+            .withColumn(f"dup_{n}gram_frac", frac)
+        )
+    return out.drop("text").orderBy("doc_id")
+
+
+Q84_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(tok) >= 2 THEN
+               list_transform(generate_series(1, len(tok) - 1),
+                              i -> tok[i] || ' ' || tok[i + 1])
+           ELSE [] END AS g2,
+           CASE WHEN len(tok) >= 3 THEN
+               list_transform(generate_series(1, len(tok) - 2),
+                              i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])
+           ELSE [] END AS g3
+    FROM t
+)
+SELECT doc_id,
+       len(g2)::BIGINT AS n_2grams,
+       len(list_distinct(g2))::BIGINT AS n_distinct_2grams,
+       CASE WHEN len(g2) > 0
+            THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE
+            ELSE 0.0 END AS dup_2gram_frac,
+       len(g3)::BIGINT AS n_3grams,
+       len(list_distinct(g3))::BIGINT AS n_distinct_3grams,
+       CASE WHEN len(g3) > 0
+            THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)::DOUBLE
+            ELSE 0.0 END AS dup_3gram_frac
+FROM g
+ORDER BY doc_id
+"""
+
+
+def q85_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication scan (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, suffix-array method approximated at word-8-gram
+    granularity): for every document, the fraction of its word 8-grams
+    that also occur in at least one OTHER document — the per-doc signal
+    an exact-substring dedup pipeline thresholds on before cutting.
+
+    Scale shape: one posexplode (rows = total tokens, linear), one
+    groupBy on the gram key with a map-side partial countDistinct, one
+    join back, one per-doc aggregate — the canonical inverted-index
+    shape. At 100 TB the gram JOIN KEY would be xxhash64(gram) to keep
+    the shuffle narrow (collision odds ~N^2/2^64 are acceptable for a
+    filter signal); the string key is kept here so the DuckDB oracle
+    replays exactly.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    para = spark.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(para, "doc_id")
+        .select("doc_id", F.explode(word_ngrams("text", 8)).alias("gram"))
+        .localCheckpoint()
+    )
+    doc_freq = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    per_doc = (
+        grams.join(doc_freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_8grams"),
+            F.sum((F.col("doc_freq") >= 2).cast("long")).alias(
+                "n_dup_8grams"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_8grams", F.lit(0)).alias("n_8grams"),
+            F.coalesce("n_dup_8grams", F.lit(0)).alias("n_dup_8grams"),
+            F.when(
+                F.coalesce("n_8grams", F.lit(0)) > 0,
+                F.col("n_dup_8grams").cast("double")
+                / F.col("n_8grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_8gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q85_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(tok) >= 8 THEN
+            list_transform(generate_series(1, len(tok) - 7),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                     || tok[i+3] || ' ' || tok[i+4] || ' ' || tok[i+5]
+                     || ' ' || tok[i+6] || ' ' || tok[i+7])
+        ELSE [] END) AS gram
+    FROM t
+),
+doc_freq AS (
+    SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq FROM grams GROUP BY 1
+),
+per_doc AS (
+    SELECT g.doc_id,
+           COUNT(*)::BIGINT AS n_8grams,
+           SUM((f.doc_freq >= 2)::BIGINT)::BIGINT AS n_dup_8grams
+    FROM grams g JOIN doc_freq f USING (gram)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_8grams, 0) AS n_8grams,
+       COALESCE(p.n_dup_8grams, 0) AS n_dup_8grams,
+       CASE WHEN COALESCE(p.n_8grams, 0) > 0
+            THEN p.n_dup_8grams::DOUBLE / p.n_8grams::DOUBLE
+            ELSE 0.0 END AS dup_8gram_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q48_pii_scrub": q48_pii_scrub,
     "q49_repetition_stats": q49_repetition_stats,
     "q50_tfidf_topk": q50_tfidf_topk,
     "q83_quality_rules": q83_quality_rules,
+    "q84_ngram_repetition": q84_ngram_repetition,
+    "q85_crossdoc_ngram_dup": q85_crossdoc_ngram_dup,
 }
 
 ORACLES = {
@@ -288,4 +440,6 @@ ORACLES = {
     "q49_repetition_stats": Q49_ORACLE,
     "q50_tfidf_topk": Q50_ORACLE,
     "q83_quality_rules": Q83_ORACLE,
+    "q84_ngram_repetition": Q84_ORACLE,
+    "q85_crossdoc_ngram_dup": Q85_ORACLE,
 }

@@ -500,3 +500,17 @@ class TestSemanticDedup:
             self._twin_corpus(emb), threshold=0.9
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+    def test_pairs_arrow_matches_fold(self, emb):
+        corpus = self._twin_corpus(emb)
+        fold = sorted(
+            tuple(r)
+            for r in similarity.semantic_dedup(corpus, threshold=0.9).collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in similarity.semantic_dedup(
+                corpus, threshold=0.9, assign_arrow=True, pairs_arrow=True
+            ).collect()
+        )
+        assert fold == arrow

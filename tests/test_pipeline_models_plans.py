@@ -155,3 +155,28 @@ class TestDriverContract:
             assert df.count() > 0
         finally:
             spark.conf.set(key, "true")
+
+    def test_events_ts_is_session_timezone_independent(self, spark, sf_dir):
+        """The NTZ normalization (catalog.py load_table) maps the stored
+        wall clock to an instant via timestampdiff from the NTZ epoch —
+        NOT via an NTZ->LTZ cast, which would round-trip through
+        spark.sql.session.timeZone and shift DST-gap wall times on
+        non-UTC drivers. Pin: epoch millis are identical under a DST
+        timezone, so the DuckDB epoch_ms hash gate holds on any host."""
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        def first_ms():
+            return (
+                load_table(spark, "events", sf_dir)
+                .agg(F.unix_millis(F.min("ts")))
+                .first()[0]
+            )
+
+        key = "spark.sql.session.timeZone"
+        prev = spark.conf.get(key)
+        utc_ms = first_ms()
+        try:
+            spark.conf.set(key, "America/New_York")
+            assert first_ms() == utc_ms
+        finally:
+            spark.conf.set(key, prev)

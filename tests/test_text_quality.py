@@ -151,3 +151,39 @@ class TestRepetitionStats:
             assert 0 < r["type_token_ratio"] <= 1.0
             assert r["top_freq"] <= r["n_tokens"]
             assert r["n_distinct_tokens"] <= r["n_tokens"]
+
+
+class TestWordNgrams:
+    def test_short_and_empty_docs(self, spark):
+        from etl_data_warehouse_spark.functions.text import word_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, "two words"), (3, "a b c"), (4, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: (r["g2"], r["g3"])
+            for r in df.select(
+                "doc_id",
+                word_ngrams("text", 2).alias("g2"),
+                word_ngrams("text", 3).alias("g3"),
+            ).collect()
+        }
+        assert rows[1] == ([], [])          # < n tokens -> empty, no error
+        assert rows[2] == (["two words"], [])
+        assert rows[3] == (["a b", "b c"], ["a b c"])
+        assert rows[4] == ([], [])          # empty text -> one "" token
+
+    def test_ngrams_keep_repeats_in_order(self, spark):
+        from etl_data_warehouse_spark.functions.text import (
+            word_ngrams,
+            word_shingles,
+        )
+
+        df = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+        r = df.select(
+            word_ngrams("text", 2).alias("g"),
+            word_shingles("text", 2).alias("s"),
+        ).first()
+        assert r["g"] == ["x y", "y x", "x y", "y x"]   # repeats kept
+        assert sorted(r["s"]) == ["x y", "y x"]          # distinct variant
