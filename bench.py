@@ -170,6 +170,12 @@ def _scale_section(spark) -> dict:
         "exact_dedup": lambda: dedup.exact_dedup_groups(docs),
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(docs),
         "simhash_blocked": lambda: dedup.simhash_pairs_blocked(docs),
+        # score_arrow measured SLOWER here (r4, dim 16: 5.1s vs 3.9s
+        # p50, 4.6s even via mapInArrow; dim 64: 5.4s vs 4.0s): the
+        # ~3M-row candidate transfer to the Python worker costs more
+        # than the JVM fold saves — assignment stays Arrow (matmul
+        # batching), scoring stays fold (row-wise dot has no batching
+        # to exploit).
         "ivf_topk_arrow": lambda: similarity.ivf_topk(
             vecs, k=5, n_cells=256, nprobe=8, queries=qvecs, assign_arrow=True
         ),

@@ -387,6 +387,24 @@ class TestIvfQueryBatch:
             (r["src_id"], r["neighbor_id"], r["rank"]) for r in arrow
         ]
 
+    def test_arrow_scoring_matches_fold(self, spark):
+        """score_arrow=True (numpy candidate scoring) must return the
+        same (src, neighbor, rank) set as the fold path — same
+        measure-zero-tie argument as assignment."""
+        from etl_data_warehouse_spark.operators import similarity
+
+        corpus, queries = self._data(spark)
+        fold = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries
+        ).collect()
+        arrow = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries,
+            assign_arrow=True, score_arrow=True,
+        ).collect()
+        assert [(r["src_id"], r["neighbor_id"], r["rank"]) for r in fold] == [
+            (r["src_id"], r["neighbor_id"], r["rank"]) for r in arrow
+        ]
+
     def test_no_cartesian_in_query_batch_plan(self, spark):
         from etl_data_warehouse_spark.operators import similarity
 
