@@ -168,3 +168,57 @@ class TestIvfPq:
         for r in rows:
             per.setdefault(r["src_id"], []).append(r["rank"])
         assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+
+    def test_packed_index_equals_longform(self, spark, nd_data):
+        """codes_packed + assigned (the persisted-index production
+        shape) must return exactly the long-form codes_table result."""
+        from etl_data_warehouse_spark.operators.pq import (
+            ivfadc_topk,
+            pack_codes,
+            pq_encode,
+            train_pq_codebooks,
+        )
+        from etl_data_warehouse_spark.operators.similarity import (
+            rank_cells,
+            with_norm,
+        )
+        from pyspark.sql import functions as F
+
+        corpus, queries = nd_data
+        cents = similarity.kmeans_centroids(
+            corpus, n_cells=32, max_iterations=4
+        )
+        books = train_pq_codebooks(corpus, m=4, codes=16, max_iterations=4)
+        codes_t = pq_encode(corpus, books).localCheckpoint()
+        packed = pack_codes(codes_t, books).localCheckpoint()
+        cents_n = cents.select(
+            "cell_id",
+            "cv",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cv", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("cn"),
+        )
+        v = with_norm(corpus).select(
+            F.col("vec_id").alias("vid"),
+            F.col("_v").alias("vv"),
+            F.col("_norm").alias("vn"),
+        )
+        assigned = (
+            rank_cells(v, cents_n, 1)
+            .select(F.col("vid").alias("vec_id"), "cell_id")
+            .localCheckpoint()
+        )
+        base = ivfadc_topk(
+            corpus, queries, k=3, n_cells=32, nprobe=8,
+            centroids=cents, codebooks=books, codes_table=codes_t,
+        ).collect()
+        fast = ivfadc_topk(
+            corpus, queries, k=3, n_cells=32, nprobe=8,
+            centroids=cents, codebooks=books,
+            codes_packed=packed, assigned=assigned,
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, fast))
