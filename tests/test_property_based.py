@@ -258,3 +258,34 @@ def test_pii_redaction_is_idempotent(spark_global, texts):
     ).collect()
     for r in out:
         assert r["r1"] == r["r2"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", max_size=30), min_size=1, max_size=6
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_word_ngram_count_invariants(spark_global, texts, n):
+    """len(ngrams) == max(0, T - n + 1) for T whitespace tokens;
+    distinct <= total; the q84 dup fraction is therefore in [0, 1)."""
+    from etl_data_warehouse_spark.functions.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    df = spark_global.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        F.size(tokens("text")).alias("t"),
+        F.size(word_ngrams("text", n)).alias("g"),
+        F.size(F.array_distinct(word_ngrams("text", n))).alias("d"),
+    ).collect()
+    for r in out:
+        expect = r["t"] - n + 1 if r["t"] >= n else 0
+        assert r["g"] == expect, (r, n)
+        assert 0 <= r["d"] <= r["g"]
