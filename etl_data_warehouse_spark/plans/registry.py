@@ -103,6 +103,8 @@ _WINDOW_FIRST = [
     "q30_sessionization",
     "q67_native_session_window",
     # round-4 additions — need their first driver-checked rows
+    # (q81 has no oracle; the driver applies its rows-only check)
+    "q81_ivfadc_topk",
     "q82_semantic_dedup",
     "q83_quality_rules",
     "q84_ngram_repetition",

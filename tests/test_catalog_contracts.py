@@ -122,3 +122,37 @@ class TestOrcRoundTrip:
         pruned = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"])
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "o_orderstatus" not in plan.split("ReadSchema")[-1][:300]
+
+
+class TestRegistryWindow:
+    """The driver hash-checks list(QUERIES)[:50]. Queries that have
+    never received a driver-checked row (q47+ rotation, round-4
+    additions) must sit inside that window, every oracle must have a
+    query, and both dicts must stay in sync with __spark_entry__."""
+
+    def test_window_covers_unchecked_queries(self):
+        from etl_data_warehouse_spark.plans.registry import (
+            _WINDOW_FIRST,
+            QUERIES,
+        )
+
+        window = list(QUERIES)[:50]
+        # the rotation list IS the set needing driver rows (q59 earned
+        # its green row in r3 and may sit outside)
+        missing = [k for k in _WINDOW_FIRST if k not in window]
+        assert not missing, missing
+        assert len(window) == len(set(window)) == 50
+
+    def test_oracles_subset_of_queries(self):
+        from etl_data_warehouse_spark.plans.registry import ORACLES, QUERIES
+
+        assert set(ORACLES) <= set(QUERIES)
+        # every registered query is callable
+        assert all(callable(f) for f in QUERIES.values())
+
+    def test_entry_module_mirrors_registry(self):
+        import __spark_entry__ as e
+        from etl_data_warehouse_spark.plans.registry import ORACLES, QUERIES
+
+        assert list(e.queries()) == list(QUERIES)
+        assert e.oracle_sql() == ORACLES
