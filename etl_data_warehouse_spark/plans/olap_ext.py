@@ -339,6 +339,70 @@ ORDER BY window_start_ms
 """
 
 
+def q86_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: top-20 heaviest l_suppkey values
+    with their share of the table, plus the global skew factor
+    (max-key rows / mean rows-per-key) — the measurement that decides
+    when operators/skew.py salting or AQE skew-join splitting is worth
+    it at 100 TB. One shuffle on the key, one tiny global aggregate
+    broadcast back; the rank<=20 filter runs as a partial
+    WindowGroupLimit, so only each partition's top rows reach the
+    final sort."""
+    li = load_table(spark, "lineitem", sf_dir, columns=["l_suppkey"])
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), "l_suppkey")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "l_suppkey",
+            "n_rows",
+            (
+                F.col("n_rows").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("share_of_table"),
+            (
+                F.col("max_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_factor"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q86_ORACLE = """
+WITH counts AS (
+    SELECT l_suppkey, COUNT(*)::BIGINT AS n_rows
+    FROM lineitem GROUP BY 1
+),
+totals AS (
+    SELECT SUM(n_rows)::BIGINT AS total_rows,
+           COUNT(*)::BIGINT AS n_keys,
+           MAX(n_rows)::BIGINT AS max_rows
+    FROM counts
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n_rows DESC, l_suppkey)::INT AS rank
+    FROM counts
+)
+SELECT r.rank, r.l_suppkey, r.n_rows,
+       r.n_rows::DOUBLE / t.total_rows::DOUBLE AS share_of_table,
+       t.max_rows::DOUBLE * t.n_keys::DOUBLE / t.total_rows::DOUBLE
+           AS skew_factor
+FROM ranked r CROSS JOIN totals t
+WHERE r.rank <= 20
+ORDER BY r.rank
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q57_status_pivot": q57_status_pivot,
@@ -346,6 +410,7 @@ QUERIES = {
     "q60_grouping_sets": q60_grouping_sets,
     "q61_distribution_windows": q61_distribution_windows,
     "q80_sliding_window_activity": q80_sliding_window_activity,
+    "q86_key_skew_report": q86_key_skew_report,
 }
 ORACLES = {
     "q53_order_value_quantiles": Q53_ORACLE,
@@ -354,4 +419,5 @@ ORACLES = {
     "q60_grouping_sets": Q60_ORACLE,
     "q61_distribution_windows": Q61_ORACLE,
     "q80_sliding_window_activity": Q80_ORACLE,
+    "q86_key_skew_report": Q86_ORACLE,
 }

@@ -109,6 +109,7 @@ _WINDOW_FIRST = [
     "q83_quality_rules",
     "q84_ngram_repetition",
     "q85_crossdoc_ngram_dup",
+    "q86_key_skew_report",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
