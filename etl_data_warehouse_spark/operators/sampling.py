@@ -132,3 +132,62 @@ def sequence_packing(
             ),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column | str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (one pass).
+
+    Efraimidis–Spirakis A-ES: each row draws priority
+    ``ln(u) / w`` with ``u ~ U(0,1)``; the k LARGEST priorities are an
+    exact weighted sample without replacement. The uniform is not
+    random but hashed — ``u = (md5_32(salt||key)+1) / 2^32`` — so the
+    selection is reproducible across runs/engines and stable under
+    re-partitioning (the property ``F.rand`` lacks), and adding rows
+    never perturbs other rows' priorities: an incremental corpus keeps
+    its previous picks unless a new row out-ranks one.
+
+    Scale: zero-shuffle projection + global TakeOrdered top-k (partial
+    per-partition top-k then a k-row driver merge — never a full sort).
+    Rows with non-positive weight are excluded (they would carry
+    priority -inf anyway).
+    """
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(4294967296.0)
+    pri = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(key))
+        .limit(k)
+        .drop("_pri")
+    )
+
+
+def weighted_sample_sql(
+    table: str, weight_sql: str, k: int, key_sql: str, salt: str = "wsample"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_topk` (for oracles):
+    identical md5-derived uniform, identical ``ln(u)/w`` priority."""
+    u = (
+        f"((('0x' || substring(md5('{salt}' || {key_sql}), 1, 8))::BIGINT"
+        f" + 1) / 4294967296.0)"
+    )
+    return (
+        f"SELECT * EXCLUDE (_pri) FROM ("
+        f"SELECT *, ln({u}) / CAST({weight_sql} AS DOUBLE) AS _pri"
+        f" FROM {table} WHERE CAST({weight_sql} AS DOUBLE) > 0"
+        f" ORDER BY _pri DESC, {key_sql} LIMIT {k})"
+    )

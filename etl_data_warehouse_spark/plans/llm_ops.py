@@ -23,7 +23,7 @@ from ..functions.text import (
     stopword_hits,
     token_count,
 )
-from ..operators import dedup, graph, multimodal, sessionize, similarity
+from ..operators import cdc, dedup, graph, multimodal, sessionize, similarity
 from ..sources.catalog import load_table
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
@@ -750,6 +750,51 @@ ORDER BY s.vec_id
 """
 
 
+# --- q87: CDC changelog apply (last-writer-wins + deletes) -------------------
+# The events stream read as a CDC feed: user_id is the key, (ts_ms,
+# event_id) the total order, 'error' events are tombstones. The state
+# fold is operators/cdc.py apply_changelog — ONE shuffle on the key;
+# the reference's loaders cover only the upsert half of this semantics
+# (reference: loaders/warehouse_loader.py:63-69 ON CONFLICT DO UPDATE).
+
+def q87_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    changes = events.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", cdc.DELETE_OP)
+        .otherwise(cdc.UPSERT_OP)
+        .alias("op"),
+    )
+    state = cdc.apply_changelog(changes, ["user_id"], ["ts_ms", "event_id"])
+    return state.select(
+        "user_id", "ts_ms", "event_id", "value", "n_changes"
+    ).orderBy("user_id")
+
+
+Q87_ORACLE = """
+WITH c AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+    FROM events
+),
+r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM c
+)
+SELECT user_id, ts_ms, event_id, value, n_changes
+FROM r
+WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -769,6 +814,7 @@ QUERIES = {
     "q55_embedding_stats": q55_embedding_stats,
     "q81_ivfadc_topk": q81_ivfadc_topk,
     "q82_semantic_dedup": q82_semantic_dedup,
+    "q87_cdc_apply": q87_cdc_apply,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 
@@ -790,6 +836,7 @@ ORACLES = {
     "q41_hyperplane_lsh_neardup": Q41_ORACLE,
     "q55_embedding_stats": Q55_ORACLE,
     "q82_semantic_dedup": Q82_ORACLE,
+    "q87_cdc_apply": Q87_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
 }
 

@@ -403,6 +403,77 @@ ORDER BY r.rank
 """
 
 
+_N_BINS = 20
+
+
+def q89_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice (the ANALYZE-style column
+    profile a CBO consumes): exact min/max bounds, 20 bins, per-bin
+    row count + decimal-exact revenue. Two scans (tiny bounds agg
+    broadcast back) + ONE shuffle on the 20-value bin key; bit-stable
+    because bin = floor((x-lo)/width) is the identical IEEE double op
+    sequence in both engines, and the money sum stays DECIMAL until the
+    output boundary."""
+    orders = load_table(
+        spark, "orders", sf_dir, columns=["o_totalprice"]
+    )
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).withColumn("width", (F.col("hi") - F.col("lo")) / F.lit(float(_N_BINS)))
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_N_BINS - 1).cast("long"),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("width")),
+        ).alias("bin"),
+        "lo",
+        "width",
+        "o_totalprice",
+    )
+    return (
+        binned.groupBy("bin", "lo", "width")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        )
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin").cast("double") * F.col("width")).alias(
+                "bin_lo"
+            ),
+            (
+                F.col("lo")
+                + (F.col("bin") + F.lit(1)).cast("double") * F.col("width")
+            ).alias("bin_hi"),
+            "n_orders",
+            F.col("_rev").cast("double").alias("sum_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q89_ORACLE = f"""
+WITH bounds AS (
+    SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           (MAX(o_totalprice) - MIN(o_totalprice)) / {float(_N_BINS)} AS width
+    FROM orders
+),
+binned AS (
+    SELECT LEAST({_N_BINS - 1},
+                 FLOOR((o_totalprice - b.lo) / b.width)::BIGINT) AS bin,
+           b.lo, b.width, o_totalprice
+    FROM orders CROSS JOIN bounds b
+)
+SELECT bin,
+       lo + bin::DOUBLE * width            AS bin_lo,
+       lo + (bin + 1)::DOUBLE * width      AS bin_hi,
+       COUNT(*)::BIGINT                    AS n_orders,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM binned
+GROUP BY bin, lo, width
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q57_status_pivot": q57_status_pivot,
@@ -411,6 +482,7 @@ QUERIES = {
     "q61_distribution_windows": q61_distribution_windows,
     "q80_sliding_window_activity": q80_sliding_window_activity,
     "q86_key_skew_report": q86_key_skew_report,
+    "q89_value_histogram": q89_value_histogram,
 }
 ORACLES = {
     "q53_order_value_quantiles": Q53_ORACLE,
@@ -420,4 +492,5 @@ ORACLES = {
     "q61_distribution_windows": Q61_ORACLE,
     "q80_sliding_window_activity": Q80_ORACLE,
     "q86_key_skew_report": Q86_ORACLE,
+    "q89_value_histogram": Q89_ORACLE,
 }

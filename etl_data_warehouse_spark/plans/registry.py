@@ -110,6 +110,9 @@ _WINDOW_FIRST = [
     "q84_ngram_repetition",
     "q85_crossdoc_ngram_dup",
     "q86_key_skew_report",
+    "q87_cdc_apply",
+    "q88_weighted_sample",
+    "q89_value_histogram",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

@@ -177,11 +177,40 @@ ORDER BY doc_id
 """
 
 
+# --- q88: weighted sampling without replacement (Efraimidis-Spirakis) -------
+# 1000 orders drawn with probability proportional to o_totalprice, via
+# deterministic hashed uniforms (ln(u)/w priority, top-k). Zero-shuffle
+# projection + TakeOrdered; both engines compute the identical md5
+# uniform, so the picked set hash-matches.
+
+_WS_K = 1000
+
+
+def q88_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark, "orders", sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return sampling.weighted_sample_topk(
+        orders, "o_totalprice", _WS_K, key="o_orderkey"
+    ).orderBy("o_orderkey")
+
+
+Q88_ORACLE = f"""
+SELECT * FROM (
+  {sampling.weighted_sample_sql(
+      "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders)",
+      "o_totalprice", _WS_K, "o_orderkey::VARCHAR")}
+) ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q43_train_test_split": q43_train_test_split,
     "q44_vocab_topk": q44_vocab_topk,
     "q45_sequence_packing": q45_sequence_packing,
     "q46_contamination": q46_contamination,
+    "q88_weighted_sample": q88_weighted_sample,
 }
 
 ORACLES = {
@@ -189,4 +218,5 @@ ORACLES = {
     "q44_vocab_topk": Q44_ORACLE,
     "q45_sequence_packing": Q45_ORACLE,
     "q46_contamination": Q46_ORACLE,
+    "q88_weighted_sample": Q88_ORACLE,
 }

@@ -1,0 +1,88 @@
+"""Streaming CDC materializer == batch changelog fold (cdc_stream.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_data_warehouse_spark.operators import cdc
+from etl_data_warehouse_spark.sources.catalog import load_table
+from etl_data_warehouse_spark.streaming.cdc_stream import (
+    read_cdc_state,
+    start_cdc_stream,
+)
+
+
+def _changes_from_events(spark, sf_dir):
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        F.col("user_id").alias("key"),
+        F.unix_millis("ts").alias("ts"),
+        F.col("event_id").alias("change_id"),
+        "value",
+        F.when(F.col("event_type") == "error", cdc.DELETE_OP)
+        .otherwise(cdc.UPSERT_OP)
+        .alias("op"),
+    )
+
+
+class TestCdcStream:
+    def test_streaming_equals_batch_fold(self, spark, sf_dir, tmp_path):
+        changes = _changes_from_events(spark, sf_dir)
+        input_dir = str(tmp_path / "in")
+        snap = str(tmp_path / "snapshot")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(input_dir)
+
+        expected = {
+            (r["key"], r["ts"], r["change_id"], r["value"])
+            for r in cdc.apply_changelog(
+                changes, ["key"], ["ts", "change_id"]
+            ).collect()
+        }
+        assert expected
+
+        # Two time-ordered microbatch runs — the CDC arrival pattern.
+        cut = changes.agg(F.expr("percentile(ts, 0.5)")).first()[0]
+        for pred in [F.col("ts") <= cut, F.col("ts") > cut]:
+            changes.filter(pred).coalesce(1).write.mode("append").parquet(
+                input_dir
+            )
+            q = start_cdc_stream(spark, input_dir, snap, ckpt)
+            q.awaitTermination(120)
+
+        got = {
+            (r["key"], r["ts"], r["change_id"], r["value"])
+            for r in read_cdc_state(spark, snap).collect()
+        }
+        assert got == expected
+
+    def test_out_of_order_batches_converge(self, spark, sf_dir, tmp_path):
+        # LATE batch arrives second: older changes must not clobber
+        # newer snapshot rows (seq ordering, not arrival ordering).
+        changes = _changes_from_events(spark, sf_dir)
+        input_dir = str(tmp_path / "in")
+        snap = str(tmp_path / "snapshot")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(input_dir)
+
+        expected = {
+            (r["key"], r["ts"], r["change_id"], r["value"])
+            for r in cdc.apply_changelog(
+                changes, ["key"], ["ts", "change_id"]
+            ).collect()
+        }
+        cut = changes.agg(F.expr("percentile(ts, 0.5)")).first()[0]
+        for pred in [F.col("ts") > cut, F.col("ts") <= cut]:  # newest first
+            changes.filter(pred).coalesce(1).write.mode("append").parquet(
+                input_dir
+            )
+            q = start_cdc_stream(spark, input_dir, snap, ckpt)
+            q.awaitTermination(120)
+
+        got = {
+            (r["key"], r["ts"], r["change_id"], r["value"])
+            for r in read_cdc_state(spark, snap).collect()
+        }
+        assert got == expected
