@@ -289,10 +289,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
         fn = BENCH_OVERRIDES.get(name) or QUERIES.get(name)
         if fn is None:
             continue
+        if i and i % 8 == 0:
+            # Periodic GC: with 30+ queries x 6 executions, accumulated
+            # session litter inflates later queries' p50 well above
+            # their min (q44: min 0.75s vs p50 1.9s in r4 before this).
+            _release_session_state(spark)
         s = _run_timed(lambda: fn(spark, sf_dir), N_RUNS)
         timings[name] = s["p50"]
         spread[name] = s

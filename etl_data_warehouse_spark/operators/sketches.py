@@ -68,3 +68,67 @@ def total_distinct(sketches: DataFrame) -> int:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
     ).first()
     return int(row["est"])
+
+
+# --- Frequent-items (heavy hitters) sketches --------------------------------
+# Spark 4.1 ships DataSketches frequent-items as SQL functions:
+# approx_top_k(expr, k, maxItemsTracked) for one-shot estimation, and
+# the mergeable triple approx_top_k_accumulate / _combine / _estimate
+# for the pre-aggregate-then-rollup pattern (same shape as the HLL
+# rows above). Guarantee: with maxItemsTracked M, every item with
+# count > n/M is reported and counts are within n/M of exact — so for
+# a bounded-cardinality column (event_type, lang, source, status) a
+# modest M makes the sketch EXACT. Like HLL, the binary state is not
+# DuckDB-reproducible, so contracts are test-pinned.
+
+
+def daily_topk_sketches(
+    events: DataFrame,
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    max_items: int = 1024,
+) -> DataFrame:
+    """Per-day frequent-items sketch of ``value_col`` — persist next to
+    the daily partitions; one shuffle at day grain, map-side partials."""
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.expr(
+            f"approx_top_k_accumulate({value_col}, {max_items})"
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_topk(
+    sketches: DataFrame,
+    grain_expr: F.Column,
+    k: int,
+    grain_name: str = "grain",
+    max_items: int = 1024,
+) -> DataFrame:
+    """Merge per-day sketches to a coarser grain and report top-k
+    ``(item, count)`` structs per grain — no rescan of the raw fact."""
+    return (
+        sketches.groupBy(grain_expr.alias(grain_name))
+        .agg(
+            F.expr(f"approx_top_k_combine(sketch, {max_items})").alias(
+                "merged"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            grain_name,
+            F.expr(f"approx_top_k_estimate(merged, {k})").alias("top_k"),
+            "n_rows",
+        )
+    )
+
+
+def global_topk(sketches: DataFrame, k: int, max_items: int = 1024) -> list:
+    """Global heavy hitters from the persisted daily sketches."""
+    row = sketches.agg(
+        F.expr(
+            f"approx_top_k_estimate(approx_top_k_combine(sketch,"
+            f" {max_items}), {k})"
+        ).alias("top")
+    ).first()
+    return list(row["top"])

@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 from etl_data_warehouse_spark.operators.sketches import (
     daily_distinct_sketches,
+    daily_topk_sketches,
+    global_topk,
     rollup_distinct,
+    rollup_topk,
     total_distinct,
 )
 from etl_data_warehouse_spark.sources.catalog import load_table
@@ -56,3 +59,52 @@ class TestHllSketches:
         plan = daily._jdf.queryExecution().executedPlan().toString()
         assert "Expand" not in plan
         assert "hll_sketch_agg" in plan
+
+
+class TestTopKSketches:
+    """Frequent-items sketches: exactness on bounded-cardinality
+    columns, merge == one-pass, and the no-Expand scale contract."""
+
+    def test_rollup_matches_exact_counts(self, spark, sf_dir):
+        events = load_table(spark, "events", sf_dir)
+        daily = daily_topk_sketches(events).cache()
+        monthly = rollup_topk(
+            daily, F.date_trunc("month", F.col("day")), k=5, grain_name="month"
+        )
+        exact = {
+            (r["month"], r["event_type"]): r["n"]
+            for r in events.groupBy(
+                F.date_trunc("month", F.to_date("ts")).alias("month"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = monthly.collect()
+        assert rows
+        for r in rows:
+            # 5 distinct event types, maxItemsTracked=1024 -> exact
+            got = {e["item"]: e["count"] for e in r["top_k"]}
+            want = {
+                t: n for (m, t), n in exact.items() if m == r["month"]
+            }
+            assert got == want, (r["month"], got, want)
+        daily.unpersist()
+
+    def test_global_topk_exact(self, spark, sf_dir):
+        events = load_table(spark, "events", sf_dir)
+        top = global_topk(daily_topk_sketches(events), k=5)
+        exact = {
+            r["event_type"]: r["n"]
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert {e["item"]: e["count"] for e in top} == exact
+
+    def test_no_expand_in_topk_plan(self, spark, sf_dir):
+        events = load_table(spark, "events", sf_dir)
+        daily = daily_topk_sketches(events)
+        plan = daily._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        assert "approx_top_k_accumulate" in plan
