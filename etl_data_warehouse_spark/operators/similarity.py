@@ -470,7 +470,24 @@ def hyperplane_lsh_neardup(
     background pairs (cosine ≈ 0) collide per band with p = 2^-16 —
     candidate volume ≈ 16·N²/65536, effectively linear for corpora
     whose near-dup graph is sparse. No CartesianProduct (asserted in
-    tests)."""
+    tests).
+
+    Between the bucket join and the exact verify sits a full-signature
+    HAMMING PREFILTER: bucket-joined pairs attach both rows' complete
+    n_planes-bit signatures (a broadcast-sized table: N × bands longs)
+    and drop pairs whose bit-disagreement exceeds q_thr + 4σ, where
+    q_thr = acos(threshold)/π is the expected disagreement AT the
+    threshold and σ = sqrt(q_thr(1-q_thr)/n_planes) — all codegen'd
+    bit_count(xor) column math, no HOFs. In low dimension (≤ ~32) the
+    per-band bits correlate and background pairs flood the buckets
+    (measured: 12M candidates for 150K true pairs at dim 16 / 100K
+    vectors); the prefilter removes them BEFORE the distinct + verify
+    shuffles pay for each. False-reject probability for a pair exactly
+    at the threshold is Φ(-4) ≈ 3e-5, and it decays to ~1e-12 in the
+    planted-twin regime the oracle checks — the same w.h.p. class as
+    the banding itself."""
+    import math
+
     sig = srp_signatures(vectors, n_planes, bands, seed).localCheckpoint()
     keyed = sig.select(
         "vec_id",
@@ -488,13 +505,43 @@ def hyperplane_lsh_neardup(
     ).select("vec_id", "k.band", "k.bv")
     a = keyed.select(F.col("vec_id").alias("vec_a"), "band", "bv")
     b = keyed.select(F.col("vec_id").alias("vec_b"), "band", "bv")
-    cands = (
+    raw = (
         a.join(b, ["band", "bv"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
+    )
+    q_thr = math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    sigma = math.sqrt(q_thr * (1.0 - q_thr) / n_planes)
+    max_bits = int(math.ceil(n_planes * (q_thr + 4.0 * sigma)))
+    sig_a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        *[F.col(f"band_{i}").alias(f"sa_{i}") for i in range(bands)],
+    )
+    sig_b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        *[F.col(f"band_{i}").alias(f"sb_{i}") for i in range(bands)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"sa_{i}").bitwiseXOR(F.col(f"sb_{i}")))
+        for i in range(bands)
+    )
+    cands = (
+        raw.join(sig_a, "vec_a")
+        .join(sig_b, "vec_b")
+        .filter(hamming <= F.lit(max_bits))
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    vn = with_norm(vectors)
+    # Verify only touches vectors that appear in some candidate pair —
+    # semi-join the (dup-proportional, tiny) candidate id set before
+    # paying the double-cast + norm fold and the pair joins, the same
+    # candidate-restriction verify_pairs (dedup.py) applies.
+    cand_ids = (
+        cands.select(F.col("vec_a").alias("vec_id"))
+        .union(cands.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    vn = with_norm(vectors.join(cand_ids, "vec_id", "left_semi"))
     va = vn.select(
         F.col("vec_id").alias("vec_a"),
         F.col("_v").alias("va"),
