@@ -454,16 +454,20 @@ def simhash_pairs_blocked(
     b = blocks.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk", "v"
     )
+    # Hamming filter BEFORE the distinct: bit_count(xor) is codegen'd
+    # per joined row, so evaluating it on collision duplicates is far
+    # cheaper than shuffling every colliding pair through distinct and
+    # filtering after (the collision stream is dominated by sub-
+    # threshold pairs that share one chunk by chance).
     return (
         a.join(b, ["blk", "v"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
