@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     # not via "value", across rounds)
     "q83_quality_rules",
     "q85_crossdoc_ngram_dup",
+    "q87_cdc_apply",
 ]
 
 

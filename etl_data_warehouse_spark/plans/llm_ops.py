@@ -795,6 +795,87 @@ ORDER BY user_id
 """
 
 
+# --- q90: last-touch attribution (purchase ← preceding non-purchase) ---------
+# For every purchase event: the user's most recent PRECEDING
+# non-purchase event (the "touch"), via last(ignore nulls) over an
+# unbounded-preceding-to-1-preceding frame — one shuffle on user_id,
+# no self-join (the naive formulation joins events to events on a
+# range predicate; the window form is the 100 TB shape).
+
+def q90_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_ms",
+        F.last(F.when(F.col("event_type") != "purchase", F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(F.col("event_type") != "purchase", F.col("ts_ms")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts_ms"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            "touch_event_id",
+            "touch_type",
+            (F.col("ts_ms") - F.col("touch_ts_ms")).alias("ms_since_touch"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q90_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+    FROM events
+),
+attributed AS (
+    SELECT event_id, user_id, event_type, ts_ms,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_id END IGNORE NULLS) OVER w
+               AS touch_event_id,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN ts_ms END IGNORE NULLS) OVER w
+               AS touch_ts_ms
+    FROM base
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT event_id, user_id, ts_ms, touch_event_id, touch_type,
+       ts_ms - touch_ts_ms AS ms_since_touch
+FROM attributed
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -815,6 +896,7 @@ QUERIES = {
     "q81_ivfadc_topk": q81_ivfadc_topk,
     "q82_semantic_dedup": q82_semantic_dedup,
     "q87_cdc_apply": q87_cdc_apply,
+    "q90_last_touch_attribution": q90_last_touch_attribution,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 
@@ -837,6 +919,7 @@ ORACLES = {
     "q55_embedding_stats": Q55_ORACLE,
     "q82_semantic_dedup": Q82_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
+    "q90_last_touch_attribution": Q90_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
 }
 

@@ -113,6 +113,7 @@ _WINDOW_FIRST = [
     "q87_cdc_apply",
     "q88_weighted_sample",
     "q89_value_histogram",
+    "q90_last_touch_attribution",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
