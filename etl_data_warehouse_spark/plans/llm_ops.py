@@ -876,6 +876,76 @@ ORDER BY event_id
 """
 
 
+# --- q91: segmented running balance (running sum with resets) ----------------
+# Per user, a running decimal-exact balance of event value that RESETS
+# at every signup event: segment id = running count of signups, then a
+# running sum within (user, segment). The standard ledger/inventory
+# "balance since last reset" shape, decomposed into two windows — no
+# recursive logic, no self-join. Money rule: DECIMAL inside the
+# running sum, DOUBLE only at the output boundary.
+
+def q91_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+    )
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = base.withColumn(
+        "seg",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(w_seg).cast("long"),
+    )
+    w_bal = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "seg",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w_bal)
+        .cast("double")
+        .alias("balance"),
+    ).orderBy("event_id")
+
+
+Q91_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+    FROM events
+),
+seg AS (
+    SELECT *,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS seg
+    FROM base
+)
+SELECT event_id, user_id, ts_ms, seg,
+       SUM(value::DECIMAL(18,6)) OVER (
+           PARTITION BY user_id, seg ORDER BY ts_ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::DOUBLE AS balance
+FROM seg
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -897,6 +967,7 @@ QUERIES = {
     "q82_semantic_dedup": q82_semantic_dedup,
     "q87_cdc_apply": q87_cdc_apply,
     "q90_last_touch_attribution": q90_last_touch_attribution,
+    "q91_running_balance": q91_running_balance,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 
@@ -920,6 +991,7 @@ ORACLES = {
     "q82_semantic_dedup": Q82_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q90_last_touch_attribution": Q90_ORACLE,
+    "q91_running_balance": Q91_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
 }
 

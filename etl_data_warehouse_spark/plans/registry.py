@@ -114,6 +114,7 @@ _WINDOW_FIRST = [
     "q88_weighted_sample",
     "q89_value_histogram",
     "q90_last_touch_attribution",
+    "q91_running_balance",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
