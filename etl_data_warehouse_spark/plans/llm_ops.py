@@ -946,6 +946,101 @@ ORDER BY event_id
 """
 
 
+# --- q92: frequent-items sketch rollup, oracle-checked -----------------------
+# Monthly top event types via the MERGEABLE approx_top_k sketch path
+# (operators/sketches.py: daily accumulate → monthly combine →
+# estimate). With 5 distinct event types and maxItemsTracked=1024 the
+# sketch guarantee makes counts EXACT, so the DuckDB oracle is a plain
+# GROUP BY — i.e. the sketch algebra itself is hash-checked, not just
+# test-pinned. The estimate's struct array is exploded and re-ranked
+# (count DESC, item) because the sketch orders ties arbitrarily.
+
+def q92_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import sketches
+
+    events = load_table(spark, "events", sf_dir)
+    daily = sketches.daily_topk_sketches(events)
+    monthly = sketches.rollup_topk(
+        daily, F.date_trunc("month", F.col("day")), k=5, grain_name="month"
+    )
+    exploded = monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "n_rows",
+        F.explode("top_k").alias("e"),
+    ).select(
+        "month",
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").alias("n_events"),
+        "n_rows",
+    )
+    w = Window.partitionBy("month").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return exploded.select(
+        "month",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "event_type",
+        "n_events",
+        "n_rows",
+    ).orderBy("month", "rank")
+
+
+Q92_ORACLE = """
+WITH monthly AS (
+    SELECT strftime(date_trunc('month', ts::DATE), '%Y-%m') AS month,
+           event_type,
+           COUNT(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT month, SUM(n_events)::BIGINT AS n_rows FROM monthly GROUP BY 1
+)
+SELECT m.month,
+       row_number() OVER (
+           PARTITION BY m.month ORDER BY m.n_events DESC, m.event_type
+       )::INT AS rank,
+       m.event_type, m.n_events, t.n_rows
+FROM monthly m JOIN totals t USING (month)
+QUALIFY rank <= 5
+ORDER BY month, rank
+"""
+
+
+# --- q93: multimodal frame sampling (1→many payload fan-out) -----------------
+# sample_frames slices every video payload into one probe row per
+# 64-byte "frame" — the frame-extraction plumbing shape with the codec
+# stubbed to a substring. Payloads are fabricated from ASCII text
+# (fake_assets), so the oracle re-derives the identical slices in SQL.
+
+def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    assets = multimodal.fake_assets(docs)
+    return multimodal.sample_frames(assets).orderBy("asset_id", "frame_idx")
+
+
+Q93_ORACLE = """
+WITH video AS (
+    SELECT doc_id AS asset_id, text
+    FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+    SELECT asset_id,
+           unnest(generate_series(
+               0, greatest((length(text) // 64) - 1, 0)
+           ))::INT AS frame_idx,
+           text
+    FROM video
+)
+SELECT asset_id, frame_idx,
+       substring(text, frame_idx * 64 + 1, 8) AS frame_probe
+FROM frames
+ORDER BY asset_id, frame_idx
+"""
+
+
 QUERIES = {
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
@@ -968,6 +1063,8 @@ QUERIES = {
     "q87_cdc_apply": q87_cdc_apply,
     "q90_last_touch_attribution": q90_last_touch_attribution,
     "q91_running_balance": q91_running_balance,
+    "q92_topk_sketch_rollup": q92_topk_sketch_rollup,
+    "q93_frame_sample": q93_frame_sample,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 
@@ -992,6 +1089,8 @@ ORACLES = {
     "q87_cdc_apply": Q87_ORACLE,
     "q90_last_touch_attribution": Q90_ORACLE,
     "q91_running_balance": Q91_ORACLE,
+    "q92_topk_sketch_rollup": Q92_ORACLE,
+    "q93_frame_sample": Q93_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
 }
 

@@ -115,6 +115,8 @@ _WINDOW_FIRST = [
     "q89_value_histogram",
     "q90_last_touch_attribution",
     "q91_running_balance",
+    "q92_topk_sketch_rollup",
+    "q93_frame_sample",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
