@@ -289,3 +289,92 @@ def test_word_ngram_count_invariants(spark_global, texts, n):
         expect = r["t"] - n + 1 if r["t"] >= n else 0
         assert r["g"] == expect, (r, n)
         assert 0 <= r["d"] <= r["g"]
+
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(0, 4),                       # key (collisions likely)
+        st.integers(0, 5),                       # ts (ties likely)
+        st.floats(0.0, 100.0, allow_nan=False),  # value
+        st.sampled_from(["U", "U", "D"]),        # op (deletes 1/3)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(changes=_changes)
+def test_cdc_fold_matches_reference(spark_global, changes):
+    """apply_changelog == a sequential python fold over the changes in
+    (ts, change_id) order, for any interleaving of upserts/deletes,
+    duplicate keys, and ts ties (change_id breaks them)."""
+    from etl_data_warehouse_spark.operators.cdc import apply_changelog
+
+    rows = [
+        (k, ts, cid, v, op) for cid, (k, ts, v, op) in enumerate(changes)
+    ]
+    df = spark_global.createDataFrame(
+        rows, "key bigint, ts bigint, change_id bigint, value double, op string"
+    )
+    got = {
+        r["key"]: (r["ts"], r["change_id"], r["value"], r["n_changes"])
+        for r in apply_changelog(df, ["key"], ["ts", "change_id"]).collect()
+    }
+    state: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    for k, ts, cid, v, op in sorted(rows, key=lambda r: (r[1], r[2])):
+        counts[k] = counts.get(k, 0) + 1
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (ts, cid, v)
+    expected = {k: (*s, counts[k]) for k, s in state.items()}
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(changes=_changes, cut=st.integers(0, 5))
+def test_cdc_batched_merge_converges(spark_global, changes, cut):
+    """Splitting the changelog at any ts cut and folding the two
+    batches through merge_changelog (tombstones retained) yields the
+    same live state as one fold over everything — the cdc_stream
+    convergence contract, property-tested."""
+    from pyspark.sql import functions as F
+
+    from etl_data_warehouse_spark.operators.cdc import (
+        apply_changelog,
+        merge_changelog,
+    )
+
+    rows = [
+        (k, ts, cid, v, op) for cid, (k, ts, v, op) in enumerate(changes)
+    ]
+    schema = "key bigint, ts bigint, change_id bigint, value double, op string"
+    df = spark_global.createDataFrame(rows, schema)
+    one_pass = {
+        (r["key"], r["ts"], r["change_id"], r["value"])
+        for r in apply_changelog(df, ["key"], ["ts", "change_id"]).collect()
+    }
+    first = df.filter(F.col("ts") <= cut)
+    second = df.filter(F.col("ts") > cut)
+    snap = apply_changelog(
+        first, ["key"], ["ts", "change_id"], keep_tombstones=True
+    ).drop("n_changes")
+    if second.count():
+        snap = merge_changelog(
+            snap, second, ["key"], ["ts", "change_id"], keep_tombstones=True
+        ).drop("n_changes")
+    live = {
+        (r["key"], r["ts"], r["change_id"], r["value"])
+        for r in snap.filter(F.col("op") != "D").drop("op").collect()
+    }
+    assert live == one_pass
