@@ -180,3 +180,67 @@ class TestDriverContract:
             assert first_ms() == utc_ms
         finally:
             spark.conf.set(key, prev)
+
+
+class TestRound4PlanShapes:
+    """Physical-plan contracts for the round-4 additions (q87-q93)."""
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_cdc_apply_single_window_shuffle(self, spark, sf_dir):
+        """q87: ONE Exchange (the key-partitioned ranking window) above
+        the scan — the fold never globally sorts the changelog."""
+        plan = self._plan(QUERIES["q87_cdc_apply"](spark, sf_dir))
+        body = plan.split("TakeOrderedAndProject")[-1]
+        n_exchanges = body.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
+        assert "Window" in plan
+
+    def test_weighted_sample_take_ordered_no_shuffle(self, spark, sf_dir):
+        """q88: zero-shuffle projection + TakeOrderedAndProject (partial
+        per-partition top-k, k-row merge — never a global sort)."""
+        plan = self._plan(QUERIES["q88_weighted_sample"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_histogram_broadcasts_bounds(self, spark, sf_dir):
+        """q89: the min/max bounds row reaches the binning projection as
+        a broadcast, never a shuffled join."""
+        plan = self._plan(QUERIES["q89_value_histogram"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_attribution_and_balance_window_shuffles(self, spark, sf_dir):
+        """q90 shuffles once (user window). q91's second window clusters
+        on (user_id, seg), but hashpartitioning(user_id) already
+        satisfies that distribution, so EnsureRequirements inserts only
+        a re-SORT — both queries pay exactly ONE hash shuffle, and
+        neither contains a self-join."""
+        p90 = self._plan(QUERIES["q90_last_touch_attribution"](spark, sf_dir))
+        assert p90.count("Exchange hashpartitioning") == 1, p90
+        assert "Join" not in p90
+        p91 = self._plan(QUERIES["q91_running_balance"](spark, sf_dir))
+        assert p91.count("Exchange hashpartitioning") == 1, p91
+        assert "Join" not in p91
+
+    def test_sketch_rollup_no_expand(self, spark, sf_dir):
+        """q92: the mergeable-sketch path must never pay the
+        COUNT(DISTINCT)-style Expand node."""
+        plan = self._plan(QUERIES["q92_topk_sketch_rollup"](spark, sf_dir))
+        assert "Expand" not in plan
+        assert "approx_top_k" in plan
+
+    def test_new_queries_no_python_rowpath(self, spark, sf_dir):
+        for name in (
+            "q87_cdc_apply",
+            "q88_weighted_sample",
+            "q89_value_histogram",
+            "q90_last_touch_attribution",
+            "q91_running_balance",
+            "q92_topk_sketch_rollup",
+            "q93_frame_sample",
+        ):
+            plan = self._plan(QUERIES[name](spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
