@@ -468,9 +468,14 @@ def hyperplane_lsh_neardup(
     at cosine 0.99 agrees per bit with p ≈ 0.955 → miss ≈ 3e-5; at
     0.998 (the planted-twin regime q41 exercises) miss < 1e-9. Random
     background pairs (cosine ≈ 0) collide per band with p = 2^-16 —
-    candidate volume ≈ 16·N²/65536, effectively linear for corpora
-    whose near-dup graph is sparse. No CartesianProduct (asserted in
-    tests).
+    candidate volume ≈ bands·N²/2^bits ≈ 16·N²/65536 REGARDLESS of
+    dimension. That is quadratic with a 4096× discount: measured 12M
+    candidates at N=100K (fine) but ~1.2B at N=1M (bucket-join output
+    itself becomes the bottleneck). Operating guidance: this operator
+    is the exact-recall path up to ~10⁵-10⁶ rows per partition-group;
+    beyond that use the cell-bounded family (semantic_dedup / IVF
+    near-dup), whose pair cost is capped by cell size instead of N².
+    No CartesianProduct (asserted in tests).
 
     Between the bucket join and the exact verify sits a full-signature
     HAMMING PREFILTER: bucket-joined pairs attach both rows' complete
