@@ -3,7 +3,7 @@
 
 The reference's loaders only ever see full snapshots and emulate
 upsert with ``ON CONFLICT DO UPDATE`` / ``DO NOTHING``
-(reference: loaders/warehouse_loader.py:63-69, 104-108); a production
+(reference: loaders/warehouse_loader.py:63-69, 124-128); a production
 warehouse ingesting Debezium/CDC feeds must additionally honour
 *deletes* and *ordering* — the net effect of N changes to one key is
 decided by the LAST change in sequence order, and a key whose final

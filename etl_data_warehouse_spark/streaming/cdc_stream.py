@@ -7,7 +7,7 @@ the batch) and then merged onto the persisted snapshot
 (``merge_changelog``: cross-batch last-writer-wins by the same seq
 columns, tombstones delete). The reference's loaders implement only
 the insert/update half of this on full snapshots
-(reference: loaders/warehouse_loader.py:63-69, 104-108).
+(reference: loaders/warehouse_loader.py:63-69, 124-128).
 
 Exactly-once effectiveness: the snapshot merge is idempotent — replaying
 a microbatch reproduces the same state because ordering is by the
