@@ -202,28 +202,69 @@ def rank_cells(
     cmat = cmat / np.array([r["cn"] for r in rows], dtype=np.float64)[:, None]
     np_, pd_ = np, pd
 
+    # Chunk BOTH rows and cells so peak memory is O(row_chunk x
+    # cell_chunk) regardless of n_cells — an unchunked batch x cells
+    # score matrix is ~1.3 GB per worker at 10K rows x 16K cells and
+    # crashed workers at 1M x 16K. Each cell chunk contributes its
+    # top-nprobe per row (argpartition), merged into a running
+    # lexsort-pruned best set, so the final ranking equals the one-shot
+    # lexsort (desc csim, asc cell_id) except on sim ties at a chunk's
+    # selection boundary — inside the BLAS-ulp caveat this path already
+    # carries.
+    ROW_CHUNK, CELL_CHUNK = 4096, 4096
+
     def topcells(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            vmat = np_.stack(
-                [np_.asarray(x, dtype=np_.float64) for x in pdf["vv"]]
-            )
-            sims = (vmat / pdf["vn"].to_numpy()[:, None]) @ cmat.T
-            # order: desc csim, asc cell_id (last lexsort key is primary)
-            order = np_.lexsort(
-                (np_.broadcast_to(cell_ids, sims.shape), -sims), axis=1
-            )[:, :nprobe]
-            m, p = order.shape
-            yield pd_.DataFrame(
-                {
-                    "vid": pdf["vid"].to_numpy().repeat(p),
-                    "vv": pdf["vv"].to_numpy().repeat(p),
-                    "vn": pdf["vn"].to_numpy().repeat(p),
-                    "r": np_.tile(np_.arange(p), m),
-                    "cell_id": cell_ids[order].ravel(),
-                }
-            )
+            for start in range(0, len(pdf), ROW_CHUNK):
+                sub = pdf.iloc[start : start + ROW_CHUNK]
+                if not len(sub):
+                    continue
+                vmat = np_.stack(
+                    [np_.asarray(x, dtype=np_.float64) for x in sub["vv"]]
+                )
+                vmat = vmat / sub["vn"].to_numpy()[:, None]
+                m = len(sub)
+                best_sims = best_ids = None
+                for cs in range(0, len(cell_ids), CELL_CHUNK):
+                    sims = vmat @ cmat[cs : cs + CELL_CHUNK].T
+                    ids = cell_ids[cs : cs + CELL_CHUNK]
+                    take = min(nprobe, sims.shape[1])
+                    if sims.shape[1] > take:
+                        idx = np_.argpartition(-sims, take - 1, axis=1)[
+                            :, :take
+                        ]
+                        cand_sims = np_.take_along_axis(sims, idx, axis=1)
+                        cand_ids = ids[idx]
+                    else:
+                        cand_sims = sims
+                        cand_ids = np_.broadcast_to(
+                            ids, sims.shape
+                        )
+                    if best_sims is None:
+                        best_sims = cand_sims
+                        best_ids = np_.ascontiguousarray(cand_ids)
+                    else:
+                        best_sims = np_.concatenate(
+                            [best_sims, cand_sims], axis=1
+                        )
+                        best_ids = np_.concatenate(
+                            [best_ids, cand_ids], axis=1
+                        )
+                    order = np_.lexsort((best_ids, -best_sims), axis=1)[
+                        :, :nprobe
+                    ]
+                    best_sims = np_.take_along_axis(best_sims, order, axis=1)
+                    best_ids = np_.take_along_axis(best_ids, order, axis=1)
+                p = best_ids.shape[1]
+                yield pd_.DataFrame(
+                    {
+                        "vid": sub["vid"].to_numpy().repeat(p),
+                        "vv": sub["vv"].to_numpy().repeat(p),
+                        "vn": sub["vn"].to_numpy().repeat(p),
+                        "r": np_.tile(np_.arange(p), m),
+                        "cell_id": best_ids.ravel(),
+                    }
+                )
 
     schema = "vid bigint, vv array<double>, vn double, r int, cell_id bigint"
     return vdf.mapInPandas(topcells, schema=schema)
