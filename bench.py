@@ -266,6 +266,13 @@ def _scale_section(spark) -> dict:
         s = _run_timed(make_df, N_RUNS_SCALE)
         timings[name] = s["p50"]
         spread[name] = s
+    recall = {
+        "k": 5,
+        "ivf_topk_arrow": _recall_at_k(
+            ops["ivf_topk_arrow"](), vecs, qvecs, k=5
+        ),
+        "ivfadc_topk": _recall_at_k(ops["ivfadc_topk"](), vecs, qvecs, k=5),
+    }
     shutil.rmtree(base, ignore_errors=True)
     return {
         "n_docs": n_docs,
@@ -273,7 +280,242 @@ def _scale_section(spark) -> dict:
         "n_queries": n_queries,
         "method": f"p50_of_{N_RUNS_SCALE}_warm",
         "queries": timings,
+        "recall": recall,
         "spread": spread,
+    }
+
+
+def _recall_at_k(ann_df, vecs, qvecs, k: int) -> float:
+    """Measured recall@k of an ANN result vs exact brute-force truth.
+
+    Bench INSTRUMENTATION, not an operator: the ground truth is a
+    driver-side numpy matmul over the collected corpus (100K x dim
+    floats is ~10 MB — trivially collectable at measurement scale; the
+    distributed exact baseline is operators/similarity.brute_force_topk).
+    Self-matches (neighbor vec_id == query vec_id) are excluded exactly
+    like every ANN path in similarity.py / pq.py.
+    """
+    import numpy as np
+
+    corpus = vecs.select("vec_id", "embedding").collect()
+    cids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
+    cmat = np.array([r["embedding"] for r in corpus], dtype=np.float64)
+    queries = qvecs.select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    qn = np.linalg.norm(qmat, axis=1)
+    sims = (qmat @ cmat.T) / np.outer(qn, cn)
+    truth: set[tuple[int, int]] = set()
+    for qi, qid in enumerate(qids):
+        row = sims[qi].copy()
+        row[cids == qid] = -np.inf  # exclude self-id, as the operators do
+        top = np.argpartition(row, -k)[-k:]
+        truth.update((int(qid), int(cids[j])) for j in top)
+    got = {
+        (int(r["src_id"]), int(r["neighbor_id"]))
+        for r in ann_df.select("src_id", "neighbor_id").collect()
+    }
+    return round(len(truth & got) / len(truth), 4)
+
+
+def _dim768_section(spark) -> dict:
+    """ANN operators at production embedding dimension (768): the
+    100K/dim-16 scale section measures candidate-set mechanics; this one
+    evidences that the Arrow matmul assignment and chunked cell math
+    hold when each vector is 48x wider (memory chunking is what's under
+    test — the flop count scales linearly in dim)."""
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_DIM_DOCS", "25000"))
+    dim, n_queries = 768, 256
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_dim_bench")
+    shutil.rmtree(base, ignore_errors=True)
+    para = spark.sparkContext.defaultParallelism
+    generate_clustered_embeddings(
+        spark, n, dim=dim, n_clusters=256
+    ).repartition(para).write.parquet(f"{base}/vecs.parquet")
+    generate_clustered_embeddings(
+        spark, n_queries, dim=dim, n_clusters=256, seed=77
+    ).repartition(8).write.parquet(f"{base}/qvecs.parquet")
+    generate_clustered_embeddings(
+        spark, n, dim=dim, n_clusters=max(1, n // 4), noise=0.02
+    ).repartition(para).write.parquet(f"{base}/ndvecs.parquet")
+    vecs = spark.read.parquet(f"{base}/vecs.parquet")
+    qvecs = spark.read.parquet(f"{base}/qvecs.parquet")
+    ndvecs = spark.read.parquet(f"{base}/ndvecs.parquet")
+    # Index state prebuilt & untimed, same policy as _scale_section.
+    ivf_cents = similarity.kmeans_centroids(
+        vecs, n_cells=256, max_iterations=4, assign_arrow=True
+    )
+    train = vecs.filter("vec_id < 10000").localCheckpoint()
+    pq_books = pq.train_pq_codebooks(train, m=16, codes=16, max_iterations=4)
+    pq_packed = pq.pack_codes(pq.pq_encode(vecs, pq_books), pq_books)
+    pq_packed = pq_packed.localCheckpoint()
+    ops = {
+        "ivf_topk_arrow": lambda: similarity.ivf_topk(
+            vecs, k=5, n_cells=256, nprobe=8, queries=qvecs,
+            centroids=ivf_cents, assign_arrow=True,
+        ),
+        "semantic_dedup": lambda: similarity.semantic_dedup(
+            ndvecs, threshold=0.90, n_cells=256,
+            assign_arrow=True, pairs_arrow=True,
+        ),
+        "ivfadc_topk": lambda: pq.ivfadc_topk(
+            vecs, qvecs, k=5, nprobe=8, m=16,
+            centroids=ivf_cents, codebooks=pq_books,
+            codes_packed=pq_packed, assign_arrow=True,
+        ),
+    }
+    timings, spread = {}, {}
+    for name, make_df in ops.items():
+        s = _run_timed(make_df, N_RUNS_SCALE)
+        timings[name] = s["p50"]
+        spread[name] = s
+    recall = {
+        "k": 5,
+        "ivf_topk_arrow": _recall_at_k(
+            ops["ivf_topk_arrow"](), vecs, qvecs, k=5
+        ),
+        "ivfadc_topk": _recall_at_k(ops["ivfadc_topk"](), vecs, qvecs, k=5),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_vectors": n,
+        "dim": dim,
+        "n_queries": n_queries,
+        "method": f"p50_of_{N_RUNS_SCALE}_warm",
+        "queries": timings,
+        "recall": recall,
+        "spread": spread,
+    }
+
+
+def _xl_section(spark, n_docs: int) -> dict:
+    """Opt-in XL run (SPARK_GRAFT_SCALE_DOCS_XL=1000000): the linear and
+    cell-bounded dedup family at 10^6 rows — the machine-readable record
+    of the 1M scaling story README.md describes. Banded-LSH operators
+    are deliberately absent: their background candidate count is
+    ~bands*N^2/2^bits (fatal at 1M with 16-bit bands — measured and
+    documented in operators/similarity.py); semantic_dedup is the 1M+
+    answer."""
+    import time as _t
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_xl_bench")
+    shutil.rmtree(base, ignore_errors=True)
+    para = spark.sparkContext.defaultParallelism
+    generate_documents(spark, n_docs).repartition(para).write.parquet(
+        f"{base}/docs.parquet"
+    )
+    generate_clustered_embeddings(
+        spark, n_docs, dim=16, n_clusters=max(1, n_docs // 4), noise=0.02
+    ).repartition(para).write.parquet(f"{base}/ndvecs.parquet")
+    docs = spark.read.parquet(f"{base}/docs.parquet")
+    ndvecs = spark.read.parquet(f"{base}/ndvecs.parquet")
+    n_corpus = int(n_docs * 0.9)
+    spark.sql("DROP TABLE IF EXISTS xl_lsh_bands")
+    spark.sql("DROP TABLE IF EXISTS xl_lsh_shingles")
+    t0 = _t.time()
+    dedup_index.build_minhash_index(
+        docs.filter(F.col("doc_id") < n_corpus),
+        f"{base}/lsh_index",
+        buckets=32,
+        table_prefix="xl_lsh",
+    )
+    index_build_sec = round(_t.time() - t0, 3)
+    batch_docs = docs.filter(F.col("doc_id") >= n_corpus)
+    ops = {
+        "exact_dedup": lambda: dedup.exact_dedup_groups(docs),
+        "simhash_blocked": lambda: dedup.simhash_pairs_blocked(
+            docs, signatures=dedup.simhash_signatures
+        ),
+        "semantic_dedup": lambda: similarity.semantic_dedup(
+            ndvecs, threshold=0.90, n_cells=4096,
+            assign_arrow=True, pairs_arrow=True,
+        ),
+        "incremental_dedup_batch": lambda: dedup_index.incremental_dedup(
+            spark, batch_docs, f"{base}/lsh_index",
+            bands_table="xl_lsh_bands", shingles_table="xl_lsh_shingles",
+        ),
+    }
+    timings, spread = {}, {}
+    for name, make_df in ops.items():
+        _release_session_state(spark)
+        s = _run_timed(make_df, 1)  # 1 timed run at XL: wall-clock bound
+        timings[name] = s["p50"]
+        spread[name] = s
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "n_vectors": n_docs,
+        "method": "single_warm_run",
+        "index_build_sec": index_build_sec,
+        "queries": timings,
+        "spread": spread,
+    }
+
+
+def _cdc_stream_section(spark) -> dict:
+    """Drain the streaming CDC materializer over a generated 100K-event
+    changelog (10 microbatch files) and verify the persisted snapshot
+    equals one batch fold over the whole changelog — evidencing the
+    snapshot-merge cost model (streaming/cdc_stream.py) at volume."""
+    from pyspark.sql import functions as SF
+
+    from etl_data_warehouse_spark.operators import cdc
+    from etl_data_warehouse_spark.streaming.cdc_stream import (
+        read_cdc_state,
+        start_cdc_stream,
+    )
+
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "100000"))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_bench")
+    shutil.rmtree(base, ignore_errors=True)
+    input_dir, snap, ckpt = (
+        f"{base}/in", f"{base}/snapshot", f"{base}/ckpt",
+    )
+    os.makedirs(input_dir)
+    changes = spark.range(n_events).select(
+        SF.pmod(SF.xxhash64("id", SF.lit(1)), SF.lit(n_events // 5))
+        .alias("key"),
+        (SF.lit(1_700_000_000_000) + SF.col("id")).alias("ts"),
+        SF.col("id").alias("change_id"),
+        SF.pmod(SF.xxhash64("id", SF.lit(2)), SF.lit(10_000))
+        .cast("double").alias("value"),
+        SF.when(
+            SF.pmod(SF.xxhash64("id", SF.lit(3)), SF.lit(11)) == 0,
+            cdc.DELETE_OP,
+        ).otherwise(cdc.UPSERT_OP).alias("op"),
+    ).localCheckpoint()
+    n_files = 10
+    per = n_events // n_files
+    for i in range(n_files):
+        changes.filter(
+            (SF.col("change_id") >= i * per)
+            & (SF.col("change_id") < (i + 1) * per)
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+    t0 = time.time()
+    # one file per microbatch: 10 real snapshot merges, not one big fold
+    q = start_cdc_stream(
+        spark, input_dir, snap, ckpt, available_now=True, max_files=1
+    )
+    q.awaitTermination(600)
+    elapsed = round(time.time() - t0, 3)
+    batch = cdc.apply_changelog(changes, ["key"], ["ts", "change_id"])
+    streamed = read_cdc_state(spark, snap)
+    cols = ["key", "ts", "change_id", "value"]
+    n_batch = batch.count()
+    n_diff = (
+        batch.select(*cols)
+        .exceptAll(streamed.select(*cols))
+        .union(streamed.select(*cols).exceptAll(batch.select(*cols)))
+        .count()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_events": n_events,
+        "n_microbatch_files": n_files,
+        "drain_sec": elapsed,
+        "live_keys": n_batch,
+        "matches_batch_fold": n_diff == 0,
     }
 
 
@@ -305,23 +547,49 @@ def main() -> None:
         total += timings[name]
     _release_session_state(spark)
     scale = _scale_section(spark)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # methodology marker: r1 was min-of-2; p50-of-5 reads
-                # ~15-40% higher for the same plans — compare
-                # like-for-like across rounds.
-                "method": f"p50_of_{N_RUNS}_warm",
-                "spread": spread,
-                "scale": scale,
-            }
-        )
-    )
+    _release_session_state(spark)
+    dim768 = _dim768_section(spark)
+    _release_session_state(spark)
+    cdc_stream = _cdc_stream_section(spark)
+    xl_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_XL", "0"))
+    xl = None
+    if xl_docs:
+        _release_session_state(spark)
+        xl = _xl_section(spark, xl_docs)
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # methodology marker: r1 was min-of-2; p50-of-5 reads
+        # ~15-40% higher for the same plans — compare
+        # like-for-like across rounds.
+        "method": f"p50_of_{N_RUNS}_warm",
+        "scale": {k: v for k, v in scale.items() if k != "spread"},
+    }
+    # Spreads and the deep-dive sections live in BENCH_DETAIL.json: the
+    # driver captures only the tail of stdout, and r4's 4.3KB line
+    # overflowed it (BENCH_r04 rc=0 but parsed:null). Keep the stdout
+    # line itself under ~2KB.
+    detail = dict(summary)
+    detail["spread"] = spread
+    detail["scale"] = scale
+    detail["scale_dim768"] = dim768
+    detail["cdc_stream"] = cdc_stream
+    if xl is not None:
+        detail["scale_xl"] = xl
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    line = json.dumps(summary)
+    if len(line) >= 2048:
+        # never fail the run over line length: shed the scale sub-dict
+        # (it is in BENCH_DETAIL.json) before the driver's tail capture
+        # can truncate the head of the line.
+        summary["scale"] = {"see": "BENCH_DETAIL.json"}
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -146,7 +146,13 @@ def extract_features(assets: DataFrame, hist_bins: int = 8) -> DataFrame:
 def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' twin: slice the payload every N bytes (stands in
     for video frame extraction), exploding to one row per sample —
-    demonstrates the 1→many multimodal fan-out shape in pure Spark."""
+    demonstrates the 1→many multimodal fan-out shape in pure Spark.
+
+    Byte-exact: the frame count uses the payload's BINARY length and the
+    probe slices the raw bytes (hex-encoded so the probe survives
+    non-UTF-8 frame boundaries) — a string cast would count/slice by
+    CHARACTERS and drift from the byte frame grid on multi-byte text.
+    """
     n_samples = F.floor(F.length("payload") / every_n_bytes).cast("int")
     return (
         assets.filter(F.col("media_type") == "video")
@@ -155,10 +161,12 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.greatest(n_samples - 1, F.lit(0))),
-                    lambda i: F.substring(
-                        F.col("payload").cast("string"),
-                        (i * every_n_bytes + 1).cast("int"),
-                        8,
+                    lambda i: F.hex(
+                        F.substring(
+                            F.col("payload"),
+                            (i * every_n_bytes + 1).cast("int"),
+                            8,
+                        )
                     ),
                 )
             ).alias("frame_idx", "frame_probe"),

@@ -180,9 +180,15 @@ def weighted_sample_sql(
     table: str, weight_sql: str, k: int, key_sql: str, salt: str = "wsample"
 ) -> str:
     """DuckDB twin of :func:`weighted_sample_topk` (for oracles):
-    identical md5-derived uniform, identical ``ln(u)/w`` priority."""
+    identical md5-derived uniform, identical ``ln(u)/w`` priority.
+
+    ``key_sql`` is the RAW key expression: the ::VARCHAR cast the md5
+    input needs is applied here, so the ORDER BY tiebreaker compares the
+    key in its native type exactly like the Spark side (a caller-side
+    cast would break numeric ties lexicographically: '10' < '2')."""
     u = (
-        f"((('0x' || substring(md5('{salt}' || {key_sql}), 1, 8))::BIGINT"
+        f"((('0x' || substring(md5('{salt}' ||"
+        f" ({key_sql})::VARCHAR), 1, 8))::BIGINT"
         f" + 1) / 4294967296.0)"
     )
     return (

@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 
 DEFAULT_LG_K = 12  # 4096 registers, ~1.6% relative standard error
 
+_MILLIS_PER_DAY = 86_400_000
+
+
+def _utc_day(ts_col: str) -> F.Column:
+    """UTC calendar day of a timestamp, independent of the session
+    timezone: instant -> epoch millis -> epoch day -> DATE. (``to_date``
+    would convert through ``spark.sql.session.timeZone`` and shift
+    boundary events on non-UTC drivers — the oracles truncate the UTC
+    wall clock.)"""
+    return F.date_from_unix_date(
+        F.floor(F.unix_millis(F.col(ts_col)) / F.lit(_MILLIS_PER_DAY)).cast(
+            "int"
+        )
+    )
+
 
 def daily_distinct_sketches(
     events: DataFrame,
@@ -36,7 +51,7 @@ def daily_distinct_sketches(
     """Per-day HLL sketch of ``value_col`` — the fine-grained
     pre-aggregate a pipeline would persist alongside its daily
     partitions. One shuffle at day grain; map-side partial sketches."""
-    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+    return events.groupBy(_utc_day(ts_col).alias("day")).agg(
         F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -90,7 +105,7 @@ def daily_topk_sketches(
 ) -> DataFrame:
     """Per-day frequent-items sketch of ``value_col`` — persist next to
     the daily partitions; one shuffle at day grain, map-side partials."""
-    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+    return events.groupBy(_utc_day(ts_col).alias("day")).agg(
         F.expr(
             f"approx_top_k_accumulate({value_col}, {max_items})"
         ).alias("sketch"),

@@ -671,9 +671,12 @@ ORDER BY doc_id
 
 
 # --- q81: IVFADC (IVF cells x PQ codes x exact refine; rows-only check) ------
-# The composition trains k-means quantizers (fp-summation-order state),
-# so there is no bit-exact SQL replay — the driver applies its weaker
-# rows-only gate; recall >= 0.9 vs brute force is pinned in TestIvfPq.
+# The TRAINED composition has no bit-exact SQL replay (k-means state is
+# fp-summation-order dependent), so the driver applies its weaker
+# rows-only gate here; recall >= 0.9 vs brute force is pinned in
+# TestIvfPq. The composition's hash evidence is q94_ivfadc_exact below:
+# the identical encode → pack → ADC → refine pipeline with untrained
+# deterministic quantizer state, fully replayed by its DuckDB oracle.
 
 def q81_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfadc_topk
@@ -962,11 +965,14 @@ def q92_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     daily = sketches.daily_topk_sketches(events)
+    # trunc() keeps the grain DATE-typed (date_trunc returns TIMESTAMP,
+    # which would re-enter session-timezone formatting); day itself is
+    # already the session-tz-independent UTC day (sketches._utc_day).
     monthly = sketches.rollup_topk(
-        daily, F.date_trunc("month", F.col("day")), k=5, grain_name="month"
+        daily, F.trunc(F.col("day"), "month"), k=5, grain_name="month"
     )
     exploded = monthly.select(
-        F.date_format("month", "yyyy-MM").alias("month"),
+        F.substring(F.col("month").cast("string"), 1, 7).alias("month"),
         "n_rows",
         F.explode("top_k").alias("e"),
     ).select(
@@ -1012,8 +1018,10 @@ ORDER BY month, rank
 # --- q93: multimodal frame sampling (1→many payload fan-out) -----------------
 # sample_frames slices every video payload into one probe row per
 # 64-byte "frame" — the frame-extraction plumbing shape with the codec
-# stubbed to a substring. Payloads are fabricated from ASCII text
-# (fake_assets), so the oracle re-derives the identical slices in SQL.
+# stubbed to a byte slice. Both sides are BYTE-exact for any UTF-8 text:
+# Spark counts/slices the raw binary and hex-encodes the probe; the
+# oracle hexes the UTF-8 bytes (encode) and char-slices the hex string
+# (2 hex chars per byte), so multi-byte characters cannot shift frames.
 
 def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1023,21 +1031,183 @@ def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q93_ORACLE = """
 WITH video AS (
-    SELECT doc_id AS asset_id, text
+    SELECT doc_id AS asset_id, hex(encode(text)) AS payload_hex,
+           octet_length(encode(text)) AS n_bytes
     FROM documents WHERE doc_id % 3 = 2
 ),
 frames AS (
     SELECT asset_id,
            unnest(generate_series(
-               0, greatest((length(text) // 64) - 1, 0)
+               0, greatest((n_bytes // 64) - 1, 0)
            ))::INT AS frame_idx,
-           text
+           payload_hex
     FROM video
 )
 SELECT asset_id, frame_idx,
-       substring(text, frame_idx * 64 + 1, 8) AS frame_probe
+       substring(payload_hex, frame_idx * 128 + 1, 16) AS frame_probe
 FROM frames
 ORDER BY asset_id, frame_idx
+"""
+
+
+# --- q94: IVFADC composition, hash-oracle-checked (untrained config) ---------
+# q81's trained quantizers have no bit-exact SQL replay (fp-summation-
+# order k-means state), so it carries only the rows-only check + pinned
+# recall. This twin runs the SAME encode → pack → ADC-scan → refine
+# pipeline (operators/pq.py) with UNTRAINED deterministic state —
+# coarse centroids = first n_cells vectors (kmeans max_iterations=0),
+# PQ codebooks = first `codes` subvectors per subspace — making every
+# stage pure left-fold math the DuckDB oracle replays exactly, the same
+# way Q28/Q82 replay IVF and SemDeDup. This hash-checks the composition
+# PLUMBING (slicing, encoding argmin ties, packed-LUT indexing, ADC
+# fold order, two-stage re-rank); the trained variant's QUALITY is
+# covered by TestIvfPq's recall >= 0.9 contract.
+
+_Q94_CELLS, _Q94_PROBE, _Q94_M, _Q94_CODES, _Q94_K = 16, 4, 4, 16, 5
+_Q94_SUBDIM = 16  # embeddings testdata is dim 64; 64 / m
+
+
+def q94_ivfadc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfadc_topk, train_pq_codebooks
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = similarity.kmeans_centroids(
+        emb, n_cells=_Q94_CELLS, max_iterations=0
+    )
+    books = train_pq_codebooks(
+        emb, m=_Q94_M, codes=_Q94_CODES, max_iterations=0
+    )
+    return ivfadc_topk(
+        emb,
+        emb,
+        k=_Q94_K,
+        nprobe=_Q94_PROBE,
+        m=_Q94_M,
+        codes=_Q94_CODES,
+        centroids=cents,
+        codebooks=books,
+    )
+
+
+_Q94_L2_SQL = (
+    "list_reduce(list_transform(generate_series(1, {n}),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+Q94_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vv
+    FROM embeddings
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, vv AS cv
+    FROM v
+    QUALIFY cell_id <= {_Q94_CELLS}
+),
+cosr AS (  -- cosine rank of every (vector, cell): shared by assign+probe
+    SELECT v.vec_id, c.cell_id,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_DOT_SQL.format(a="v.vv", b="c.cv")}
+                          / ({_NORM_SQL.format(a="v.vv")}
+                             * {_NORM_SQL.format(a="c.cv")}) DESC,
+                        c.cell_id
+           ) AS r
+    FROM v CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cell_id FROM cosr WHERE r = 1),
+probe AS (
+    SELECT vec_id AS src_id, cell_id FROM cosr WHERE r <= {_Q94_PROBE}
+),
+subspaces AS (
+    SELECT unnest(generate_series(0, {_Q94_M - 1})) AS subspace
+),
+books AS (  -- untrained codebooks: first {_Q94_CODES} subvectors/subspace
+    SELECT s.subspace,
+           row_number() OVER (
+               PARTITION BY s.subspace ORDER BY v.vec_id
+           ) AS code_id,
+           list_slice(v.vv, s.subspace * {_Q94_SUBDIM} + 1,
+                      (s.subspace + 1) * {_Q94_SUBDIM}) AS cv
+    FROM v CROSS JOIN subspaces s
+    QUALIFY code_id <= {_Q94_CODES}
+),
+books2 AS (
+    SELECT subspace, code_id, cv,
+           {_DOT_SQL.format(a="cv", b="cv")} AS cnorm2
+    FROM books
+),
+sub AS (
+    SELECT v.vec_id, s.subspace,
+           list_slice(v.vv, s.subspace * {_Q94_SUBDIM} + 1,
+                      (s.subspace + 1) * {_Q94_SUBDIM}) AS sv
+    FROM v CROSS JOIN subspaces s
+),
+enc AS (  -- PQ encode: argmin L2, asc code_id tiebreak (pq_encode)
+    SELECT vec_id, subspace, code_id, cnorm2, cv FROM (
+        SELECT sub.vec_id, sub.subspace, b.code_id, b.cnorm2, b.cv,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.subspace
+                   ORDER BY {_Q94_L2_SQL.format(
+                       n=_Q94_SUBDIM, a="sub.sv", b="b.cv")},
+                            b.code_id
+               ) AS r
+        FROM sub JOIN books2 b USING (subspace)
+    ) WHERE r = 1
+),
+packed AS (  -- pack_codes: subspace-ordered left folds
+    SELECT vec_id,
+           list(cv ORDER BY subspace) AS cvs,
+           list_reduce(list(cnorm2 ORDER BY subspace),
+                       (x, y) -> x + y) AS rnorm2
+    FROM enc GROUP BY vec_id
+),
+qn AS (
+    SELECT vec_id AS src_id, vv AS qv,
+           {_NORM_SQL.format(a="vv")} AS qnorm
+    FROM v
+),
+adc AS (  -- compressed-domain score: m ordered partial-dot lookups
+    SELECT p.src_id, a.vec_id AS neighbor_id,
+           list_reduce(
+               list_transform(generate_series(0, {_Q94_M - 1}), ss ->
+                   list_reduce(list_transform(
+                       generate_series(1, {_Q94_SUBDIM}),
+                       i -> q.qv[ss * {_Q94_SUBDIM} + i]
+                            * k.cvs[ss + 1][i]), (x, y) -> x + y)),
+               (x, y) -> x + y)
+             / (q.qnorm * sqrt(k.rnorm2)) AS score
+    FROM probe p
+    JOIN assigned a USING (cell_id)
+    JOIN packed k ON k.vec_id = a.vec_id
+    JOIN qn q ON q.src_id = p.src_id
+    WHERE p.src_id != a.vec_id
+),
+short AS (
+    SELECT src_id, neighbor_id FROM (
+        SELECT src_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY score DESC, neighbor_id
+               ) AS r
+        FROM adc
+    ) WHERE r <= {_Q94_K * 10}
+),
+refined AS (
+    SELECT sh.src_id, sh.neighbor_id,
+           {_DOT_SQL.format(a="q.qv", b="n.vv")}
+             / ({_NORM_SQL.format(a="q.qv")}
+                * {_NORM_SQL.format(a="n.vv")}) AS score
+    FROM short sh
+    JOIN qn q ON q.src_id = sh.src_id
+    JOIN v n ON n.vec_id = sh.neighbor_id
+)
+SELECT src_id, neighbor_id, score,
+       row_number() OVER (
+           PARTITION BY src_id ORDER BY score DESC, neighbor_id
+       )::INT AS rank
+FROM refined
+QUALIFY rank <= {_Q94_K}
+ORDER BY src_id, rank
 """
 
 
@@ -1065,6 +1235,7 @@ QUERIES = {
     "q91_running_balance": q91_running_balance,
     "q92_topk_sketch_rollup": q92_topk_sketch_rollup,
     "q93_frame_sample": q93_frame_sample,
+    "q94_ivfadc_exact": q94_ivfadc_exact,
     "q59_dedup_clusters": q59_dedup_clusters,
 }
 
@@ -1091,6 +1262,7 @@ ORACLES = {
     "q91_running_balance": Q91_ORACLE,
     "q92_topk_sketch_rollup": Q92_ORACLE,
     "q93_frame_sample": Q93_ORACLE,
+    "q94_ivfadc_exact": Q94_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
 }
 

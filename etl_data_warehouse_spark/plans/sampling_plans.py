@@ -200,7 +200,7 @@ Q88_ORACLE = f"""
 SELECT * FROM (
   {sampling.weighted_sample_sql(
       "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders)",
-      "o_totalprice", _WS_K, "o_orderkey::VARCHAR")}
+      "o_totalprice", _WS_K, "o_orderkey")}
 ) ORDER BY o_orderkey
 """
 

@@ -23,6 +23,7 @@ snapshot the merge drops to O(touched partitions) exactly like
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,20 +55,54 @@ def read_change_stream(
     )
 
 
+# The snapshot is a directory of VERSIONED parquet dirs plus a pointer
+# file. A new version is fully written before the pointer moves
+# (os.replace is atomic on POSIX), so a failed write can never destroy
+# the only copy of the state — the previous version stays referenced
+# until the swap commits, then is garbage-collected best-effort.
+_POINTER = "_CURRENT"
+
+
+def _current_version_dir(snapshot_path: str) -> str | None:
+    pointer = os.path.join(snapshot_path, _POINTER)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer, "r", encoding="utf-8") as fh:
+        version = fh.read().strip()
+    return os.path.join(snapshot_path, version)
+
+
 def _read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path):
+    version_dir = _current_version_dir(path)
+    if version_dir is None:
         return None
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+    # A pointed-at version that fails to read is real corruption, not
+    # "no snapshot yet" — re-raise rather than silently dropping state.
+    return spark.read.parquet(version_dir)
+
+
+def _commit_snapshot(snapshot_path: str, batch_id: int, state: DataFrame) -> str:
+    os.makedirs(snapshot_path, exist_ok=True)
+    previous = _current_version_dir(snapshot_path)
+    version = f"v{batch_id:012d}"
+    version_dir = os.path.join(snapshot_path, version)
+    state.write.mode("overwrite").parquet(version_dir)
+    tmp_pointer = os.path.join(snapshot_path, _POINTER + ".tmp")
+    with open(tmp_pointer, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp_pointer, os.path.join(snapshot_path, _POINTER))
+    if previous is not None and previous != version_dir:
+        shutil.rmtree(previous, ignore_errors=True)
+    return version_dir
 
 
 def read_cdc_state(spark: SparkSession, snapshot_path: str) -> DataFrame:
     """Current live state: the persisted snapshot minus tombstones."""
     from ..operators.cdc import DELETE_OP
 
-    snap = spark.read.parquet(snapshot_path)
+    snap = _read_snapshot(spark, snapshot_path)
+    if snap is None:
+        raise FileNotFoundError(f"no CDC snapshot committed at {snapshot_path}")
     return snap.filter(F.col("op") != DELETE_OP).drop("op")
 
 
@@ -77,6 +112,7 @@ def start_cdc_stream(
     snapshot_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files: int = 16,
 ):
     """Start (or drain with AvailableNow) the CDC materializer."""
 
@@ -96,13 +132,13 @@ def start_cdc_stream(
             state = merge_changelog(
                 snapshot, net, KEY_COLS, SEQ_COLS, keep_tombstones=True
             ).drop("n_changes")
-        # Materialize before overwrite (the snapshot read feeds the plan).
-        state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            snapshot_path
-        )
+        # Write the NEW version next to the old one and swap the pointer
+        # only once it is fully on disk: the old snapshot (which feeds
+        # this very plan) is never deleted before its successor exists.
+        _commit_snapshot(snapshot_path, batch_id, state)
 
     writer = (
-        read_change_stream(spark, input_dir)
+        read_change_stream(spark, input_dir, max_files=max_files)
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(compact_batch)

@@ -179,7 +179,9 @@ class TestFrameSampling:
         n_videos = assets.filter("media_type = 'video'").count()
         assert frames.count() >= n_videos  # >=1 sample per video asset
         r = frames.first()
-        assert r["frame_idx"] >= 0 and len(r["frame_probe"]) <= 8
+        # probe is hex of an up-to-8-byte slice: 2 hex chars per byte
+        assert r["frame_idx"] >= 0 and len(r["frame_probe"]) <= 16
+        assert all(c in "0123456789ABCDEF" for c in r["frame_probe"])
 
 
 class TestSamplingPacking:
