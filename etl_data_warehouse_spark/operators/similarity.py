@@ -512,10 +512,28 @@ def hyperplane_lsh_neardup(
     candidate volume ≈ bands·N²/2^bits ≈ 16·N²/65536 REGARDLESS of
     dimension. That is quadratic with a 4096× discount: measured 12M
     candidates at N=100K (fine) but ~1.2B at N=1M (bucket-join output
-    itself becomes the bottleneck). Operating guidance: this operator
-    is the exact-recall path up to ~10⁵-10⁶ rows per partition-group;
-    beyond that use the cell-bounded family (semantic_dedup / IVF
-    near-dup), whose pair cost is capped by cell size instead of N².
+    itself becomes the bottleneck).
+
+    WIDE-BAND operating point for 10⁶-row groups — band width is
+    n_planes/bands, so widening is a parameter change (the packing
+    holds up to 63 bits/band in one long): ``n_planes=384, bands=16``
+    gives 24-bit bands. Re-derived recall: per-band match is p^24 —
+    at cosine 0.998 (p=0.98) band p ≈ 0.616, miss = (1-0.616)^16 ≈
+    2e-7 (still w.h.p.); at exactly 0.99 (p=0.955) miss ≈ 0.2%. The
+    independent-bit background model (16·N²/2^bits) predicts a 256×
+    cut; MEASURED at N=1M, dim=16 (BENCH_XL.json): 1.27B candidates
+    (16-bit) → 84M (24-bit) — a 15× cut, not 256×, because in low
+    dimension the per-plane bits are correlated and inflate every
+    collision rate (~24M of the 84M are true planted-twin band hits,
+    the floor both shapes share). The cut grows toward the model as
+    dim rises; either way 24-bit bands took the 1M-row operator from
+    infeasible (the 1.2B-row bucket join IS the work) to 78s measured
+    end-to-end. ``srp_candidate_count`` probes the candidate volume of
+    any (n_planes, bands) WITHOUT materializing pairs — use it before
+    committing to a shape on a new corpus. Operating guidance:
+    defaults up to ~10⁵ rows/group, wide bands to ~10⁶-10⁷; beyond
+    that use the cell-bounded family (semantic_dedup / IVF near-dup),
+    whose pair cost is capped by cell size instead of N².
     No CartesianProduct (asserted in tests).
 
     Between the bucket join and the exact verify sits a full-signature
@@ -611,6 +629,45 @@ def hyperplane_lsh_neardup(
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def srp_candidate_count(
+    vectors: DataFrame,
+    n_planes: int = 256,
+    bands: int = 16,
+    seed: int = 0x51A7,
+):
+    """Candidate-pair volume of a banded-SRP shape WITHOUT
+    materializing the pairs: Σ_buckets C(n,2) over (band, value)
+    buckets — one signature pass + one groupBy, O(N·bands) regardless
+    of how many pairs the bucket join WOULD emit. Use it to choose
+    band width before running hyperplane_lsh_neardup on a new corpus
+    size (candidates ≈ true_pairs·bands + background·bands·N²/2^bits).
+    Returns (total_candidate_pairs, max_bucket_size)."""
+    sig = srp_signatures(vectors, n_planes, bands, seed)
+    keyed = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band_{b}").alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("k")
+    ).select("k.band", "k.bv")
+    row = (
+        keyed.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+            F.max("n").alias("max_bucket"),
+        )
+        .first()
+    )
+    return int(row["pairs"] or 0), int(row["max_bucket"] or 0)
 
 
 def brute_force_topk_arrow(

@@ -27,6 +27,61 @@ def _changes_from_events(spark, sf_dir):
     )
 
 
+class TestSnapshotDurability:
+    def test_failed_write_preserves_previous_snapshot(self, spark, tmp_path):
+        # A new version is written BEFORE the pointer moves: a crash
+        # mid-write must leave the previous snapshot fully readable.
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        snap = str(tmp_path / "snapshot")
+        state1 = spark.createDataFrame(
+            [(1, 10, 1, 1.0, "U")], "key long, ts long, change_id long,"
+            " value double, op string"
+        )
+        cs._commit_snapshot(snap, 0, state1)
+        before = {tuple(r) for r in cs._read_snapshot(spark, snap).collect()}
+
+        # simulate a crash: version dir partially written, pointer NOT
+        # moved (the failure mode is any exception before os.replace)
+        import os as _os
+
+        _os.makedirs(f"{snap}/v000000000001")
+        with open(f"{snap}/v000000000001/part-garbage.parquet", "w") as fh:
+            fh.write("not parquet")
+        after = {tuple(r) for r in cs._read_snapshot(spark, snap).collect()}
+        assert after == before
+
+        # a successful commit swaps the pointer and GCs the old version
+        state2 = spark.createDataFrame(
+            [(2, 20, 2, 2.0, "U")], "key long, ts long, change_id long,"
+            " value double, op string"
+        )
+        cs._commit_snapshot(snap, 2, state2)
+        got = {r["key"] for r in cs._read_snapshot(spark, snap).collect()}
+        assert got == {2}
+        assert not _os.path.exists(f"{snap}/v000000000000")
+
+    def test_missing_snapshot_reads_none_but_corrupt_raises(
+        self, spark, tmp_path
+    ):
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        snap = str(tmp_path / "nosnap")
+        assert cs._read_snapshot(spark, snap) is None
+
+        # a POINTED-AT version that cannot be read is corruption, not
+        # "no snapshot": it must raise, never silently reset state
+        import os as _os
+
+        import pytest as _pytest
+
+        _os.makedirs(f"{snap}/v000000000007")
+        with open(f"{snap}/{cs._POINTER}", "w") as fh:
+            fh.write("v000000000007")
+        with _pytest.raises(Exception):
+            cs._read_snapshot(spark, snap).collect()
+
+
 class TestCdcStream:
     def test_streaming_equals_batch_fold(self, spark, sf_dir, tmp_path):
         changes = _changes_from_events(spark, sf_dir)

@@ -120,6 +120,51 @@ class TestSimilarity:
         assert lsh == exact
         assert exact, "expected planted twin pairs"
 
+    def test_wide_band_srp_equals_exact_neardup(self, spark, sf_dir):
+        # 24-bit bands (n_planes=384, bands=16): the 10^6-row operating
+        # point must still recover every planted-twin pair (miss ~2e-7
+        # per pair at cosine >= 0.998 — see the docstring derivation).
+        from etl_data_warehouse_spark.plans.llm_ops import _twin_corpus
+
+        corpus = _twin_corpus(load_table(spark, "embeddings", sf_dir))
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.cosine_neardup_pairs(
+                corpus, threshold=0.9
+            ).collect()
+        }
+        wide = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.hyperplane_lsh_neardup(
+                corpus, threshold=0.9, n_planes=384, bands=16
+            ).collect()
+        }
+        assert wide == exact
+        assert exact
+
+    def test_srp_candidate_count_wide_bands_cut_background(self, spark):
+        from etl_data_warehouse_spark.sources.generators import (
+            generate_clustered_embeddings,
+        )
+
+        # singleton clusters: no planted near-dups, so every candidate
+        # is BACKGROUND — the thing wide bands are supposed to cut
+        # (with planted clusters the true-pair floor of bands*pairs
+        # dominates both counts and masks the background drop)
+        vecs = generate_clustered_embeddings(
+            spark, 20000, dim=16, n_clusters=20000, noise=0.02
+        ).localCheckpoint()
+        narrow, _ = similarity.srp_candidate_count(
+            vecs, n_planes=256, bands=16
+        )
+        wide, _ = similarity.srp_candidate_count(
+            vecs, n_planes=384, bands=16
+        )
+        # same band count, 256x smaller per-band collision probability:
+        # background candidates must drop by well over an order of
+        # magnitude (true planted pairs are a tiny floor under both)
+        assert wide * 10 < narrow, (narrow, wide)
+
     def test_hyperplane_lsh_plan_has_no_cartesian(self, emb):
         plan = (
             similarity.hyperplane_lsh_neardup(emb, threshold=0.9)
