@@ -571,6 +571,7 @@ def _cdc_stream_section(spark) -> dict:
 
 
 def main() -> None:
+    t_start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -596,17 +597,26 @@ def main() -> None:
         timings[name] = s["p50"]
         spread[name] = s
         total += timings[name]
+    section_sec = {"headline": round(time.time() - t_start, 1)}
     _release_session_state(spark)
+    t0 = time.time()
     scale = _scale_section(spark)
+    section_sec["scale"] = round(time.time() - t0, 1)
     _release_session_state(spark)
+    t0 = time.time()
     dim768 = _dim768_section(spark)
+    section_sec["dim768"] = round(time.time() - t0, 1)
     _release_session_state(spark)
+    t0 = time.time()
     cdc_stream = _cdc_stream_section(spark)
+    section_sec["cdc_stream"] = round(time.time() - t0, 1)
     xl_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_XL", "0"))
     xl = None
     if xl_docs:
         _release_session_state(spark)
+        t0 = time.time()
         xl = _xl_section(spark, xl_docs)
+        section_sec["xl"] = round(time.time() - t0, 1)
     summary = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
@@ -632,6 +642,7 @@ def main() -> None:
     # overflowed it (BENCH_r04 rc=0 but parsed:null). Keep the stdout
     # line itself under ~2KB.
     detail = dict(summary)
+    detail["section_sec"] = section_sec
     detail["spread"] = spread
     detail["scale"] = scale
     detail["scale_dim768"] = dim768
