@@ -426,6 +426,150 @@ ORDER BY d.doc_id
 """
 
 
+def q95_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021,
+    arXiv:2107.06499, §3 ExactSubstr): q85 measures the cross-document
+    duplication signal; this query applies the cut — every token
+    position covered by a word 8-gram that also occurs in at least one
+    OTHER document is removed, and the surviving tokens are re-joined
+    into the cleaned training text (whitespace-normalized; the
+    reference pipeline's dedup is a whole-row drop_duplicates,
+    reference: transformers/data_transformer.py:56-60 — span-level
+    removal is the training-data extension).
+
+    Scale shape: the q85 inverted index (posexplode → gram groupBy with
+    map-side partial count_distinct → join back), plus an 8× position
+    fan-out for covered spans, an anti-join on (doc_id, pos), and a
+    per-doc rebuild whose memory is bounded by one document's token
+    count. All shuffles are linear in corpus token count; at 100 TB the
+    gram join key becomes xxhash64(gram) exactly as documented on q85.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return remove_dup_spans(docs)
+
+
+def remove_dup_spans(docs: DataFrame) -> DataFrame:
+    """Core of q95 over any (doc_id, text) frame — see q95 docstring."""
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    # materialize the token array BEFORE fan-out consumers (the
+    # CollapseProject rule — see CLAUDE.md / hashed_shingles)
+    tok = (
+        docs.repartition(para, "doc_id")
+        .select("doc_id", tokens("text").alias("tok"))
+        .localCheckpoint()
+    )
+    gram_arr = F.when(
+        F.size("tok") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - 7),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at("tok", i + F.lit(k)) for k in range(8)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tok.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    ).localCheckpoint()
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 7)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = tok.select("doc_id", F.posexplode("tok").alias("p", "w"))
+    rebuilt = (
+        toks.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        tok.select("doc_id", F.size("tok").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_kept", F.lit(0)).cast("long")
+            ).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q95_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tok) >= 8
+               THEN generate_series(1, len(tok) - 7) ELSE [] END) - 1
+               AS pos,
+           unnest(CASE WHEN len(tok) >= 8 THEN
+               list_transform(generate_series(1, len(tok) - 7),
+                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                        || ' ' || tok[i+3] || ' ' || tok[i+4] || ' '
+                        || tok[i+5] || ' ' || tok[i+6] || ' '
+                        || tok[i+7])
+           ELSE [] END) AS gram
+    FROM t
+),
+dup_grams AS (
+    SELECT gram FROM grams GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+),
+covered AS (
+    SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(g.pos, g.pos + 7)) AS p
+        FROM grams g JOIN dup_grams USING (gram)
+    )
+),
+toks AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(tok))) - 1 AS p,
+           unnest(tok) AS w
+    FROM t
+),
+rebuilt AS (
+    SELECT k.doc_id,
+           COUNT(*)::BIGINT AS n_kept,
+           string_agg(k.w, ' ' ORDER BY k.p) AS clean_text
+    FROM toks k ANTI JOIN covered c USING (doc_id, p)
+    GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       len(t.tok)::BIGINT AS n_tokens,
+       (len(t.tok) - COALESCE(r.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "q48_pii_scrub": q48_pii_scrub,
     "q49_repetition_stats": q49_repetition_stats,
@@ -433,6 +577,7 @@ QUERIES = {
     "q83_quality_rules": q83_quality_rules,
     "q84_ngram_repetition": q84_ngram_repetition,
     "q85_crossdoc_ngram_dup": q85_crossdoc_ngram_dup,
+    "q95_dup_span_removal": q95_dup_span_removal,
 }
 
 ORACLES = {
@@ -442,4 +587,5 @@ ORACLES = {
     "q83_quality_rules": Q83_ORACLE,
     "q84_ngram_repetition": Q84_ORACLE,
     "q85_crossdoc_ngram_dup": Q85_ORACLE,
+    "q95_dup_span_removal": Q95_ORACLE,
 }

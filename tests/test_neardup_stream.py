@@ -69,3 +69,42 @@ class TestNeardupStream:
         q2.awaitTermination(300)
         assert spark.read.parquet(f"{idx}/bands").count() == n_bands
         assert _pairs_set(read_neardup_pairs(spark, pairs_dir)) == expected
+
+    def test_bucketed_index_stream_matches_plain(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The 100 TB configuration — stream dedup against a BUCKETED
+        index (Exchange-free index side, appends preserve the bucket
+        spec) — must produce exactly the plain-index pair set."""
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 3 == 0)
+        new = docs.filter(F.col("doc_id") % 3 != 0)
+        idx = str(tmp_path / "lsh_idx_bk")
+        input_dir = str(tmp_path / "in_bk")
+        pairs_dir = str(tmp_path / "pairs_bk")
+        os.makedirs(input_dir)
+        spark.sql("DROP TABLE IF EXISTS t_stream_lsh_bands")
+        spark.sql("DROP TABLE IF EXISTS t_stream_lsh_shingles")
+
+        build_minhash_index(
+            corpus, idx, buckets=4, table_prefix="t_stream_lsh"
+        )
+        for pred in [F.col("doc_id") % 3 == 1, F.col("doc_id") % 3 == 2]:
+            new.filter(pred).coalesce(1).write.mode("append").parquet(
+                input_dir
+            )
+        q = start_neardup_stream(
+            spark, input_dir, idx, pairs_dir,
+            str(tmp_path / "ckpt_bk"),
+            buckets=4, table_prefix="t_stream_lsh", max_files=1,
+        )
+        q.awaitTermination(300)
+
+        got = _pairs_set(read_neardup_pairs(spark, pairs_dir))
+        expected = _pairs_set(
+            minhash_lsh_pairs(docs).filter(
+                (F.col("doc_a") % 3 != 0) | (F.col("doc_b") % 3 != 0)
+            )
+        )
+        assert got == expected
+        assert got

@@ -27,6 +27,61 @@ def planted(spark):
     return spark.createDataFrame(PLANTED, "doc_id long, text string")
 
 
+SPAN = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+class TestDupSpanRemoval:
+    """remove_dup_spans (q95 core): positions covered by a cross-doc
+    duplicated word 8-gram are cut; everything else survives with
+    whitespace normalized."""
+
+    @pytest.fixture(scope="class")
+    def cleaned(self, spark):
+        from etl_data_warehouse_spark.plans.text_quality import (
+            remove_dup_spans,
+        )
+
+        rows = [
+            (1, f"one two {SPAN} three four"),
+            (2, f"{SPAN} five six seven eight nine ten eleven"),
+            (3, "totally unique words nobody else repeats here at all"),
+            (4, "short text"),
+            (5, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in remove_dup_spans(docs).collect()
+        }
+
+    def test_shared_span_removed_from_both_docs(self, cleaned):
+        assert cleaned[1]["clean_text"] == "one two three four"
+        assert cleaned[1]["n_removed"] == 8
+        assert cleaned[2]["clean_text"] == (
+            "five six seven eight nine ten eleven"
+        )
+        assert cleaned[2]["n_removed"] == 8
+
+    def test_unique_doc_untouched(self, cleaned):
+        assert cleaned[3]["n_removed"] == 0
+        assert cleaned[3]["clean_text"] == (
+            "totally unique words nobody else repeats here at all"
+        )
+
+    def test_sub_8gram_docs_pass_through(self, cleaned):
+        assert cleaned[4]["clean_text"] == "short text"
+        assert cleaned[4]["n_removed"] == 0
+        # empty text tokenizes to one empty token, nothing removable
+        assert cleaned[5]["n_removed"] == 0
+
+    def test_counts_consistent(self, cleaned):
+        for r in cleaned.values():
+            if not r["clean_text"]:
+                continue
+            kept = len(r["clean_text"].split(" "))
+            assert r["n_tokens"] - r["n_removed"] == kept
+
+
 class TestPIIRedaction:
     def test_planted_pii_is_redacted(self, planted):
         rows = {
