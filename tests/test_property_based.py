@@ -22,6 +22,60 @@ from etl_data_warehouse_spark.operators.transforms import (
 
 _ids = st.text(alphabet="abc123", min_size=1, max_size=4)
 
+# tiny vocabulary so cross-doc shared word-8-grams actually occur
+_doc_tokens = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=14
+)
+_corpora = st.lists(_doc_tokens, min_size=2, max_size=5)
+
+
+def _ref_remove_dup_spans(texts: list[str]):
+    """Pure-Python reference for remove_dup_spans (q95 core)."""
+    import re
+
+    toks = {d: re.split(" +", t.strip()) for d, t in enumerate(texts)}
+    freq: dict[str, set[int]] = {}
+    starts: dict[int, list[tuple[int, str]]] = {}
+    for d, tk in toks.items():
+        starts[d] = [
+            (i, " ".join(tk[i : i + 8]))
+            for i in range(max(len(tk) - 7, 0))
+        ]
+        for _, g in starts[d]:
+            freq.setdefault(g, set()).add(d)
+    dup = {g for g, s in freq.items() if len(s) >= 2}
+    out = {}
+    for d, tk in toks.items():
+        covered = set()
+        for i, g in starts[d]:
+            if g in dup:
+                covered.update(range(i, i + 8))
+        kept = [w for p, w in enumerate(tk) if p not in covered]
+        out[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_corpora)
+def test_remove_dup_spans_matches_reference(spark_global, corpus):
+    from etl_data_warehouse_spark.plans.text_quality import (
+        remove_dup_spans,
+    )
+
+    texts = [" ".join(tk) for tk in corpus]
+    docs = spark_global.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_dup_spans(docs).collect()
+    }
+    assert got == _ref_remove_dup_spans(texts)
+
 _order_rows = st.lists(
     st.tuples(
         _ids,                                        # order_id (dups likely)
