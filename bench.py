@@ -39,6 +39,9 @@ from etl_data_warehouse_spark.operators import (  # noqa: E402
     similarity,
 )
 from etl_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
+from etl_data_warehouse_spark.plans.text_quality import (  # noqa: E402
+    remove_dup_spans,
+)
 from etl_data_warehouse_spark.session import get_spark  # noqa: E402
 from etl_data_warehouse_spark.sources.catalog import load_table  # noqa: E402
 from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
@@ -171,6 +174,9 @@ def _scale_section(spark) -> dict:
         "exact_dedup": lambda: dedup.exact_dedup_groups(docs),
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(docs),
         "simhash_blocked": lambda: dedup.simhash_pairs_blocked(docs),
+        # exact-substring span removal (q95) in its scale config:
+        # xxhash64 gram keys narrow the doc-freq shuffle + join-back
+        "dup_span_removal": lambda: remove_dup_spans(docs, hash_keys=True),
         # score_arrow measured SLOWER here (r4, dim 16: 5.1s vs 3.9s
         # p50, 4.6s even via mapInArrow; dim 64: 5.4s vs 4.0s): the
         # ~3M-row candidate transfer to the Python worker costs more

@@ -448,8 +448,15 @@ def q95_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(docs)
 
 
-def remove_dup_spans(docs: DataFrame) -> DataFrame:
-    """Core of q95 over any (doc_id, text) frame — see q95 docstring."""
+def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
+    """Core of q95 over any (doc_id, text) frame — see q95 docstring.
+
+    ``hash_keys=True`` is the scale configuration: the gram join/group
+    key becomes ``xxhash64(gram)`` (8 bytes instead of a ~60-char
+    string), narrowing both the doc-freq shuffle and the join-back.
+    False-collision odds are ~n_grams^2/2^64 — at 10^12 grams that is
+    still <<1 spurious removal corpus-wide. The string-key default is
+    what the DuckDB oracle replays bit-exactly."""
     para = docs.sparkSession.sparkContext.defaultParallelism
     # materialize the token array BEFORE fan-out consumers (the
     # CollapseProject rule — see CLAUDE.md / hashed_shingles)
@@ -470,7 +477,12 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     grams = tok.select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
-    ).localCheckpoint()
+    )
+    if hash_keys:
+        grams = grams.select(
+            "doc_id", "pos", F.xxhash64("gram").alias("gram")
+        )
+    grams = grams.localCheckpoint()
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("doc_freq"))
