@@ -121,3 +121,57 @@ def merge_changelog(
         delete_op=delete_op,
         keep_tombstones=keep_tombstones,
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive a changelog FROM two snapshots — the inverse of
+    :func:`apply_changelog`/:func:`merge_changelog`: when a source
+    can't emit CDC events (the reference's extractors re-read whole
+    tables every run, reference: extractors/postgres_extractor.py:
+    41-66), diffing consecutive snapshots recovers the change feed.
+
+    Emits ONLY differences (O(changes) output, never O(corpus)):
+    ``change_kind`` ∈ added / changed / removed, plus the standard
+    ``op`` marker (removed → delete tombstone carrying only the key,
+    everything else an upsert with the NEW values). One co-partitioned
+    full-outer join on the key; value comparison is a single struct
+    null-safe equality, so wide tables don't multiply predicates.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in key_cols]
+    )
+    o = old.select(
+        *key_cols, F.struct(*compare_cols).alias("_ov")
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        *key_cols, *compare_cols, F.struct(*compare_cols).alias("_nv")
+    ).withColumn("_in_new", F.lit(True))
+    j = o.join(n, list(key_cols), "full_outer")
+    kind = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("_in_old").isNull()
+            | F.col("_in_new").isNull()
+            | ~F.col("_ov").eqNullSafe(F.col("_nv"))
+        )
+        .select(
+            *key_cols,
+            *compare_cols,
+            kind.alias("change_kind"),
+            F.when(
+                F.col("_in_new").isNull(), F.lit(DELETE_OP)
+            ).otherwise(F.lit(UPSERT_OP)).alias(op_col),
+        )
+    )

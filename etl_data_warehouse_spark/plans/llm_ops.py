@@ -670,6 +670,67 @@ ORDER BY doc_id
 
 
 
+# --- q97: keep-best representative per near-dup cluster ----------------------
+# What a dedup pipeline actually DOES with q59's clusters: keep one
+# representative per cluster and drop the rest. Keep rule = longest
+# document (token count), doc_id as the unique tiebreaker — the common
+# "keep the most complete copy" policy. One extra window over the
+# cluster id on top of the q59 component computation.
+
+def q97_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    clusters = graph.dedup_clusters(docs, pairs)
+    scored = clusters.join(
+        docs.select("doc_id", token_count("text").alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    ).orderBy("doc_id")
+
+
+Q97_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_JACCARD_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lbl AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+assigned AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           len(string_split_regex(trim(d.text), ' +'))::BIGINT AS n_tokens
+    FROM documents d LEFT JOIN lbl l USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       (COUNT(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size,
+       n_tokens,
+       (row_number() OVER (
+            PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id
+        ) = 1) AS keep
+FROM assigned
+ORDER BY doc_id
+"""
+
+
 # --- q81: IVFADC (IVF cells x PQ codes x exact refine; rows-only check) ------
 # The TRAINED composition has no bit-exact SQL replay (k-means state is
 # fp-summation-order dependent), so the driver applies its weaker
@@ -795,6 +856,74 @@ SELECT user_id, ts_ms, event_id, value, n_changes
 FROM r
 WHERE rn = 1 AND op <> 'D'
 ORDER BY user_id
+"""
+
+
+# --- q96: snapshot diff (derive a changelog from two snapshots) --------------
+# The inverse of q87: sources that can't emit CDC events (the
+# reference's extractors re-read whole tables every run) get their
+# change feed recovered by diffing consecutive snapshots. Snapshot B is
+# a deterministic mutation of documents (drops, edits, inserts) so the
+# oracle replays the whole derivation; output is O(changes) only.
+
+def q96_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 5,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    diff = cdc.snapshot_diff(docs, new, ["doc_id"])
+    return diff.select(
+        "doc_id",
+        "change_kind",
+        "op",
+        F.md5(F.coalesce("text", F.lit(""))).alias("fp"),
+    ).orderBy("doc_id")
+
+
+Q96_ORACLE = """
+WITH old AS (
+    SELECT doc_id, text FROM documents
+),
+new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END
+               AS text
+    FROM documents WHERE doc_id % 17 <> 3
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+    FROM documents WHERE doc_id % 19 = 7
+),
+j AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           o.text AS otext, n.text AS ntext,
+           o.doc_id IS NOT NULL AS in_old,
+           n.doc_id IS NOT NULL AS in_new
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change_kind,
+       CASE WHEN NOT in_new THEN 'D' ELSE 'U' END AS op,
+       md5(COALESCE(ntext, '')) AS fp
+FROM j
+WHERE NOT in_old OR NOT in_new OR otext IS DISTINCT FROM ntext
+ORDER BY doc_id
 """
 
 
@@ -1231,12 +1360,14 @@ QUERIES = {
     "q81_ivfadc_topk": q81_ivfadc_topk,
     "q82_semantic_dedup": q82_semantic_dedup,
     "q87_cdc_apply": q87_cdc_apply,
+    "q96_snapshot_diff": q96_snapshot_diff,
     "q90_last_touch_attribution": q90_last_touch_attribution,
     "q91_running_balance": q91_running_balance,
     "q92_topk_sketch_rollup": q92_topk_sketch_rollup,
     "q93_frame_sample": q93_frame_sample,
     "q94_ivfadc_exact": q94_ivfadc_exact,
     "q59_dedup_clusters": q59_dedup_clusters,
+    "q97_dedup_keep_longest": q97_dedup_keep_longest,
 }
 
 ORACLES = {
@@ -1258,12 +1389,14 @@ ORACLES = {
     "q55_embedding_stats": Q55_ORACLE,
     "q82_semantic_dedup": Q82_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
+    "q96_snapshot_diff": Q96_ORACLE,
     "q90_last_touch_attribution": Q90_ORACLE,
     "q91_running_balance": Q91_ORACLE,
     "q92_topk_sketch_rollup": Q92_ORACLE,
     "q93_frame_sample": Q93_ORACLE,
     "q94_ivfadc_exact": Q94_ORACLE,
     "q59_dedup_clusters": Q59_ORACLE,
+    "q97_dedup_keep_longest": Q97_ORACLE,
 }
 
 

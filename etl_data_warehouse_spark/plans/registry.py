@@ -71,8 +71,8 @@ ORACLES.update(tpch2.ORACLES)
 # new; q88/q92/q93 changed oracles this round; q81 pairs with q94's
 # hash evidence; q82/q87/q01 heavyweight re-checks) — exactly 50.
 # Every query stays registered; only the insertion order changes.
-# q95 (new this round) takes the 50th slot from the q01 re-check —
-# q01 is hash-green in r1-r4 and unchanged.
+# q95/q96/q97 (new this round) take the last slots from the q01/q82/
+# q87 re-checks — all three are hash-green in r4 and unchanged.
 _WINDOW_FIRST = [
     # displaced by the r4 window — refresh their driver rows
     "q07_dim_products",
@@ -123,9 +123,9 @@ _WINDOW_FIRST = [
     "q92_topk_sketch_rollup",
     "q93_frame_sample",
     "q81_ivfadc_topk",
-    "q82_semantic_dedup",
-    "q87_cdc_apply",
     "q95_dup_span_removal",
+    "q96_snapshot_diff",
+    "q97_dedup_keep_longest",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

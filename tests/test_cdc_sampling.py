@@ -53,6 +53,56 @@ class TestApplyChangelog:
         assert state.collect()[0]["value"] == 2.0
 
 
+class TestSnapshotDiff:
+    """snapshot_diff (q96 core): emits exactly the differences, and the
+    derived changelog merged back onto the old snapshot reproduces the
+    new snapshot (diff/apply round-trip inverse)."""
+
+    def _snaps(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+            "key bigint, name string, value double",
+        )
+        new = spark.createDataFrame(
+            # 1 unchanged, 2 value-changed, 3 removed, 5 added,
+            # 4 changed-to-NULL (null-safe comparison must flag it)
+            [(1, "a", 1.0), (2, "b", 9.0), (5, "e", 5.0), (4, "d", None)],
+            "key bigint, name string, value double",
+        )
+        return old, new
+
+    def test_emits_only_differences(self, spark):
+        old, new = self._snaps(spark)
+        got = {
+            r["key"]: r
+            for r in cdc.snapshot_diff(old, new, ["key"]).collect()
+        }
+        assert set(got) == {2, 3, 4, 5}
+        assert got[2]["change_kind"] == "changed" and got[2]["op"] == "U"
+        assert got[3]["change_kind"] == "removed" and got[3]["op"] == "D"
+        assert got[4]["change_kind"] == "changed"
+        assert got[4]["value"] is None
+        assert got[5]["change_kind"] == "added" and got[5]["op"] == "U"
+
+    def test_roundtrip_merge_recovers_new_snapshot(self, spark):
+        old, new = self._snaps(spark)
+        changes = (
+            cdc.snapshot_diff(old, new, ["key"])
+            .drop("change_kind")
+            .withColumn("seq", F.lit(1))
+            .select("key", "seq", "name", "value", "op")
+        )
+        recovered = cdc.merge_changelog(old, changes, ["key"], ["seq"])
+        assert {
+            (r["key"], r["name"], r["value"])
+            for r in recovered.select("key", "name", "value").collect()
+        } == {tuple(r) for r in new.collect()}
+
+    def test_identical_snapshots_diff_empty(self, spark):
+        old, _ = self._snaps(spark)
+        assert cdc.snapshot_diff(old, old, ["key"]).count() == 0
+
+
 class TestMergeChangelog:
     def test_snapshot_plus_batch(self, spark):
         snapshot = spark.createDataFrame(
