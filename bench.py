@@ -463,6 +463,9 @@ def _xl_section(spark, n_docs: int) -> dict:
         "simhash_blocked": lambda: dedup.simhash_pairs_blocked(
             docs, signatures=dedup.simhash_signatures
         ),
+        # exact-substring span removal in its hash-key scale config —
+        # linear inverted-index shape, belongs in the 1M record
+        "dup_span_removal": lambda: remove_dup_spans(docs, hash_keys=True),
         # n_cells per the measured sizing rule N/n_cells ~= 50-100
         # (README scaling section: 16K cells 82s vs 4K cells 200s at 1M)
         "semantic_dedup": lambda: similarity.semantic_dedup(

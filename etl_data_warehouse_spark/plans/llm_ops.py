@@ -927,6 +927,108 @@ ORDER BY doc_id
 """
 
 
+# --- q98: schema-on-read JSON flatten (S5 twin, hash-checked) ----------------
+# The document-source ingestion semantics (sources/external.py
+# read_json_documents; reference: extractors/mongo_extractor.py:19-80)
+# exercised on hashable data: a deterministic nested-JSON string is
+# built from the documents table with IDENTICAL concatenation in both
+# engines, then Spark's from_json(explicit schema) + struct flatten is
+# checked against DuckDB's json_extract — including a planted
+# truncated/corrupt row (parses to NULL, json_valid=false) and a JSON
+# null field. Schema-on-read with explicit schema is the 100 TB
+# posture (inferSchema double-reads the corpus).
+
+def q98_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    good = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "source": "'),
+        F.col("source"),
+        F.lit('"}, "n": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "val": '),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("null")).otherwise(
+            (F.col("doc_id") * 3 % 100).cast("string")
+        ),
+        F.lit("}"),
+    )
+    js = F.when(
+        F.col("doc_id") % 31 == 11,
+        F.concat(F.lit('{"id": '), F.col("doc_id").cast("string")),
+    ).otherwise(good)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("n", T.LongType()),
+            T.StructField("val", T.LongType()),
+            # PERMISSIVE from_json yields a struct of NULLs (not a NULL
+            # struct) for malformed input — the corrupt-record field is
+            # the reliable validity signal
+            T.StructField("_corr", T.StringType()),
+        ]
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.from_json(
+            js, schema, {"columnNameOfCorruptRecord": "_corr"}
+        ).alias("j"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("j._corr").isNull().alias("is_valid"),
+        F.col("j.id").alias("j_id"),
+        F.col("j.meta.lang").alias("j_lang"),
+        F.col("j.meta.source").alias("j_source"),
+        F.col("j.n").alias("j_n"),
+        F.col("j.val").alias("j_val"),
+    ).orderBy("doc_id")
+
+
+Q98_ORACLE = """
+WITH j AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 31 = 11
+                THEN '{"id": ' || doc_id
+                ELSE '{"id": ' || doc_id || ', "meta": {"lang": "'
+                     || lang || '", "source": "' || source
+                     || '"}, "n": ' || n_chars || ', "val": '
+                     || CASE WHEN doc_id % 7 = 0 THEN 'null'
+                             ELSE (doc_id * 3 % 100)::VARCHAR END
+                     || '}'
+           END AS js
+    FROM documents
+)
+SELECT doc_id,
+       json_valid(js) AS is_valid,
+       CASE WHEN json_valid(js)
+            THEN json_extract(js, '$.id')::BIGINT END AS j_id,
+       CASE WHEN json_valid(js)
+            THEN json_extract_string(js, '$.meta.lang') END AS j_lang,
+       CASE WHEN json_valid(js)
+            THEN json_extract_string(js, '$.meta.source') END AS j_source,
+       CASE WHEN json_valid(js)
+            THEN json_extract(js, '$.n')::BIGINT END AS j_n,
+       CASE WHEN json_valid(js)
+            THEN json_extract(js, '$.val')::BIGINT END AS j_val
+FROM j
+ORDER BY doc_id
+"""
+
+
 # --- q90: last-touch attribution (purchase ← preceding non-purchase) ---------
 # For every purchase event: the user's most recent PRECEDING
 # non-purchase event (the "touch"), via last(ignore nulls) over an
@@ -1361,6 +1463,7 @@ QUERIES = {
     "q82_semantic_dedup": q82_semantic_dedup,
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
+    "q98_json_flatten": q98_json_flatten,
     "q90_last_touch_attribution": q90_last_touch_attribution,
     "q91_running_balance": q91_running_balance,
     "q92_topk_sketch_rollup": q92_topk_sketch_rollup,
@@ -1390,6 +1493,7 @@ ORACLES = {
     "q82_semantic_dedup": Q82_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
+    "q98_json_flatten": Q98_ORACLE,
     "q90_last_touch_attribution": Q90_ORACLE,
     "q91_running_balance": Q91_ORACLE,
     "q92_topk_sketch_rollup": Q92_ORACLE,

@@ -71,8 +71,10 @@ ORACLES.update(tpch2.ORACLES)
 # new; q88/q92/q93 changed oracles this round; q81 pairs with q94's
 # hash evidence; q82/q87/q01 heavyweight re-checks) — exactly 50.
 # Every query stays registered; only the insertion order changes.
-# q95/q96/q97 (new this round) take the last slots from the q01/q82/
-# q87 re-checks — all three are hash-green in r4 and unchanged.
+# q95/q96/q97/q98 (new this round) take the last slots from the q01/
+# q82/q87 re-checks (hash-green in r4, unchanged) and from q81 (rows-
+# only by design — its r4 driver row + q94's hash row are the evidence;
+# a fresh rows-only row adds nothing).
 _WINDOW_FIRST = [
     # displaced by the r4 window — refresh their driver rows
     "q07_dim_products",
@@ -122,7 +124,7 @@ _WINDOW_FIRST = [
     "q88_weighted_sample",
     "q92_topk_sketch_rollup",
     "q93_frame_sample",
-    "q81_ivfadc_topk",
+    "q98_json_flatten",
     "q95_dup_span_removal",
     "q96_snapshot_diff",
     "q97_dedup_keep_longest",

@@ -458,12 +458,15 @@ def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
     still <<1 spurious removal corpus-wide. The string-key default is
     what the DuckDB oracle replays bit-exactly."""
     para = docs.sparkSession.sparkContext.defaultParallelism
-    # materialize the token array BEFORE fan-out consumers (the
-    # CollapseProject rule — see CLAUDE.md / hashed_shingles)
-    tok = (
-        docs.repartition(para, "doc_id")
-        .select("doc_id", tokens("text").alias("tok"))
-        .localCheckpoint()
+    # Project the token array BEFORE the repartition: the Exchange both
+    # acts as the CollapseProject optimizer barrier (see CLAUDE.md /
+    # hashed_shingles) and — via ReuseExchange — materializes the split
+    # ONCE per execution for all three downstream consumers, with zero
+    # block-manager-resident state. The earlier localCheckpoint version
+    # pinned ~5 GB of token+gram blocks at 10^6 docs and OOM'd the 8 GB
+    # local-mode heap; shuffle files spill to disk instead.
+    tok = docs.select("doc_id", tokens("text").alias("tok")).repartition(
+        para, "doc_id"
     )
     gram_arr = F.when(
         F.size("tok") >= 8,
@@ -482,7 +485,8 @@ def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
         grams = grams.select(
             "doc_id", "pos", F.xxhash64("gram").alias("gram")
         )
-    grams = grams.localCheckpoint()
+    # no checkpoint: both gram consumers re-explode from the reused
+    # token Exchange (cheap CPU, no resident blocks — the 1M shape)
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("doc_freq"))
