@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "q83_quality_rules",
     "q85_crossdoc_ngram_dup",
     "q87_cdc_apply",
+    # round 5 additions
+    "q95_dup_span_removal",
+    "q96_snapshot_diff",
+    "q98_json_flatten",
 ]
 
 
@@ -102,9 +106,19 @@ def _q25_bench(spark, sf_dir):
     )
 
 
+def _q95_bench(spark, sf_dir):
+    """Bench variant of q95: the xxhash64 gram-key scale config (the
+    registry entry keeps string keys for bit-exact DuckDB replay)."""
+    docs = load_table(spark, "documents", sf_dir, columns=["doc_id", "text"])
+    return remove_dup_spans(docs, hash_keys=True)
+
+
 # Bench-only substitutions: same operator, faster engine-native variant
 # (the registry entry stays the oracle-checkable twin).
-BENCH_OVERRIDES = {"q25_simhash_pairs": _q25_bench}
+BENCH_OVERRIDES = {
+    "q25_simhash_pairs": _q25_bench,
+    "q95_dup_span_removal": _q95_bench,
+}
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy
 # for 0.6s queries to trust round-over-round regression deltas.
@@ -458,23 +472,19 @@ def _xl_section(spark, n_docs: int) -> dict:
     )
     index_build_sec = round(_t.time() - t0, 3)
     batch_docs = docs.filter(F.col("doc_id") >= n_corpus)
+    # Op ORDER matters at XL: per-op _release_session_state does not
+    # fully reclaim the heap litter of a 10^8-row string-churn op in
+    # this single 8 GB JVM (measured: semantic_dedup read 230s when run
+    # right after dup_span_removal's two 143M-gram executions vs 66s
+    # warm in a fresh session). The GC/Arrow-sensitive vector ops run
+    # FIRST on the cleanest heap; the shuffle-heavy text ops run last.
     ops = {
         "exact_dedup": lambda: dedup.exact_dedup_groups(docs),
-        "simhash_blocked": lambda: dedup.simhash_pairs_blocked(
-            docs, signatures=dedup.simhash_signatures
-        ),
-        # exact-substring span removal in its hash-key scale config —
-        # linear inverted-index shape, belongs in the 1M record
-        "dup_span_removal": lambda: remove_dup_spans(docs, hash_keys=True),
         # n_cells per the measured sizing rule N/n_cells ~= 50-100
         # (README scaling section: 16K cells 82s vs 4K cells 200s at 1M)
         "semantic_dedup": lambda: similarity.semantic_dedup(
             ndvecs, threshold=0.90, n_cells=max(256, n_docs // 64),
             assign_arrow=True, pairs_arrow=True,
-        ),
-        "incremental_dedup_batch": lambda: dedup_index.incremental_dedup(
-            spark, batch_docs, f"{base}/lsh_index",
-            bands_table="xl_lsh_bands", shingles_table="xl_lsh_shingles",
         ),
         # wide-band SRP (24-bit bands): the 10^6-row hyperplane-LSH
         # operating point — background candidates ~16*N^2/2^24 instead
@@ -482,6 +492,17 @@ def _xl_section(spark, n_docs: int) -> dict:
         "hyperplane_lsh_wide": lambda: similarity.hyperplane_lsh_neardup(
             ndvecs, threshold=0.90, n_planes=384, bands=16
         ),
+        "incremental_dedup_batch": lambda: dedup_index.incremental_dedup(
+            spark, batch_docs, f"{base}/lsh_index",
+            bands_table="xl_lsh_bands", shingles_table="xl_lsh_shingles",
+        ),
+        "simhash_blocked": lambda: dedup.simhash_pairs_blocked(
+            docs, signatures=dedup.simhash_signatures
+        ),
+        # exact-substring span removal in its hash-key scale config —
+        # linear inverted-index shape, belongs in the 1M record; LAST
+        # because its gram churn poisons whatever follows
+        "dup_span_removal": lambda: remove_dup_spans(docs, hash_keys=True),
     }
     timings, spread = {}, {}
     for name, make_df in ops.items():

@@ -434,7 +434,7 @@ def q95_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     OTHER document is removed, and the surviving tokens are re-joined
     into the cleaned training text (whitespace-normalized; the
     reference pipeline's dedup is a whole-row drop_duplicates,
-    reference: transformers/data_transformer.py:56-60 — span-level
+    reference: transformers/data_transformer.py:39 — span-level
     removal is the training-data extension).
 
     Scale shape: the q85 inverted index (posexplode → gram groupBy with

@@ -28,8 +28,8 @@ the ordering guarantees the index never contains a batch whose pairs
 were not written first.
 
 The reference has no incremental near-dedup at all (its dedup is a
-pandas drop_duplicates, reference: transformers/data_transformer.py:
-56-60); SURVEY.md §2.9's streaming-twin rule is applied to the
+pandas drop_duplicates, reference: transformers/data_transformer.py:39,
+:92, :144); SURVEY.md §2.9's streaming-twin rule is applied to the
 brief's training-data extension here.
 """
 
