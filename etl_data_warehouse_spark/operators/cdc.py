@@ -138,8 +138,10 @@ def snapshot_diff(
 
     Emits ONLY differences (O(changes) output, never O(corpus)):
     ``change_kind`` ∈ added / changed / removed, plus the standard
-    ``op`` marker (removed → delete tombstone carrying only the key,
-    everything else an upsert with the NEW values). One co-partitioned
+    ``op`` marker (removed → delete tombstone whose key columns are
+    populated and whose compare columns are all NULL — they are
+    projected from the absent NEW side; everything else an upsert with
+    the NEW values). One co-partitioned
     full-outer join on the key; value comparison is a single struct
     null-safe equality, so wide tables don't multiply predicates.
     """

@@ -127,20 +127,29 @@ def append_to_index(
         new_docs = new_docs.join(indexed, "doc_id", "left_anti")
     sh = hashed_shingles(new_docs, n).localCheckpoint()
     bt = band_table(sh, num_hashes, bands)
+    # Write order matters for crash safety: bands FIRST, shingles last.
+    # Both the skip_indexed guard above and the streaming replay guard
+    # (streaming/neardup_stream.py) probe the SHINGLE table, so a doc
+    # must only become visible there once its band rows are already on
+    # disk. A crash between the two writes then leaves band rows without
+    # shingles — harmless, because a replay re-appends both (duplicate
+    # band rows are collapsed by the candidate `distinct`), whereas the
+    # reverse order would leave docs the guards treat as indexed but
+    # that can never surface as LSH candidates (silently missed dups).
     if buckets:
         if not table_prefix:
             raise ValueError("bucketed index append requires table_prefix")
         write_bucketed(
-            sh, f"{table_prefix}_shingles", "doc_id", buckets,
-            f"{index_dir}/shingles", mode="append",
-        )
-        write_bucketed(
             bt, f"{table_prefix}_bands", BAND_KEYS, buckets,
             f"{index_dir}/bands", mode="append",
         )
+        write_bucketed(
+            sh, f"{table_prefix}_shingles", "doc_id", buckets,
+            f"{index_dir}/shingles", mode="append",
+        )
         return
-    sh.write.mode("append").parquet(f"{index_dir}/shingles")
     bt.write.mode("append").parquet(f"{index_dir}/bands")
+    sh.write.mode("append").parquet(f"{index_dir}/shingles")
 
 
 def incremental_dedup(

@@ -66,6 +66,25 @@ _POINTER = "_CURRENT"
 def _current_version_dir(snapshot_path: str) -> str | None:
     pointer = os.path.join(snapshot_path, _POINTER)
     if not os.path.exists(pointer):
+        # No pointer. A directory that nonetheless CONTAINS snapshot
+        # data is corruption (a lost pointer file, or data written by a
+        # different/older layout) — treating it as "no snapshot yet"
+        # would silently rebuild state from the current batch alone.
+        # Only in-flight staging dirs (.tmp-*) and the pointer's own
+        # tmp file are expected without a pointer; anything else raises.
+        if os.path.isdir(snapshot_path):
+            leftovers = [
+                e
+                for e in os.listdir(snapshot_path)
+                if not e.startswith(".tmp-") and e != _POINTER + ".tmp"
+            ]
+            if leftovers:
+                raise RuntimeError(
+                    f"CDC snapshot at {snapshot_path} has data "
+                    f"({leftovers[:3]}…) but no {_POINTER} pointer — "
+                    "refusing to silently reset state. Restore the "
+                    "pointer or clear the directory to start fresh."
+                )
         return None
     with open(pointer, "r", encoding="utf-8") as fh:
         version = fh.read().strip()
@@ -83,16 +102,41 @@ def _read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
 
 def _commit_snapshot(snapshot_path: str, batch_id: int, state: DataFrame) -> str:
     os.makedirs(snapshot_path, exist_ok=True)
-    previous = _current_version_dir(snapshot_path)
-    version = f"v{batch_id:012d}"
+    # At-least-once replay: if this batch already committed (crash
+    # between the pointer swap and the stream's checkpoint commit), the
+    # pointer now points AT v{batch_id} — the very directory the merge
+    # plan is reading. Overwriting it raises "Cannot overwrite a path
+    # that is also being read from" on every retry and wedges recovery,
+    # so always commit into a dir that does not yet exist and swap the
+    # pointer onto it.
+    base = f"v{batch_id:012d}"
+    version, retry = base, 0
+    while os.path.exists(os.path.join(snapshot_path, version)):
+        retry += 1
+        version = f"{base}-r{retry}"
     version_dir = os.path.join(snapshot_path, version)
-    state.write.mode("overwrite").parquet(version_dir)
+    # Stage under a .tmp- name so a crash mid-write leaves only debris
+    # the corruption check in _current_version_dir ignores; the
+    # rename→pointer-swap pair is two metadata ops (local/HDFS rename is
+    # atomic — on object stores use a rename-capable committer). A crash
+    # exactly between them leaves an unpointed v* dir, which the next
+    # read raises on: indistinguishable from a lost pointer, and the
+    # operator (not the code) must decide which it was.
+    staging = os.path.join(snapshot_path, f".tmp-{version}")
+    state.write.mode("overwrite").parquet(staging)
+    os.rename(staging, version_dir)
     tmp_pointer = os.path.join(snapshot_path, _POINTER + ".tmp")
     with open(tmp_pointer, "w", encoding="utf-8") as fh:
         fh.write(version)
     os.replace(tmp_pointer, os.path.join(snapshot_path, _POINTER))
-    if previous is not None and previous != version_dir:
-        shutil.rmtree(previous, ignore_errors=True)
+    # best-effort GC: everything that is not the freshly pointed version
+    # (superseded versions, stale staging dirs) is garbage now.
+    for entry in os.listdir(snapshot_path):
+        full = os.path.join(snapshot_path, entry)
+        if full == version_dir or entry == _POINTER:
+            continue
+        if entry.startswith("v") or entry.startswith(".tmp-"):
+            shutil.rmtree(full, ignore_errors=True)
     return version_dir
 
 

@@ -81,6 +81,54 @@ class TestSnapshotDurability:
         with _pytest.raises(Exception):
             cs._read_snapshot(spark, snap).collect()
 
+    def test_replay_of_committed_batch_does_not_wedge(self, spark, tmp_path):
+        # At-least-once window: the snapshot commit swapped the pointer
+        # but the stream checkpoint did not record the batch. The replay
+        # re-merges reading FROM the pointed dir and re-commits the SAME
+        # batch_id — this must not target the dir being read (Spark's
+        # "Cannot overwrite a path that is also being read from").
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        snap = str(tmp_path / "snapshot_replay")
+        state1 = spark.createDataFrame(
+            [(1, 10, 1, 1.0, "U")], "key long, ts long, change_id long,"
+            " value double, op string"
+        )
+        first_dir = cs._commit_snapshot(snap, 0, state1)
+
+        # replayed merge plan reads the pointed snapshot lazily
+        replayed = cs._read_snapshot(spark, snap).withColumn(
+            "value", F.col("value") + 0.0
+        )
+        second_dir = cs._commit_snapshot(snap, 0, replayed)
+        assert second_dir != first_dir  # uniquified, never overwritten
+        got = {tuple(r) for r in cs._read_snapshot(spark, snap).collect()}
+        assert got == {(1, 10, 1, 1.0, "U")}
+        import os as _os
+
+        assert not _os.path.exists(first_dir)  # superseded version GC'd
+
+    def test_unpointed_data_raises_but_staging_debris_is_ignored(
+        self, spark, tmp_path
+    ):
+        # Data with NO pointer is a lost pointer / foreign layout, not
+        # "no snapshot yet" — silently rebuilding from the current batch
+        # would reset state. Only in-flight .tmp- staging is benign.
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        import os as _os
+
+        import pytest as _pytest
+
+        snap = str(tmp_path / "snap_unpointed")
+        _os.makedirs(f"{snap}/v000000000003")
+        with _pytest.raises(RuntimeError, match="no _CURRENT pointer"):
+            cs._read_snapshot(spark, snap)
+
+        snap2 = str(tmp_path / "snap_staging")
+        _os.makedirs(f"{snap2}/.tmp-v000000000000")
+        assert cs._read_snapshot(spark, snap2) is None
+
 
 class TestCdcStream:
     def test_streaming_equals_batch_fold(self, spark, sf_dir, tmp_path):

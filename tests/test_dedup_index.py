@@ -150,6 +150,45 @@ class TestBucketedIndex:
         assert _pairs_set(got) == _pairs_set(want)
         assert _pairs_set(got)
 
+    def test_partial_append_recovers_on_replay(self, spark, sf_dir, tmp_path):
+        """Crash between the two append writes: bands are written FIRST,
+        so the interrupted batch is still absent from the shingle table
+        that every replay/idempotency guard probes — the replay must
+        re-append it and subsequent dedup output must be exact (the
+        duplicated band rows collapse in the candidate distinct; the
+        reverse write order would silently lose the batch's future
+        near-dup pairs forever)."""
+        from etl_data_warehouse_spark.operators.dedup import (
+            band_table,
+            hashed_shingles,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 3 == 0)
+        b1 = docs.filter(F.col("doc_id") % 3 == 1)
+        b2 = docs.filter(F.col("doc_id") % 3 == 2)
+        idx = str(tmp_path / "idx_partial")
+        build_minhash_index(corpus, idx)
+
+        # simulate the crash: b1's bands land, its shingles never do
+        sh1 = hashed_shingles(b1).localCheckpoint()
+        band_table(sh1, 64, 32).write.mode("append").parquet(f"{idx}/bands")
+
+        # replay: the guard (shingle probe) still sees b1 as new
+        append_to_index(b1, idx)
+        n_sh_fresh = hashed_shingles(
+            docs.filter(F.col("doc_id") % 3 != 2)
+        ).count()
+        assert spark.read.parquet(f"{idx}/shingles").count() == n_sh_fresh
+
+        inc2 = incremental_dedup(spark, b2, idx)
+        full = minhash_lsh_pairs(docs)
+        expected = full.filter(
+            (F.col("doc_a") % 3 == 2) | (F.col("doc_b") % 3 == 2)
+        )
+        assert _pairs_set(inc2) == _pairs_set(expected)
+        assert _pairs_set(inc2)
+
     def test_append_is_idempotent(self, spark, sf_dir, tmp_path):
         """Re-appending the same batch (failure retry) must not
         double-insert rows — verify_pairs counts shingle rows, so
