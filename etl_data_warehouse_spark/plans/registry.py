@@ -22,6 +22,7 @@ from . import (
     text_quality,
     tpch,
     tpch2,
+    tpch3,
     warehouse,
 )
 
@@ -61,73 +62,73 @@ QUERIES.update(tpch.QUERIES)
 ORACLES.update(tpch.ORACLES)
 QUERIES.update(tpch2.QUERIES)
 ORACLES.update(tpch2.ORACLES)
+QUERIES.update(tpch3.QUERIES)
+ORACLES.update(tpch3.ORACLES)
 
-# --- Driver correctness window rotation (round 5) ------------------------
+# --- Driver correctness window rotation (round 6) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 4's window covered the 29 never-checked entries plus
-# the round-4 additions; the 42 entries it displaced (q07-q29, q31-q46,
-# q55-q59, q61 families) last saw a driver row in r1-r3, against older
-# code. Lead with those 42, then this round's NEW/CHANGED queries (q94
-# new; q88/q92/q93 changed oracles this round; q81 pairs with q94's
-# hash evidence; q82/q87/q01 heavyweight re-checks) — exactly 50.
-# Every query stays registered; only the insertion order changes.
-# q95/q96/q97/q98 (new this round) take the last slots from the q01/
-# q82/q87 re-checks (hash-green in r4, unchanged) and from q81 (rows-
-# only by design — its r4 driver row + q94's hash row are the evidence;
-# a fresh rows-only row adds nothing).
+# QUERIES. Round 5's window covered the 42 r1-r3-stale entries plus the
+# round-5 additions (all hash-green in CORRECTNESS_r05). The 46 entries
+# it displaced (q01-q06, q30, q47-q53, q57/q58/q60/q61, the TPC-H packs
+# q62-q80, q82-q87, q89-q91) last saw a driver row in round 4. Lead with
+# this round's 5 NEW queries (tpch3: the final TPC-H shapes), then 45 of
+# those 46 — q01 cedes its slot (it is smoke-checked by entry() every
+# round and was green in r4). Every query stays registered; only the
+# insertion order changes. q81 stays rows-only by design (q94 carries
+# the composition's hash evidence).
 _WINDOW_FIRST = [
-    # displaced by the r4 window — refresh their driver rows
-    "q07_dim_products",
-    "q08_fact_daily_sales",
-    "q09_fact_orders",
-    "q10_clean_lineitem",
-    "q11_referential_integrity",
-    "q12_duplicate_checks",
-    "q13_null_rates",
-    "q14_quality_assertions",
-    "q15_top_orders_per_month",
-    "q16_status_pivot",
-    "q17_sales_rollup",
-    "q18_sales_cube",
-    "q19_date_coverage",
-    "q34_set_ops",
-    "q35_incremental_extract",
-    "q39_revenue_by_region",
-    "q40_supplier_performance",
-    "q42_fact_lineitem",
-    "q56_salted_revenue",
-    "q20_text_stats",
-    "q21_lang_id",
-    "q22_exact_dedup",
-    "q23_ngram_jaccard_dedup",
-    "q24_minhash_lsh_dedup",
-    "q25_simhash_pairs",
-    "q26_embedding_topk",
-    "q27_embedding_neardup",
-    "q28_ivf_topk",
-    "q29_doc_fingerprint",
-    "q31_event_rollup",
-    "q32_event_props_extract",
-    "q33_multimodal_features",
-    "q41_hyperplane_lsh_neardup",
-    "q55_embedding_stats",
-    "q59_dedup_clusters",
-    "q36_event_funnel",
-    "q37_asof_join",
-    "q38_range_join",
-    "q43_train_test_split",
-    "q44_vocab_topk",
-    "q45_sequence_packing",
-    "q46_contamination",
-    # new or changed in round 5 — need fresh driver rows
-    "q94_ivfadc_exact",
-    "q88_weighted_sample",
-    "q92_topk_sketch_rollup",
-    "q93_frame_sample",
-    "q98_json_flatten",
-    "q95_dup_span_removal",
-    "q96_snapshot_diff",
-    "q97_dedup_keep_longest",
+    # new in round 6 — first driver rows
+    "q99_tpch_q2_min_cost_supplier",
+    "q100_tpch_q11_important_stock",
+    "q101_tpch_q12_shipping_priority_buckets",
+    "q102_tpch_q16_supplier_count",
+    "q103_tpch_q20_dominant_supplier",
+    # displaced by the r5 window — refresh their driver rows
+    "q02_customer_tier",
+    "q03_product_performance",
+    "q04_retention_cohort",
+    "q05_daily_anomaly",
+    "q06_dim_date",
+    "q30_sessionization",
+    "q47_zorder_layout",
+    "q48_pii_scrub",
+    "q49_repetition_stats",
+    "q50_tfidf_topk",
+    "q51_source_mixture",
+    "q52_corpus_funnel",
+    "q53_order_value_quantiles",
+    "q57_status_pivot",
+    "q58_status_unpivot",
+    "q60_grouping_sets",
+    "q61_distribution_windows",
+    "q62_tpch_q1_pricing_summary",
+    "q63_tpch_q3_shipping_priority",
+    "q64_tpch_q5_local_supplier_volume",
+    "q65_tpch_q6_forecast_revenue",
+    "q66_tpch_q10_returned_items",
+    "q67_native_session_window",
+    "q68_tpch_q4_priority_check",
+    "q69_tpch_q7_volume_shipping",
+    "q70_tpch_q8_market_share",
+    "q71_tpch_q9_product_profit",
+    "q72_tpch_q13_order_counts",
+    "q73_tpch_q14_promo_revenue",
+    "q74_tpch_q15_top_supplier",
+    "q75_tpch_q17_small_qty_revenue",
+    "q76_tpch_q18_large_orders",
+    "q77_tpch_q19_disjunctive_revenue",
+    "q78_tpch_q21_waiting_supplier",
+    "q79_tpch_q22_lapsed_customers",
+    "q80_sliding_window_activity",
+    "q82_semantic_dedup",
+    "q83_quality_rules",
+    "q84_ngram_repetition",
+    "q85_crossdoc_ngram_dup",
+    "q86_key_skew_report",
+    "q87_cdc_apply",
+    "q89_value_histogram",
+    "q90_last_touch_attribution",
+    "q91_running_balance",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
