@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "q95_dup_span_removal",
     "q96_snapshot_diff",
     "q98_json_flatten",
+    # round 6 additions
+    "q100_tpch_q11_important_stock",
+    "q104_lm_perplexity",
 ]
 
 

@@ -148,3 +148,81 @@ def contamination_check(
         )
         .orderBy("doc_id")
     )
+
+
+def lm_perplexity_score(
+    docs: DataFrame,
+    train_docs: DataFrame,
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train a word-unigram LM with add-one smoothing on a reference slice,
+    score every document by its average negative log-likelihood, and
+    ntile the corpus into quality buckets (1 = most fluent, the
+    head/middle/tail gating a pretraining pipeline keeps or drops).
+
+    Determinism playbook: the ln() of the smoothed probability is
+    engine-divergent in the last ulp, so each token's logp is rounded
+    to 9dp and summed as DECIMAL(18,9) — exact, order-independent —
+    then the per-doc mean is DOUBLE at the boundary, rounded 6dp (same
+    policy as tf_idf_topk). OOV tokens get the uniform unseen mass
+    1/(N+V+1), the same expression with count 0, so one coalesce covers
+    both cases.
+
+    Scale: one explode over the scored corpus + ONE broadcast join
+    against the vocabulary-sized model + one doc-keyed agg — linear,
+    no skew (the hot stopword keys ride the broadcast join). The
+    closing ntile is a global window over doc-grain SCORES (not
+    tokens); at 100 TB replace it with CASE against sampled quantile
+    cutoffs — the scoring pipeline upstream is unchanged.
+
+    The reference has no content-based quality scoring at all (its
+    validators are schema-level, transformers/data_transformer.py);
+    this is the brief's training-data extension.
+    """
+    from pyspark.sql import Window
+
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    train_tok = train_docs.select(F.explode(tokens("text")).alias("token"))
+    model = train_tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    consts = train_tok.agg(
+        (F.count("*") + F.countDistinct("token") + F.lit(1))
+        .cast("double")
+        .alias("denom")
+    )
+    tok = docs.repartition(para, "doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double")
+            / F.col("denom")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        tok.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            logp.alias("logp"),
+            F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_tokens"),
+        F.round(
+            -(F.sum("logp").cast("double"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_nll"),
+    )
+    w = Window.orderBy("avg_nll", "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        "avg_nll",
+        F.ntile(buckets).over(w).cast("int").alias("quality_bucket"),
+    ).orderBy("doc_id")

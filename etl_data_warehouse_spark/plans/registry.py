@@ -83,8 +83,9 @@ _WINDOW_FIRST = [
     "q101_tpch_q12_shipping_priority_buckets",
     "q102_tpch_q16_supplier_count",
     "q103_tpch_q20_dominant_supplier",
+    "q104_lm_perplexity",
     # displaced by the r5 window — refresh their driver rows
-    "q02_customer_tier",
+    # (q01/q02 cede slots: smoke-checked family, hash-green in r4)
     "q03_product_performance",
     "q04_retention_cohort",
     "q05_daily_anomaly",

@@ -586,6 +586,48 @@ ORDER BY t.doc_id
 """
 
 
+def q104_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/corpus.py
+    lm_perplexity_score): unigram LM trained on the doc_id % 5 == 0
+    reference slice, every document scored by average token NLL and
+    ntiled into 3 quality buckets."""
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    return corpus.lm_perplexity_score(docs, train, buckets=3)
+
+
+Q104_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+    FROM documents
+),
+train_tok AS (SELECT token FROM tok WHERE doc_id % 5 = 0),
+model AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM train_tok GROUP BY 1),
+consts AS (
+    SELECT (COUNT(*) + COUNT(DISTINCT token) + 1)::DOUBLE AS denom
+    FROM train_tok
+),
+scored AS (
+    SELECT t.doc_id,
+           CAST(round(ln((COALESCE(m.cnt, 0) + 1)::DOUBLE / c.denom), 9)
+                AS DECIMAL(18,9)) AS logp,
+           CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov
+    FROM tok t LEFT JOIN model m USING (token), consts c
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           SUM(oov)::BIGINT AS oov_tokens,
+           round(-(CAST(SUM(logp) AS DOUBLE)) / COUNT(*)::DOUBLE, 6)
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, oov_tokens, avg_nll,
+       ntile(3) OVER (ORDER BY avg_nll, doc_id)::INT AS quality_bucket
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q48_pii_scrub": q48_pii_scrub,
     "q49_repetition_stats": q49_repetition_stats,
@@ -594,6 +636,7 @@ QUERIES = {
     "q84_ngram_repetition": q84_ngram_repetition,
     "q85_crossdoc_ngram_dup": q85_crossdoc_ngram_dup,
     "q95_dup_span_removal": q95_dup_span_removal,
+    "q104_lm_perplexity": q104_lm_perplexity,
 }
 
 ORACLES = {
@@ -604,4 +647,5 @@ ORACLES = {
     "q84_ngram_repetition": Q84_ORACLE,
     "q85_crossdoc_ngram_dup": Q85_ORACLE,
     "q95_dup_span_removal": Q95_ORACLE,
+    "q104_lm_perplexity": Q104_ORACLE,
 }
