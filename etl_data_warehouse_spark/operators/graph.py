@@ -106,3 +106,72 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Damped PageRank over directed ``(src, dst)`` edges, a fixed
+    number of power-iteration rounds, in INTEGER fixed-point.
+
+    Every quantity is a BIGINT multiple of 1/``scale``: the uniform
+    start is ``scale DIV N``, a neighbor contribution is
+    ``p DIV outdeg``, and the damped update is
+    ``((den-num)*(scale DIV N)) DIV den + (num*Σcontrib) DIV den``.
+    Integer division and BIGINT sums are bit-exact and order-independent
+    in every engine — unlike float PageRank, whose per-node summation
+    order would break cross-engine hash parity (the same reason the
+    money policy uses DECIMAL). Quantization error is ≤ outdeg ulps of
+    1e-12 per node per round — noise for ranking purposes.
+
+    Scale posture: the classic Pregel-by-joins loop — per round one
+    shuffle-join of edges against (node, p) longs and one shuffle-agg
+    on dst; the rank frame is node-sized, never edge-sized.
+    ``localCheckpoint`` per round truncates lineage exactly as in
+    :func:`connected_components`. Dangling nodes receive only the
+    teleport mass (their Σcontrib is NULL → 0); feed symmetrized edges
+    if every node must have out-mass.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    n = nodes.count()
+    p0 = scale // n
+    base = ((damp_den - damp_num) * p0) // damp_den
+    ranks = nodes.select("node", F.lit(p0).cast("long").alias("p"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("p div outdeg").cast("long").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damp_num} * coalesce(s, 0L)) div {damp_den}"
+                    ).cast("long")
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("p").alias("rank_fixed"),
+        (F.col("p").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -1746,3 +1746,165 @@ ORDER BY user_id, session_start_ms
 
 QUERIES["q67_native_session_window"] = q67_native_session_window
 ORACLES["q67_native_session_window"] = Q67_ORACLE
+
+
+# --- q105: context-window document chunking ---------------------------------
+
+def q105_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token chunks (size 16, stride
+    12 → overlap 4) — the context-window prep step of a pretraining /
+    RAG ingest pipeline. Each chunk carries its token count and an md5
+    fingerprint (the chunk-level dedup key). Zero shuffles: tokenize +
+    explode the offset sequence + slice, all projection-side; at 100 TB
+    this runs at scan speed and the fingerprint feeds exact_dedup.
+    Chunk identity is (doc_id, chunk_idx = offset div stride) —
+    arithmetic both engines, no ordinal-of-unnest dependence.
+    """
+    docs = load_table(spark, "documents", sf_dir, columns=["doc_id", "text"])
+    tok = F.split(F.trim(F.col("text")), " +")
+    d = docs.select("doc_id", tok.alias("tok")).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("tok") - 1, F.lit(0)), F.lit(12)
+            )
+        ).alias("off"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("off") + 1, 16)
+    text = F.array_join(chunk, " ")
+    return d.select(
+        "doc_id",
+        F.expr("off div 12").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        text.alias("chunk_text"),
+        F.md5(text).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+Q105_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+o AS (
+    SELECT doc_id, tok,
+           unnest(range(0, greatest(len(tok), 1), 12)) AS off
+    FROM t
+),
+c AS (
+    SELECT doc_id, off,
+           list_slice(tok, off + 1, off + 16) AS chunk
+    FROM o
+)
+SELECT doc_id,
+       (off // 12)::INT AS chunk_idx,
+       len(chunk)::INT AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text,
+       md5(array_to_string(chunk, ' ')) AS chunk_fp
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["q105_doc_chunking"] = q105_doc_chunking
+ORACLES["q105_doc_chunking"] = Q105_ORACLE
+
+
+# --- q106: entity PageRank over the customer-supplier graph -----------------
+
+def q106_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 rounds, d=0.85) over the bipartite
+    customer↔supplier trade graph — entity-importance scoring, the
+    second graph-iteration operator next to q59's connected
+    components (operators/graph.py pagerank_fixed).
+
+    Node ids disambiguate the two key spaces (customer → 2k,
+    supplier → 2k+1); edges are the DISTINCT trade pairs from
+    lineitem ⋈ orders, symmetrized so every node has out-mass. All
+    rank math is BIGINT fixed-point (1e-12 units) — integer division
+    and sums are bit-exact and order-independent in both engines, so
+    the oracle replays the iteration exactly (a float PageRank could
+    never hash-match across engines).
+    """
+    li = load_table(spark, "lineitem", sf_dir, columns=["l_orderkey", "l_suppkey"])
+    orders = load_table(spark, "orders", sf_dir, columns=["o_orderkey", "o_custkey"])
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = graph.pagerank_fixed(edges, iterations=3)
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity_type"),
+        F.expr("node div 2").cast("long").alias("entity_key"),
+        "rank_fixed",
+        "rank",
+    ).orderBy(F.desc("rank_fixed"), "node")
+
+
+Q106_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+c AS (
+    SELECT (1000000000000 // COUNT(*))::BIGINT AS p0,
+           ((15 * (1000000000000 // COUNT(*))) // 100)::BIGINT AS base
+    FROM nodes
+),
+r0 AS (SELECT node, c.p0 AS p FROM nodes CROSS JOIN c),
+s1 AS (
+    SELECT e.dst AS node, CAST(SUM(r.p // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r1 AS (
+    SELECT n.node, CAST(c.base + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS p
+    FROM nodes n CROSS JOIN c LEFT JOIN s1 ON s1.node = n.node
+),
+s2 AS (
+    SELECT e.dst AS node, CAST(SUM(r.p // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r2 AS (
+    SELECT n.node, CAST(c.base + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS p
+    FROM nodes n CROSS JOIN c LEFT JOIN s2 ON s2.node = n.node
+),
+s3 AS (
+    SELECT e.dst AS node, CAST(SUM(r.p // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+r3 AS (
+    SELECT n.node, CAST(c.base + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS p
+    FROM nodes n CROSS JOIN c LEFT JOIN s3 ON s3.node = n.node
+)
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS entity_type,
+       (node // 2)::BIGINT AS entity_key,
+       p AS rank_fixed,
+       p::DOUBLE / 1000000000000.0 AS rank
+FROM r3
+ORDER BY rank_fixed DESC, node
+"""
+
+QUERIES["q106_entity_pagerank"] = q106_entity_pagerank
+ORACLES["q106_entity_pagerank"] = Q106_ORACLE

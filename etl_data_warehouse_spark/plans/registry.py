@@ -84,11 +84,12 @@ _WINDOW_FIRST = [
     "q102_tpch_q16_supplier_count",
     "q103_tpch_q20_dominant_supplier",
     "q104_lm_perplexity",
+    "q105_doc_chunking",
+    "q106_entity_pagerank",
     # displaced by the r5 window — refresh their driver rows
-    # (q01/q02 cede slots: smoke-checked family, hash-green in r4)
-    "q03_product_performance",
+    # (q01/q02/q03/q05 cede slots: the core-analytics family, all
+    # hash-green in r4 and q01 smoke-checked by entry() every round)
     "q04_retention_cohort",
-    "q05_daily_anomaly",
     "q06_dim_date",
     "q30_sessionization",
     "q47_zorder_layout",
