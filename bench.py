@@ -38,6 +38,7 @@ from etl_data_warehouse_spark.operators import (  # noqa: E402
     pq,
     similarity,
 )
+from etl_data_warehouse_spark.operators import corpus as corpus_ops  # noqa: E402
 from etl_data_warehouse_spark.plans.registry import QUERIES  # noqa: E402
 from etl_data_warehouse_spark.plans.text_quality import (  # noqa: E402
     remove_dup_spans,
@@ -215,6 +216,13 @@ def _scale_section(spark) -> dict:
             assign_arrow=True,
             pairs_arrow=True,
         ),
+        # round-6 text ops: LM quality scoring (explode + broadcast
+        # model join + doc agg) and context-window chunking (pure
+        # projection) — both linear scan-shaped paths.
+        "lm_perplexity": lambda: corpus_ops.lm_perplexity_score(
+            docs, docs.filter(F.col("doc_id") % 5 == 0)
+        ),
+        "doc_chunking": lambda: corpus_ops.chunk_documents(docs),
     }
     # IVFADC: index build (train + encode + assign) is amortized across
     # query batches in production, so it is excluded from the timed op —

@@ -226,3 +226,35 @@ def lm_perplexity_score(
         "avg_nll",
         F.ntile(buckets).over(w).cast("int").alias("quality_bucket"),
     ).orderBy("doc_id")
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 16, stride: int = 12
+) -> DataFrame:
+    """Overlapping token chunks for context-window prep (q105): one row
+    per (doc_id, chunk_idx) with the chunk text, token count and md5
+    fingerprint (the chunk-level dedup key). Zero shuffles — tokenize +
+    explode the offset sequence + slice are all projection-side, so at
+    100 TB this runs at scan speed. Chunk identity is offset DIV stride
+    (arithmetic both engines, no unnest-ordinal dependence)."""
+    tok = tokens("text")
+    d = docs.select("doc_id", tok.alias("tok")).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("tok") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("off"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("off") + 1, chunk_size)
+    text = F.array_join(chunk, " ")
+    return d.select(
+        "doc_id",
+        F.expr(f"off div {stride}").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        text.alias("chunk_text"),
+        F.md5(text).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -1760,26 +1760,10 @@ def q105_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Chunk identity is (doc_id, chunk_idx = offset div stride) —
     arithmetic both engines, no ordinal-of-unnest dependence.
     """
+    from ..operators.corpus import chunk_documents
+
     docs = load_table(spark, "documents", sf_dir, columns=["doc_id", "text"])
-    tok = F.split(F.trim(F.col("text")), " +")
-    d = docs.select("doc_id", tok.alias("tok")).select(
-        "doc_id",
-        "tok",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.greatest(F.size("tok") - 1, F.lit(0)), F.lit(12)
-            )
-        ).alias("off"),
-    )
-    chunk = F.slice(F.col("tok"), F.col("off") + 1, 16)
-    text = F.array_join(chunk, " ")
-    return d.select(
-        "doc_id",
-        F.expr("off div 12").cast("int").alias("chunk_idx"),
-        F.size(chunk).cast("int").alias("n_chunk_tokens"),
-        text.alias("chunk_text"),
-        F.md5(text).alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_idx")
+    return chunk_documents(docs, chunk_size=16, stride=12)
 
 
 Q105_ORACLE = """
