@@ -210,12 +210,97 @@ UNION ALL SELECT 4::INT, 'train_split', d4, t4 FROM agg
 ORDER BY stage
 """
 
+def q107_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted token-budget planner — the upsampling half q51's
+    uniform planner lacks: given per-source target WEIGHTS and a token
+    budget of 2x the corpus (so high-weight sources must oversample),
+    emit per-source target tokens, sampling rate and EPOCHS (the
+    repeat count a mixture-aware loader runs each source for — DoReMi/
+    Pile-style domain reweighting, public method).
+
+    Determinism: targets and epochs are BIGINT arithmetic (budget *
+    weight DIV total_weight; ceil via (t + a - 1) DIV a) — bit-exact
+    both engines; only the reported sampling_rate is a boundary DOUBLE.
+    Weights derive from the source id (idx % 4 + 1) — a stand-in for
+    the config table a real pipeline would broadcast-join; the plan
+    shape (agg + 1-row broadcast + projection) is the real one.
+    Scale: one agg shuffle on source; everything after is broadcast.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("available_tokens")
+    )
+    weight = (
+        (F.regexp_extract("source", "src(\\d+)", 1).cast("int") % 4) + 1
+    ).cast("long")
+    per = stats.select("source", "available_tokens", weight.alias("weight"))
+    totals = per.agg(
+        F.sum("available_tokens").cast("long").alias("corpus_tokens"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+    j = per.crossJoin(F.broadcast(totals))
+    budget = F.lit(2).cast("long") * F.col("corpus_tokens")
+    target = F.expr(
+        "CAST(2 * corpus_tokens * weight AS BIGINT) div total_weight"
+    ).cast("long")
+    return (
+        j.select(
+            "source",
+            "available_tokens",
+            "weight",
+            budget.alias("budget_tokens"),
+            target.alias("target_tokens"),
+        )
+        .select(
+            "*",
+            (
+                F.col("target_tokens").cast("double")
+                / F.col("available_tokens").cast("double")
+            ).alias("sampling_rate"),
+            F.expr(
+                "(target_tokens + available_tokens - 1)"
+                " div available_tokens"
+            ).cast("long").alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+Q107_ORACLE = """
+WITH stats AS (
+    SELECT source,
+           SUM(len(string_split_regex(trim(text), ' +')))::BIGINT
+             AS available_tokens,
+           ((regexp_extract(source, 'src(\\d+)', 1)::INT % 4) + 1)::BIGINT
+             AS weight
+    FROM documents GROUP BY source
+),
+totals AS (
+    SELECT SUM(available_tokens)::BIGINT AS corpus_tokens,
+           SUM(weight)::BIGINT AS total_weight
+    FROM stats
+)
+SELECT source, available_tokens, weight,
+       (2 * corpus_tokens)::BIGINT AS budget_tokens,
+       ((2 * corpus_tokens * weight) // total_weight)::BIGINT
+         AS target_tokens,
+       (((2 * corpus_tokens * weight) // total_weight)::DOUBLE
+        / available_tokens::DOUBLE) AS sampling_rate,
+       ((((2 * corpus_tokens * weight) // total_weight)
+         + available_tokens - 1) // available_tokens)::BIGINT AS epochs
+FROM stats, totals
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q51_source_mixture": q51_source_mixture,
     "q52_corpus_funnel": q52_corpus_funnel,
+    "q107_token_budget_plan": q107_token_budget_plan,
 }
 
 ORACLES = {
     "q51_source_mixture": Q51_ORACLE,
     "q52_corpus_funnel": Q52_ORACLE,
+    "q107_token_budget_plan": Q107_ORACLE,
 }

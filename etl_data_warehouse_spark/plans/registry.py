@@ -86,11 +86,11 @@ _WINDOW_FIRST = [
     "q104_lm_perplexity",
     "q105_doc_chunking",
     "q106_entity_pagerank",
+    "q107_token_budget_plan",
     # displaced by the r5 window — refresh their driver rows
-    # (q01/q02/q03/q05 cede slots: the core-analytics family, all
-    # hash-green in r4 and q01 smoke-checked by entry() every round)
+    # (q01/q02/q03/q05/q06 cede slots: the core-analytics/dim family,
+    # all hash-green in r4 and q01 smoke-checked by entry() every round)
     "q04_retention_cohort",
-    "q06_dim_date",
     "q30_sessionization",
     "q47_zorder_layout",
     "q48_pii_scrub",
