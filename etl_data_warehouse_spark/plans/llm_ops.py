@@ -1892,3 +1892,57 @@ ORDER BY rank_fixed DESC, node
 
 QUERIES["q106_entity_pagerank"] = q106_entity_pagerank
 ORACLES["q106_entity_pagerank"] = Q106_ORACLE
+
+
+# --- q108: RAG retrieval-context join ---------------------------------------
+
+def q108_retrieval_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: exact cosine top-3 retrieval for a query
+    batch, joined back to the document table for the payload a prompt
+    builder needs (source + leading snippet). The retrieval stage is
+    the exact brute-force baseline (bounded: 25 queries — the ANN
+    ladder q28/q81/q94 is the scale path; the JOIN-back is the part
+    this query exists to pin: neighbor_id → doc_id is predicate-pushed
+    into the documents scan, shortlist-sized, never corpus-sized."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 25)
+    topk = similarity.brute_force_topk(emb, queries, k=3)
+    return (
+        topk.join(docs, topk.neighbor_id == docs.doc_id)
+        .select(
+            "src_id",
+            "rank",
+            "doc_id",
+            "cosine_sim",
+            "source",
+            F.substring("text", 1, 80).alias("snippet"),
+        )
+        .orderBy("src_id", "rank")
+    )
+
+
+Q108_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 25),
+sims AS (
+    SELECT q.vec_id AS src_id, b.vec_id AS neighbor_id,
+           {_DOT_SQL.format(a="q.embedding", b="b.embedding")}
+             / ({_NORM_SQL.format(a="q.embedding")}
+                * {_NORM_SQL.format(a="b.embedding")}) AS cosine_sim
+    FROM q JOIN embeddings b ON q.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY cosine_sim DESC, neighbor_id
+    )::INT AS rank
+    FROM sims
+)
+SELECT src_id, rank, neighbor_id AS doc_id, cosine_sim,
+       d.source, substring(d.text, 1, 80) AS snippet
+FROM ranked JOIN documents d ON neighbor_id = d.doc_id
+WHERE rank <= 3
+ORDER BY src_id, rank
+"""
+
+QUERIES["q108_retrieval_context"] = q108_retrieval_context
+ORACLES["q108_retrieval_context"] = Q108_ORACLE
