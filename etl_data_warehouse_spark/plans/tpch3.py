@@ -182,14 +182,27 @@ def q100_tpch_q11_important_stock(
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .select("ps_partkey", value)
     )
-    per_part = ps_eu.groupBy("ps_partkey").agg(
-        F.sum("v").cast("double").alias("part_value")
+    # The scalar total is derived FROM the per-part decimal sums (sum
+    # of exact partial sums == the flat sum, so the oracle's flat SUM
+    # over all pairs is unchanged) and the PART-grain frame is
+    # materialized once: without this, the threshold branch re-scans
+    # and re-shuffles lineitem (measured: ReuseExchange does not
+    # canonicalize the two branches equal). localCheckpoint is the
+    # right sharing tool here per the playbook — the frame is
+    # part-count-sized, the same class as a centroid table.
+    per_part_dec = (
+        ps_eu.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("pv_dec"))
+        .localCheckpoint()
     )
-    total = ps_eu.agg(
-        (F.sum("v").cast("double") * F.lit(0.0001)).alias("threshold")
+    total = per_part_dec.agg(
+        (F.sum("pv_dec").cast("double") * F.lit(0.0001)).alias("threshold")
     )
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part_dec.select(
+            "ps_partkey", F.col("pv_dec").cast("double").alias("part_value")
+        )
+        .crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("ps_partkey", "part_value")
         .orderBy(F.desc("part_value"), "ps_partkey")
