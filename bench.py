@@ -510,6 +510,12 @@ def _xl_section(spark, n_docs: int) -> dict:
         "simhash_blocked": lambda: dedup.simhash_pairs_blocked(
             docs, signatures=dedup.simhash_signatures
         ),
+        # round-6 linear text ops: LM scoring (explode + broadcast
+        # model join) and chunking (pure projection) at 10^6 docs
+        "lm_perplexity": lambda: corpus_ops.lm_perplexity_score(
+            docs, docs.filter(F.col("doc_id") % 5 == 0)
+        ),
+        "doc_chunking": lambda: corpus_ops.chunk_documents(docs),
         # exact-substring span removal in its hash-key scale config —
         # linear inverted-index shape, belongs in the 1M record; LAST
         # because its gram churn poisons whatever follows
