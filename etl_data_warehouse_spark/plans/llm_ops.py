@@ -1946,3 +1946,49 @@ ORDER BY src_id, rank
 
 QUERIES["q108_retrieval_context"] = q108_retrieval_context
 ORACLES["q108_retrieval_context"] = Q108_ORACLE
+
+
+# --- q109: int8 embedding quantization --------------------------------------
+
+def q109_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table with
+    per-vector reconstruction MSE (operators/pq.py int8_quantize) —
+    the storage-tier op an embedding lake applies corpus-wide."""
+    from ..operators.pq import int8_quantize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return int8_quantize(emb).orderBy("vec_id")
+
+
+Q109_ORACLE = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vv
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, vv,
+           CASE WHEN list_max(list_transform(vv, x -> abs(x))) > 0
+                THEN 127.0 / list_max(list_transform(vv, x -> abs(x)))
+                ELSE 0.0 END AS quant_scale
+    FROM v
+),
+s2 AS (
+    SELECT vec_id, vv, quant_scale,
+           CASE WHEN quant_scale > 0 THEN 1.0 / quant_scale
+                ELSE 0.0 END AS inv_scale
+    FROM s
+)
+SELECT vec_id, quant_scale,
+       list_transform(vv, x -> floor(x * quant_scale + 0.5)::INT) AS codes,
+       list_reduce(
+           list_transform(
+               vv,
+               x -> (x - floor(x * quant_scale + 0.5) * inv_scale)
+                    * (x - floor(x * quant_scale + 0.5) * inv_scale)),
+           (a, b) -> a + b) / len(vv)::DOUBLE AS recon_mse
+FROM s2
+ORDER BY vec_id
+"""
+
+QUERIES["q109_int8_quantize"] = q109_int8_quantize
+ORACLES["q109_int8_quantize"] = Q109_ORACLE

@@ -88,13 +88,13 @@ _WINDOW_FIRST = [
     "q106_entity_pagerank",
     "q107_token_budget_plan",
     "q108_retrieval_context",
+    "q109_int8_quantize",
     # displaced by the r5 window — refresh their driver rows
     # (q01-q06 cede slots: the core-analytics/dim family, all
     # hash-green in r4, q01 smoke-checked by entry() every round, and
     # the whole registry re-proven at sf0.001 by test_oracle_parity
     # each round regardless of window membership)
     "q30_sessionization",
-    "q47_zorder_layout",
     "q48_pii_scrub",
     "q49_repetition_stats",
     "q50_tfidf_topk",
