@@ -1992,3 +1992,111 @@ ORDER BY vec_id
 
 QUERIES["q109_int8_quantize"] = q109_int8_quantize
 ORACLES["q109_int8_quantize"] = Q109_ORACLE
+
+
+# --- q110: per-label centroid distance / embedding outlier scan -------------
+
+def q110_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-set hygiene: distance of every vector to its LABEL
+    centroid plus an outlier flag (dist > 1.5x the label's mean dist) —
+    the mislabeled/garbage-embedding scan a training pipeline runs
+    before similarity ops trust the space.
+
+    Determinism playbook: centroids are per-(label, position) means of
+    9dp-rounded DECIMAL(20,9) sums (order-independent; raw double sums
+    would depend on partition order), mean in DOUBLE at the boundary;
+    distances are then identical left folds over identical inputs in
+    both engines (emitted raw — never round an engine-identical
+    double); the label mean distance is decimal-summed the same way.
+
+    Scale: one posexplode agg keyed (label, pos) — cardinality
+    labels x dim, tiny; centroids broadcast back; one label-keyed agg
+    over vector-grain distances. Linear, no skew (labels x dim keys)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vv"),
+    )
+    el = v.select("vec_id", "label", F.posexplode("vv").alias("pos", "x"))
+    dec = F.round(F.col("x"), 9).cast("decimal(20,9)")
+    cent = el.groupBy("label", "pos").agg(
+        (F.sum(dec).cast("double") / F.count("*").cast("double")).alias("c")
+    )
+    cents = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select(
+        "label", F.transform("pc", lambda s: s["c"]).alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("vv", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    scored = v.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", dist.alias("centroid_dist")
+    )
+    ddec = F.round(F.col("centroid_dist"), 9).cast("decimal(20,9)")
+    stats = scored.groupBy("label").agg(
+        (F.sum(ddec).cast("double") / F.count("*").cast("double")).alias(
+            "label_avg_dist"
+        )
+    )
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_dist",
+            "label_avg_dist",
+            (F.col("centroid_dist") > F.lit(1.5) * F.col("label_avg_dist"))
+            .alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q110_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> x::DOUBLE) AS vv
+    FROM embeddings
+),
+el AS (
+    SELECT vec_id, label, i - 1 AS pos, vv[i] AS x
+    FROM v, unnest(generate_series(1, len(vv))) AS t(i)
+),
+cent AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / COUNT(*)::DOUBLE AS c
+    FROM el GROUP BY label, pos
+),
+cents AS (
+    SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+scored AS (
+    SELECT v.vec_id, v.label,
+           sqrt(list_reduce(
+               list_transform(
+                   generate_series(1, len(vv)),
+                   i -> (vv[i] - cv[i]) * (vv[i] - cv[i])),
+               (a, b) -> a + b)) AS centroid_dist
+    FROM v JOIN cents USING (label)
+),
+stats AS (
+    SELECT label,
+           CAST(SUM(CAST(round(centroid_dist, 9) AS DECIMAL(20,9)))
+                AS DOUBLE) / COUNT(*)::DOUBLE AS label_avg_dist
+    FROM scored GROUP BY label
+)
+SELECT vec_id, label, centroid_dist, label_avg_dist,
+       centroid_dist > 1.5 * label_avg_dist AS is_outlier
+FROM scored JOIN stats USING (label)
+ORDER BY vec_id
+"""
+
+QUERIES["q110_embedding_outliers"] = q110_embedding_outliers
+ORACLES["q110_embedding_outliers"] = Q110_ORACLE
