@@ -244,3 +244,63 @@ class TestRound4PlanShapes:
             plan = self._plan(QUERIES[name](spark, sf_dir))
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
+
+
+class TestRound6PlanShapes:
+    """Physical-plan contracts for the round-6 additions (q104-q110);
+    q99-q103's contracts live in tests/test_tpch3.py."""
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_lm_perplexity_model_is_broadcast(self, spark, sf_dir):
+        """q104: the vocabulary-sized model joins via broadcast — the
+        token explode must never sort-merge on the token key."""
+        plan = self._plan(QUERIES["q104_lm_perplexity"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_chunking_and_quantize_are_pure_projections(self, spark, sf_dir):
+        """q105/q109: zero hash shuffles — scan-speed projections (the
+        only Exchange is the output orderBy's range partitioning)."""
+        for name in ("q105_doc_chunking", "q109_int8_quantize"):
+            plan = self._plan(QUERIES[name](spark, sf_dir))
+            assert "Exchange hashpartitioning" not in plan, name
+
+    def test_pagerank_no_cartesian(self, spark, sf_dir):
+        """q106: Pregel-by-joins — every per-round join is keyed."""
+        plan = self._plan(QUERIES["q106_entity_pagerank"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_budget_plan_broadcasts_totals(self, spark, sf_dir):
+        """q107: the 1-row totals reach the projection as a broadcast."""
+        plan = self._plan(QUERIES["q107_token_budget_plan"](spark, sf_dir))
+        assert "SortMergeJoin" not in plan
+
+    def test_retrieval_join_back_is_hash_join(self, spark, sf_dir):
+        """q108: the doc join-back is keyed (broadcast/hash), never a
+        product; the only nested-loop is the bounded query-batch
+        broadcast inside brute_force_topk (by design)."""
+        plan = self._plan(QUERIES["q108_retrieval_context"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_outlier_scan_broadcasts_centroids(self, spark, sf_dir):
+        """q110: label-dim centroid and stats tables are broadcast onto
+        the vector scan."""
+        plan = self._plan(QUERIES["q110_embedding_outliers"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_round6_no_python_rowpath(self, spark, sf_dir):
+        for name in (
+            "q104_lm_perplexity",
+            "q105_doc_chunking",
+            "q106_entity_pagerank",
+            "q107_token_budget_plan",
+            "q108_retrieval_context",
+            "q109_int8_quantize",
+            "q110_embedding_outliers",
+        ):
+            plan = self._plan(QUERIES[name](spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
