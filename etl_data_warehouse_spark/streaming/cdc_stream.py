@@ -100,7 +100,26 @@ def _read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(version_dir)
 
 
-def _commit_snapshot(snapshot_path: str, batch_id: int, state: DataFrame) -> str:
+def _committed_versions(snapshot_path: str) -> list[str]:
+    """Committed version dir names, oldest → newest. Lexicographic
+    order IS commit order: zero-padded batch ids sort numerically and a
+    replay suffix ('-rN', 0x2d) sorts after its base yet before the
+    next batch id digit."""
+    if not os.path.isdir(snapshot_path):
+        return []
+    return sorted(
+        e
+        for e in os.listdir(snapshot_path)
+        if e.startswith("v") and not e.startswith(".tmp-")
+    )
+
+
+def _commit_snapshot(
+    snapshot_path: str,
+    batch_id: int,
+    state: DataFrame,
+    retain_versions: int = 1,
+) -> str:
     os.makedirs(snapshot_path, exist_ok=True)
     # At-least-once replay: if this batch already committed (crash
     # between the pointer swap and the stream's checkpoint commit), the
@@ -129,24 +148,50 @@ def _commit_snapshot(snapshot_path: str, batch_id: int, state: DataFrame) -> str
     with open(tmp_pointer, "w", encoding="utf-8") as fh:
         fh.write(version)
     os.replace(tmp_pointer, os.path.join(snapshot_path, _POINTER))
-    # best-effort GC: everything that is not the freshly pointed version
-    # (superseded versions, stale staging dirs) is garbage now.
+    # best-effort GC: keep the newest ``retain_versions`` committed
+    # versions (the fresh one included) as a time-travel window; older
+    # versions and stale staging dirs are garbage. retain_versions=1 is
+    # the classic latest-only snapshot.
+    keep = set(_committed_versions(snapshot_path)[-max(1, retain_versions):])
+    keep.add(version)
     for entry in os.listdir(snapshot_path):
-        full = os.path.join(snapshot_path, entry)
-        if full == version_dir or entry == _POINTER:
+        if entry == _POINTER or entry in keep:
             continue
         if entry.startswith("v") or entry.startswith(".tmp-"):
-            shutil.rmtree(full, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(snapshot_path, entry), ignore_errors=True
+            )
     return version_dir
 
 
-def read_cdc_state(spark: SparkSession, snapshot_path: str) -> DataFrame:
-    """Current live state: the persisted snapshot minus tombstones."""
+def list_snapshot_versions(snapshot_path: str) -> list[str]:
+    """Retained (time-travel-readable) versions, oldest → newest."""
+    return _committed_versions(snapshot_path)
+
+
+def read_cdc_state(
+    spark: SparkSession, snapshot_path: str, version: str | None = None
+) -> DataFrame:
+    """Live state (snapshot minus tombstones) — current by default, or
+    a retained historical ``version`` (time travel; see
+    ``start_cdc_stream(retain_versions=...)`` and
+    :func:`list_snapshot_versions`)."""
     from ..operators.cdc import DELETE_OP
 
-    snap = _read_snapshot(spark, snapshot_path)
-    if snap is None:
-        raise FileNotFoundError(f"no CDC snapshot committed at {snapshot_path}")
+    if version is not None:
+        vdir = os.path.join(snapshot_path, version)
+        if version not in _committed_versions(snapshot_path):
+            raise FileNotFoundError(
+                f"version {version!r} not retained at {snapshot_path}; "
+                f"available: {_committed_versions(snapshot_path)}"
+            )
+        snap = spark.read.parquet(vdir)
+    else:
+        snap = _read_snapshot(spark, snapshot_path)
+        if snap is None:
+            raise FileNotFoundError(
+                f"no CDC snapshot committed at {snapshot_path}"
+            )
     return snap.filter(F.col("op") != DELETE_OP).drop("op")
 
 
@@ -157,8 +202,14 @@ def start_cdc_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files: int = 16,
+    retain_versions: int = 1,
 ):
-    """Start (or drain with AvailableNow) the CDC materializer."""
+    """Start (or drain with AvailableNow) the CDC materializer.
+
+    ``retain_versions`` > 1 keeps that many committed snapshot versions
+    on disk as a time-travel window (read them with
+    ``read_cdc_state(..., version=...)``) — the Delta/Iceberg
+    time-travel affordance expressed on plain Parquet."""
 
     def compact_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -179,7 +230,9 @@ def start_cdc_stream(
         # Write the NEW version next to the old one and swap the pointer
         # only once it is fully on disk: the old snapshot (which feeds
         # this very plan) is never deleted before its successor exists.
-        _commit_snapshot(snapshot_path, batch_id, state)
+        _commit_snapshot(
+            snapshot_path, batch_id, state, retain_versions=retain_versions
+        )
 
     writer = (
         read_change_stream(spark, input_dir, max_files=max_files)

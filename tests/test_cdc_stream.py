@@ -189,3 +189,38 @@ class TestCdcStream:
             for r in read_cdc_state(spark, snap).collect()
         }
         assert got == expected
+
+
+class TestSnapshotTimeTravel:
+    def test_retention_window_and_versioned_reads(self, spark, tmp_path):
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        snap = str(tmp_path / "snap_tt")
+
+        def _state(key, val):
+            return spark.createDataFrame(
+                [(key, 10, 1, val, "U")],
+                "key long, ts long, change_id long, value double, op string",
+            )
+
+        cs._commit_snapshot(snap, 0, _state(1, 1.0), retain_versions=2)
+        cs._commit_snapshot(snap, 1, _state(2, 2.0), retain_versions=2)
+        cs._commit_snapshot(snap, 2, _state(3, 3.0), retain_versions=2)
+
+        versions = cs.list_snapshot_versions(snap)
+        assert versions == ["v000000000001", "v000000000002"]  # v0 GC'd
+
+        # default read = current; versioned read = time travel
+        assert {r["key"] for r in cs.read_cdc_state(spark, snap).collect()} == {3}
+        assert {
+            r["key"]
+            for r in cs.read_cdc_state(
+                spark, snap, version="v000000000001"
+            ).collect()
+        } == {2}
+
+        # asking for the GC'd version is an explicit error
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="not retained"):
+            cs.read_cdc_state(spark, snap, version="v000000000000")
