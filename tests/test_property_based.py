@@ -432,3 +432,143 @@ def test_cdc_batched_merge_converges(spark_global, changes, cut):
         for r in snap.filter(F.col("op") != "D").drop("op").collect()
     }
     assert live == one_pass
+
+
+# --- round 6: fixed-point PageRank ≡ pure-Python integer reference ---------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _ref_pagerank_fixed(pairs, iterations=3, scale=10**12, num=85, den=100):
+    """Pure-Python twin of the BIGINT fixed-point recurrence."""
+    edges = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    n = len(nodes)
+    p0 = scale // n
+    base = ((den - num) * p0) // den
+    p = {v: p0 for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += p[a] // outdeg[a]
+        p = {v: base + (num * s[v]) // den for v in nodes}
+    return p
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pairs=_edges)
+def test_pagerank_fixed_matches_integer_reference(spark_global, pairs):
+    from etl_data_warehouse_spark.operators.graph import pagerank_fixed
+
+    sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    edges = spark_global.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fixed"]
+        for r in pagerank_fixed(edges, iterations=3).collect()
+    }
+    want = _ref_pagerank_fixed(pairs)
+    assert got == want
+    # symmetric graph: only integer-floor mass leaks — bounded tightly
+    assert 0.99 * 10**12 <= sum(got.values()) <= 10**12
+
+
+# --- round 6: chunking is a cover / a partition -----------------------------
+
+_chunk_docs = st.lists(
+    st.lists(st.sampled_from(["x", "yy", "z3"]), min_size=0, max_size=17),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs=_chunk_docs)
+def test_chunking_partition_and_cover(spark_global, docs):
+    from etl_data_warehouse_spark.operators.corpus import chunk_documents
+
+    rows = [(i, " ".join(tk)) for i, tk in enumerate(docs)]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+
+    # stride == size → chunks PARTITION the tokens: concatenation in
+    # chunk order reproduces the tokenized document exactly
+    parts = chunk_documents(df, chunk_size=4, stride=4).collect()
+    by_doc = {}
+    for r in sorted(parts, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for i, _tk in enumerate(docs):
+        tokens = rows[i][1].strip().split(" ") if rows[i][1].strip() else [""]
+        assert " ".join(by_doc[i]).split(" ") == tokens
+
+    # stride < size → chunks COVER every token index
+    cover = chunk_documents(df, chunk_size=4, stride=3).collect()
+    for i, _tk in enumerate(docs):
+        n = len(rows[i][1].strip().split(" ")) if rows[i][1].strip() else 1
+        covered = set()
+        for r in cover:
+            if r["doc_id"] == i:
+                start = r["chunk_idx"] * 3
+                covered.update(range(start, start + r["n_chunk_tokens"]))
+        assert covered == set(range(n))
+
+
+# --- round 6: int8 quantization bounds --------------------------------------
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vecs=_vecs)
+def test_int8_quantize_bounds(spark_global, vecs):
+    from pyspark.sql import types as T
+
+    from etl_data_warehouse_spark.operators.pq import int8_quantize
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark_global.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], schema
+    )
+    for r in int8_quantize(df).collect():
+        src = vecs[r["vec_id"]]
+        if all(x == 0.0 for x in src):
+            assert r["quant_scale"] == 0.0
+            assert all(c == 0 for c in r["codes"])
+            assert r["recon_mse"] == 0.0
+            continue
+        assert r["quant_scale"] > 0
+        # codes bounded: |x|*scale <= 127 → floor(.+0.5) within ±127
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # per-dim error bounded by half a quantization step
+        step = 1.0 / r["quant_scale"]
+        assert r["recon_mse"] <= (0.5 * step) ** 2 + 1e-12
