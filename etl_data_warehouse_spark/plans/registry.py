@@ -90,14 +90,14 @@ _WINDOW_FIRST = [
     "q108_retrieval_context",
     "q109_int8_quantize",
     "q110_embedding_outliers",
+    "q111_source_dup_profile",
+    "q112_cross_source_overlap",
     # displaced by the r5 window — refresh their driver rows
     # (q01-q06 cede slots: the core-analytics/dim family, all
     # hash-green in r4, q01 smoke-checked by entry() every round, and
     # the whole registry re-proven at sf0.001 by test_oracle_parity
     # each round regardless of window membership)
     "q30_sessionization",
-    "q49_repetition_stats",
-    "q50_tfidf_topk",
     "q51_source_mixture",
     "q52_corpus_funnel",
     "q53_order_value_quantiles",

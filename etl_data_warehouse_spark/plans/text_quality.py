@@ -649,3 +649,114 @@ ORACLES = {
     "q95_dup_span_removal": Q95_ORACLE,
     "q104_lm_perplexity": Q104_ORACLE,
 }
+
+
+def q111_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health report: docs, distinct contents,
+    duplicate rate and the largest duplicate cluster — the dashboard a
+    corpus operator reads before deciding which feed to throttle.
+    One shuffle on (source, fingerprint), then a source-grain rollup."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+    )
+    groups = fp.groupBy("source", "fingerprint").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("n").cast("bigint").alias("max_cluster"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "max_cluster",
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+Q111_ORACLE = """
+WITH fp AS (
+    SELECT source, doc_id, md5(lower(trim(text))) AS fingerprint
+    FROM documents
+),
+groups AS (
+    SELECT source, fingerprint, COUNT(*)::BIGINT AS n
+    FROM fp GROUP BY source, fingerprint
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*)::BIGINT AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS max_cluster,
+       (SUM(n) - COUNT(*))::DOUBLE / SUM(n)::DOUBLE AS dup_rate
+FROM groups
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q112_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word-8-grams they SHARE — the between-feed overlap
+    report (is src3 scraping the same sites as src7?). Self-join on
+    the gram restricted to per-(source, gram) DISTINCT rows, so cost
+    is O(shared grams x pairs-per-gram), never O(docs²); the pair
+    ordering (a < b) halves the matrix. At 100 TB hash the gram to a
+    64-bit key first (the q85 scaling note applies verbatim)."""
+    docs = load_table(spark, "documents", sf_dir)
+    g = (
+        docs.select(
+            "source", F.explode(word_ngrams("text", 8)).alias("gram")
+        )
+        .distinct()
+    )
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared_8grams"))
+        .orderBy(F.desc("shared_8grams"), "src_a", "src_b")
+    )
+
+
+Q112_ORACLE = """
+WITH t AS (
+    SELECT source, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+g AS (
+    SELECT DISTINCT source, unnest(
+        CASE WHEN len(tok) >= 8 THEN
+            list_transform(generate_series(1, len(tok) - 7),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                     || tok[i+3] || ' ' || tok[i+4] || ' ' || tok[i+5]
+                     || ' ' || tok[i+6] || ' ' || tok[i+7])
+        ELSE [] END) AS gram
+    FROM t
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       COUNT(*)::BIGINT AS shared_8grams
+FROM g a JOIN g b ON a.gram = b.gram
+WHERE a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY shared_8grams DESC, src_a, src_b
+"""
+
+
+QUERIES["q111_source_dup_profile"] = q111_source_dup_profile
+ORACLES["q111_source_dup_profile"] = Q111_ORACLE
+QUERIES["q112_cross_source_overlap"] = q112_cross_source_overlap
+ORACLES["q112_cross_source_overlap"] = Q112_ORACLE
