@@ -68,14 +68,15 @@ ORACLES.update(tpch3.ORACLES)
 # --- Driver correctness window rotation (round 6) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
 # QUERIES. Round 5's window covered the 42 r1-r3-stale entries plus the
-# round-5 additions (all hash-green in CORRECTNESS_r05). The 46 entries
-# it displaced (q01-q06, q30, q47-q53, q57/q58/q60/q61, the TPC-H packs
-# q62-q80, q82-q87, q89-q91) last saw a driver row in round 4. Lead with
-# this round's 5 NEW queries (tpch3: the final TPC-H shapes), then 45 of
-# those 46 — q01 cedes its slot (it is smoke-checked by entry() every
-# round and was green in r4). Every query stays registered; only the
-# insertion order changes. q81 stays rows-only by design (q94 carries
-# the composition's hash evidence).
+# round-5 additions (all hash-green in CORRECTNESS_r05). Lead with this
+# round's 14 NEW queries (q99-q112: TPC-H pack III, the LM/chunking/
+# graph/ANN/report family), then 36 of the 46 entries the r5 window
+# displaced (last driver row: round 4). The 10 that cede their slots —
+# q01-q06 (core-analytics/dim family, q01 smoke-checked by entry()
+# every round), q47, q48, q49, q50 — remain proven every round by
+# tests/test_oracle_parity.py's full-registry sf0.001 sweep; only the
+# driver-row freshness rotates. q81 stays rows-only by design (q94
+# carries the composition's hash evidence).
 _WINDOW_FIRST = [
     # new in round 6 — first driver rows
     "q99_tpch_q2_min_cost_supplier",
