@@ -304,3 +304,72 @@ ORACLES = {
     "q52_corpus_funnel": Q52_ORACLE,
     "q107_token_budget_plan": Q107_ORACLE,
 }
+
+
+_SAMPLE_BUDGET_TOKENS = 10_000
+
+
+def q113_apply_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the q51 mixture plan: down-sample every source to its
+    computed keep fraction with the deterministic md5 bucket
+    (operators/sampling.hash_bucket, the q43 split machinery) — the
+    step between planning a mixture and materializing the training
+    corpus. A doc survives iff bucket(doc_id) < keep_threshold of its
+    source; thresholds come from the same agg q51 reports, broadcast
+    onto the scan, so the whole sample is one shuffle (the per-source
+    agg) + a broadcast-filtered projection. Reproducible: re-running
+    selects the SAME documents (hash, not rand). The budget is tighter
+    than q51's reporting budget so the sample is actually selective on
+    the test corpora."""
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    n_sources = stats.agg(
+        F.count("*").cast("double").alias("n_sources")
+    )
+    target = F.lit(float(_SAMPLE_BUDGET_TOKENS)) / F.col("n_sources")
+    thresholds = stats.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        F.floor(
+            F.least(F.lit(1.0), target / F.col("n_tokens").cast("double"))
+            * _DECISION_SCALE
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    bucket = hash_bucket("doc_id", "mixture", _DECISION_SCALE)
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+        .select("doc_id", "source", "bucket", "keep_threshold")
+        .orderBy("doc_id")
+    )
+
+
+Q113_ORACLE = f"""
+WITH stats AS (
+    SELECT source,
+           SUM(len(string_split_regex(trim(text), ' +')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_sources FROM stats),
+thresholds AS (
+    SELECT source,
+           floor(least(1.0, ({float(_SAMPLE_BUDGET_TOKENS)} / n_sources)
+                              / n_tokens::DOUBLE)
+                 * {_DECISION_SCALE})::BIGINT AS keep_threshold
+    FROM stats, n
+)
+SELECT d.doc_id, d.source,
+       {bucket_sql("d.doc_id", "mixture", 10_000)} AS bucket,
+       t.keep_threshold
+FROM documents d JOIN thresholds t USING (source)
+WHERE {bucket_sql("d.doc_id", "mixture", 10_000)} < t.keep_threshold
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["q113_apply_mixture_sample"] = q113_apply_mixture_sample
+ORACLES["q113_apply_mixture_sample"] = Q113_ORACLE

@@ -69,11 +69,11 @@ ORACLES.update(tpch3.ORACLES)
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
 # QUERIES. Round 5's window covered the 42 r1-r3-stale entries plus the
 # round-5 additions (all hash-green in CORRECTNESS_r05). Lead with this
-# round's 14 NEW queries (q99-q112: TPC-H pack III, the LM/chunking/
-# graph/ANN/report family), then 36 of the 46 entries the r5 window
+# round's 15 NEW queries (q99-q113: TPC-H pack III, the LM/chunking/
+# graph/ANN/report family), then 35 of the 46 entries the r5 window
 # displaced (last driver row: round 4). The 10 that cede their slots —
 # q01-q06 (core-analytics/dim family, q01 smoke-checked by entry()
-# every round), q47, q48, q49, q50 — remain proven every round by
+# every round), q47-q51 — remain proven every round by
 # tests/test_oracle_parity.py's full-registry sf0.001 sweep; only the
 # driver-row freshness rotates. q81 stays rows-only by design (q94
 # carries the composition's hash evidence).
@@ -93,13 +93,13 @@ _WINDOW_FIRST = [
     "q110_embedding_outliers",
     "q111_source_dup_profile",
     "q112_cross_source_overlap",
+    "q113_apply_mixture_sample",
     # displaced by the r5 window — refresh their driver rows
     # (q01-q06 cede slots: the core-analytics/dim family, all
     # hash-green in r4, q01 smoke-checked by entry() every round, and
     # the whole registry re-proven at sf0.001 by test_oracle_parity
     # each round regardless of window membership)
     "q30_sessionization",
-    "q51_source_mixture",
     "q52_corpus_funnel",
     "q53_order_value_quantiles",
     "q57_status_pivot",
