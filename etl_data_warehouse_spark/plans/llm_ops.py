@@ -1953,11 +1953,26 @@ ORACLES["q108_retrieval_context"] = Q108_ORACLE
 def q109_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding table with
     per-vector reconstruction MSE (operators/pq.py int8_quantize) —
-    the storage-tier op an embedding lake applies corpus-wide."""
+    the storage-tier op an embedding lake applies corpus-wide.
+
+    The operator returns ``codes ARRAY<INT>``; the registered query
+    scalarizes it to a CSV string (``codes_csv``) because the driver's
+    pandas canonicalizer cannot sort list-typed cells (the r6 red row).
+    Same rule as q33's scalarized histogram: no top-level array/map/
+    binary columns in any registered query output.
+    """
     from ..operators.pq import int8_quantize
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return int8_quantize(emb).orderBy("vec_id")
+    q = int8_quantize(emb)
+    return q.select(
+        "vec_id",
+        "quant_scale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+        "recon_mse",
+    ).orderBy("vec_id")
 
 
 Q109_ORACLE = """
@@ -1979,7 +1994,9 @@ s2 AS (
     FROM s
 )
 SELECT vec_id, quant_scale,
-       list_transform(vv, x -> floor(x * quant_scale + 0.5)::INT) AS codes,
+       array_to_string(
+           list_transform(vv, x -> (floor(x * quant_scale + 0.5)::INT)::VARCHAR),
+           ',') AS codes_csv,
        list_reduce(
            list_transform(
                vv,

@@ -118,6 +118,24 @@ class TestPhysicalPlans:
         # column pruning: scan reads only what the query needs
         assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in plan
 
+    def test_no_container_output_columns_in_registry(self, spark, sf_dir):
+        """The driver canonicalizes query output via a pandas sort,
+        which throws `unhashable type` on array/map/binary/struct
+        cells (the q109 round-6 red row). Every registered query must
+        emit scalar-only top-level columns — scalarize with
+        array_join / md5(to_json) / hex before registering."""
+        bad = []
+        for name, fn in QUERIES.items():
+            schema = fn(spark, sf_dir).schema
+            for fld in schema.fields:
+                if fld.dataType.typeName() in (
+                    "array", "map", "binary", "struct"
+                ):
+                    bad.append(
+                        f"{name}.{fld.name}:{fld.dataType.simpleString()}"
+                    )
+        assert not bad, f"non-canonicalizable output columns: {bad}"
+
     def test_no_python_udfs_in_core_queries(self, spark, sf_dir):
         for name, fn in QUERIES.items():
             if name == "q33_multimodal_features":

@@ -41,8 +41,15 @@ def norm_value(v) -> str:
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        # The driver canonicalizes via a pandas sort, which throws
+        # `unhashable type: 'list'` on container cells (the q109 r6 red
+        # row). Mirror the driver: reject instead of stringifying, so
+        # the local gate can never pass what the driver rejects.
+        raise TypeError(
+            f"unhashable container cell of type {type(v).__name__}: "
+            "scalarize (array_join / md5(to_json)) before registering"
+        )
     return str(v)
 
 
@@ -79,6 +86,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad = [
+                f"{fld.name}:{fld.dataType.simpleString()}"
+                for fld in sdf.schema.fields
+                if fld.dataType.typeName() in ("array", "map", "binary", "struct")
+            ]
+            if bad:
+                print(
+                    f"FAIL  {name}: non-scalar output column(s) the driver "
+                    f"cannot canonicalize: {bad}"
+                )
+                failures += 1
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
