@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,18 +101,48 @@ def _read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(version_dir)
 
 
+def _version_sort_key(name: str) -> tuple[int, int]:
+    """(batch_id, retry) parsed from 'v{batch:012d}[-r{retry}]'.
+
+    Sorting on the PARSED pair, not the raw name: a lexicographic sort
+    would order '-r10' before '-r2' once a batch replays ten times.
+    Unparseable v* names sort last (they are debris, and committed-set
+    membership checks don't care about their position)."""
+    body = name[1:]
+    batch, _, retry = body.partition("-r")
+    try:
+        return (int(batch), int(retry) if retry else 0)
+    except ValueError:
+        return (sys.maxsize, sys.maxsize)
+
+
 def _committed_versions(snapshot_path: str) -> list[str]:
-    """Committed version dir names, oldest → newest. Lexicographic
-    order IS commit order: zero-padded batch ids sort numerically and a
-    replay suffix ('-rN', 0x2d) sorts after its base yet before the
-    next batch id digit."""
+    """COMMITTED version dir names, oldest → newest commit order.
+
+    Commit order is the parsed (batch_id, retry) pair — see
+    ``_version_sort_key``. A v* dir NEWER than the pointer target is a
+    crash artifact (rename happened, pointer swap did not): it was
+    never committed, so it is excluded here — time travel and replay
+    guards must not surface state no reader was ever pointed at. Dirs
+    older than the pointer are genuinely committed history retained by
+    ``retain_versions``."""
     if not os.path.isdir(snapshot_path):
         return []
-    return sorted(
-        e
-        for e in os.listdir(snapshot_path)
-        if e.startswith("v") and not e.startswith(".tmp-")
+    names = sorted(
+        (
+            e
+            for e in os.listdir(snapshot_path)
+            if e.startswith("v") and not e.startswith(".tmp-")
+        ),
+        key=_version_sort_key,
     )
+    pointer = os.path.join(snapshot_path, _POINTER)
+    if os.path.exists(pointer):
+        with open(pointer, encoding="utf-8") as fh:
+            current = fh.read().strip()
+        cutoff = _version_sort_key(current)
+        names = [n for n in names if _version_sort_key(n) <= cutoff]
+    return names
 
 
 def _commit_snapshot(

@@ -224,3 +224,48 @@ class TestSnapshotTimeTravel:
 
         with _pytest.raises(FileNotFoundError, match="not retained"):
             cs.read_cdc_state(spark, snap, version="v000000000000")
+
+    def test_replay_suffix_order_survives_double_digit_retries(self):
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        # lexicographic would put '-r10' before '-r2'; the parsed key
+        # must not
+        names = ["v000000000003-r10", "v000000000003-r2", "v000000000003"]
+        assert sorted(names, key=cs._version_sort_key) == [
+            "v000000000003",
+            "v000000000003-r2",
+            "v000000000003-r10",
+        ]
+        # batch id dominates retry
+        assert cs._version_sort_key("v000000000004") > cs._version_sort_key(
+            "v000000000003-r99"
+        )
+
+    def test_unpointed_newer_version_excluded_from_time_travel(
+        self, spark, tmp_path
+    ):
+        """A v* dir newer than the pointer target is a crash artifact
+        (rename done, pointer swap not): it was never committed and
+        must not appear in the time-travel list nor be readable as a
+        'retained' version."""
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        snap = str(tmp_path / "snap_crash")
+        state = spark.createDataFrame(
+            [(1, 10, 1, 1.0, "U")],
+            "key long, ts long, change_id long, value double, op string",
+        )
+        cs._commit_snapshot(snap, 0, state, retain_versions=5)
+        cs._commit_snapshot(snap, 1, state, retain_versions=5)
+        # simulate crash-after-rename-before-pointer-swap for batch 2
+        orphan = os.path.join(snap, "v000000000002")
+        state.write.mode("overwrite").parquet(orphan)
+
+        versions = cs.list_snapshot_versions(snap)
+        assert versions == ["v000000000000", "v000000000001"]
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="not retained"):
+            cs.read_cdc_state(spark, snap, version="v000000000002")
+        # current read still serves the pointed-at committed version
+        assert cs.read_cdc_state(spark, snap).count() == 1
