@@ -108,6 +108,20 @@ def q99_tpch_q2_min_cost_supplier(
         .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            "p_partkey", "p_name", "ps_supplycost",
+            "s_acctbal", "s_name", "n_name",
+        )
+        # Shared materialization for the two consumers (min agg +
+        # join-back): the Exchange is both the optimizer barrier and,
+        # via ReuseExchange, a disk-spilling one-execution reuse point
+        # — without it each branch re-runs the lineitem groupBy and the
+        # four broadcast joins. Partitioning on p_partkey also
+        # satisfies the min_cost groupBy's distribution, so the agg
+        # adds no second shuffle. (Not localCheckpoint: ps_eu is
+        # qualifying-parts x suppliers sized, too big to pin on the
+        # driver-JVM heap at scale — CLAUDE.md's XL rule.)
+        .repartition("p_partkey")
     )
     min_cost = ps_eu.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("mc_cost")
