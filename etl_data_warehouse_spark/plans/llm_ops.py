@@ -740,6 +740,13 @@ ORDER BY doc_id
 # deterministic quantizer state, fully replayed by its DuckDB oracle.
 
 def q81_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVFADC top-k — the registry's ONE rows-only entry, by
+    declared design: k-means-trained quantizer state is fp-summation-
+    order dependent, so no SQL engine can replay it bit-exactly. The
+    composition's hash evidence is q94_ivfadc_exact (identical
+    encode → pack → ADC → refine pipeline, deterministic quantizer
+    state, full DuckDB replay); recall >= 0.9 vs brute force is pinned
+    in tests (TestIvfPq)."""
     from ..operators.pq import ivfadc_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2117,3 +2124,106 @@ ORDER BY vec_id
 
 QUERIES["q110_embedding_outliers"] = q110_embedding_outliers
 ORACLES["q110_embedding_outliers"] = Q110_ORACLE
+
+
+# --- q115: contrastive negative sampling -------------------------------------
+
+_NEG_PER_DOC = 4
+
+
+def q115_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / embedding
+    training: each document draws ``_NEG_PER_DOC`` pseudo-random
+    negatives from the corpus via the md5 bucket (hash, never rand —
+    re-running builds the SAME pairs), with a self-collision bumped to
+    the next id and a ``same_source`` flag so a trainer can drop or
+    re-weight likely-false negatives.
+
+    Plan shape: one scalar count (1-row broadcast), a zero-shuffle
+    explode projection to (doc_id, neg_rank, neg_doc_id), then ONE
+    equi-join back to documents to type the negative — at 100 TB
+    that's the unavoidable pair-enrichment shuffle and nothing else;
+    with the corpus bucketed by doc_id it is Exchange-free on the
+    build side."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    ranks = F.explode(
+        F.sequence(F.lit(1), F.lit(_NEG_PER_DOC))
+    ).alias("neg_rank")
+    pairs = (
+        docs.select("doc_id", F.col("source").alias("src_source"))
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "src_source", "n_docs", ranks)
+    )
+    # operators/sampling.hash_bucket inlined with a COLUMN modulus (the
+    # helper takes a literal bucket count): same md5/first-8-hex recipe
+    raw32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg"),
+                    F.concat_ws(":", F.col("doc_id"), F.col("neg_rank")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    neg0 = raw32 % F.col("n_docs")
+    neg = F.when(neg0 == F.col("doc_id"), (neg0 + 1) % F.col("n_docs")).otherwise(
+        neg0
+    )
+    pairs = pairs.select(
+        "doc_id",
+        "src_source",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        neg.alias("neg_doc_id"),
+    )
+    target = docs.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+    )
+    return (
+        pairs.join(target, "neg_doc_id")
+        .select(
+            "doc_id",
+            "neg_rank",
+            "neg_doc_id",
+            "neg_source",
+            (F.col("src_source") == F.col("neg_source")).alias("same_source"),
+        )
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+Q115_ORACLE = f"""
+WITH n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+pairs AS (
+    SELECT d.doc_id, d.source AS src_source, n.n_docs,
+           unnest(generate_series(1, {_NEG_PER_DOC}))::INT AS neg_rank
+    FROM documents d, n
+),
+drawn AS (
+    SELECT doc_id, src_source, neg_rank,
+           (('0x' || substring(
+                 md5('neg' || doc_id || ':' || neg_rank), 1, 8))::BIGINT
+            % n_docs) AS neg0,
+           n_docs
+    FROM pairs
+),
+resolved AS (
+    SELECT doc_id, src_source, neg_rank,
+           CASE WHEN neg0 = doc_id THEN (neg0 + 1) % n_docs
+                ELSE neg0 END AS neg_doc_id
+    FROM drawn
+)
+SELECT r.doc_id, r.neg_rank, r.neg_doc_id, t.source AS neg_source,
+       r.src_source = t.source AS same_source
+FROM resolved r JOIN documents t ON r.neg_doc_id = t.doc_id
+ORDER BY r.doc_id, r.neg_rank
+"""
+
+QUERIES["q115_negative_sampling"] = q115_negative_sampling
+ORACLES["q115_negative_sampling"] = Q115_ORACLE

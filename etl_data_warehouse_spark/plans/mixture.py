@@ -373,3 +373,161 @@ ORDER BY d.doc_id
 
 QUERIES["q113_apply_mixture_sample"] = q113_apply_mixture_sample
 ORACLES["q113_apply_mixture_sample"] = Q113_ORACLE
+
+
+_UPSAMPLE_BUDGET_TOKENS = 60_000
+_EPOCH_CAP = 4.0
+
+
+def q114_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE an UPSAMPLING mixture — the other half of q113: sources
+    under their uniform token target are repeated for multiple epochs
+    (the standard pretraining move for small high-quality sources,
+    e.g. Wikipedia x4 in GPT-3's mix), capped at ``_EPOCH_CAP``.
+
+    Per source: ``epochs = min(cap, target_tokens / n_tokens)`` — NO
+    least(1.0) cap, so it generalizes q113 (epochs < 1 is a fractional
+    downsample). Per doc the copy count is
+    ``floor(epochs) + (bucket(doc_id) < floor(frac(epochs)*SCALE))``
+    with the md5 bucket, so re-running materializes the SAME corpus.
+    Copies come from ``explode(sequence(1, n_copies))`` — a zero-join
+    projection after the one per-source agg + broadcast; at 100 TB the
+    plan is one shuffle (source agg) + a scan-speed explode whose
+    output volume is exactly the planned token budget.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    n_sources = stats.agg(F.count("*").cast("double").alias("n_sources"))
+    target = F.lit(float(_UPSAMPLE_BUDGET_TOKENS)) / F.col("n_sources")
+    epochs = F.least(
+        F.lit(_EPOCH_CAP), target / F.col("n_tokens").cast("double")
+    )
+    plan = stats.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        F.floor(epochs).cast("long").alias("full_epochs"),
+        F.floor((epochs - F.floor(epochs)) * _DECISION_SCALE)
+        .cast("long")
+        .alias("frac_threshold"),
+    )
+    bucket = hash_bucket("doc_id", "epoch", _DECISION_SCALE)
+    n_copies = F.col("full_epochs") + F.when(
+        bucket < F.col("frac_threshold"), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("long"), "n_copies")).alias(
+                "copy_id"
+            ),
+        )
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+Q114_ORACLE = f"""
+WITH stats AS (
+    SELECT source,
+           SUM(len(string_split_regex(trim(text), ' +')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_sources FROM stats),
+plan AS (
+    SELECT source,
+           floor(ep)::BIGINT AS full_epochs,
+           floor((ep - floor(ep)) * {_DECISION_SCALE})::BIGINT
+               AS frac_threshold
+    FROM (
+        SELECT source,
+               least({_EPOCH_CAP},
+                     ({float(_UPSAMPLE_BUDGET_TOKENS)} / n_sources)
+                         / n_tokens::DOUBLE) AS ep
+        FROM stats, n)
+),
+copies AS (
+    SELECT d.doc_id, d.source,
+           p.full_epochs
+             + CASE WHEN {bucket_sql("d.doc_id", "epoch", 10_000)}
+                        < p.frac_threshold THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN plan p USING (source)
+)
+SELECT doc_id, source, n_copies,
+       unnest(generate_series(1, n_copies)) AS copy_id
+FROM copies
+WHERE n_copies > 0
+ORDER BY doc_id, copy_id
+"""
+
+QUERIES["q114_epoch_upsample"] = q114_epoch_upsample
+ORACLES["q114_epoch_upsample"] = Q114_ORACLE
+
+
+_TRIM_BUDGET_TOKENS = 800
+
+
+def q116_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source corpus trim to a hard token budget: docs are
+    taken in a deterministic pseudo-random priority order (md5 bucket,
+    doc_id tiebreak — a reproducible shuffle) and a doc is kept iff it
+    STARTS before the budget line, i.e. the running token total of all
+    higher-priority docs is under budget. This is the "cut the corpus
+    to what the run can afford, fairly across shards" op that follows
+    q107's planning — executed, not planned.
+
+    One window shuffle (partitioned by source); everything else is a
+    projection. The running sum uses BIGINT token counts — no float
+    accumulation to drift cross-engine.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pri = hash_bucket("doc_id", "trim", _DECISION_SCALE)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("priority", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            token_count("text").alias("n_tokens"),
+            pri.alias("priority"),
+        )
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+        )
+        .filter(F.col("tokens_before") < _TRIM_BUDGET_TOKENS)
+        .select("doc_id", "source", "n_tokens", "priority", "tokens_before")
+        .orderBy("doc_id")
+    )
+
+
+Q116_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens,
+           {bucket_sql("doc_id", "trim", 10_000)} AS priority
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens, priority,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS tokens_before
+    FROM ranked
+)
+SELECT doc_id, source, n_tokens, priority, tokens_before
+FROM cum
+WHERE tokens_before < {_TRIM_BUDGET_TOKENS}
+ORDER BY doc_id
+"""
+
+QUERIES["q116_budget_trim"] = q116_budget_trim
+ORACLES["q116_budget_trim"] = Q116_ORACLE
