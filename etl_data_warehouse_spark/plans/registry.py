@@ -65,75 +65,73 @@ ORACLES.update(tpch2.ORACLES)
 QUERIES.update(tpch3.QUERIES)
 ORACLES.update(tpch3.ORACLES)
 
-# --- Driver correctness window rotation (round 6) ------------------------
+# --- Driver correctness window rotation (round 7) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 5's window covered the 42 r1-r3-stale entries plus the
-# round-5 additions (all hash-green in CORRECTNESS_r05). Lead with this
-# round's 15 NEW queries (q99-q113: TPC-H pack III, the LM/chunking/
-# graph/ANN/report family), then 35 of the 46 entries the r5 window
-# displaced (last driver row: round 4). The 10 that cede their slots —
-# q01-q06 (core-analytics/dim family, q01 smoke-checked by entry()
-# every round), q47-q51 — remain proven every round by
-# tests/test_oracle_parity.py's full-registry sf0.001 sweep; only the
-# driver-row freshness rotates. q81 stays rows-only by design (q94
-# carries the composition's hash evidence).
+# QUERIES. Round 6's window proved q99-q113 (new) plus 35 r4-stale
+# entries; q109 was the round's one red row (now fixed: codes
+# scalarized to codes_csv). Round 7's window leads with the fixed q109
+# and this round's NEW queries, then the 12 entries whose latest
+# driver row is r4 (q01-q06, q47-q51, q81 — two rounds stale), then
+# the oldest r5 entries in insertion order up to the 50-slot budget.
+# Entries outside the window remain proven every round by
+# tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
+# driver-row freshness rotates. q81 stays rows-only by declared design
+# (q94 carries the composition's hash evidence — see its docstring).
 _WINDOW_FIRST = [
-    # new in round 6 — first driver rows
-    "q99_tpch_q2_min_cost_supplier",
-    "q100_tpch_q11_important_stock",
-    "q101_tpch_q12_shipping_priority_buckets",
-    "q102_tpch_q16_supplier_count",
-    "q103_tpch_q20_dominant_supplier",
-    "q104_lm_perplexity",
-    "q105_doc_chunking",
-    "q106_entity_pagerank",
-    "q107_token_budget_plan",
-    "q108_retrieval_context",
+    # fixed this round — needs a fresh (green) driver row
     "q109_int8_quantize",
-    "q110_embedding_outliers",
-    "q111_source_dup_profile",
-    "q112_cross_source_overlap",
-    "q113_apply_mixture_sample",
-    # displaced by the r5 window — refresh their driver rows
-    # (q01-q06 cede slots: the core-analytics/dim family, all
-    # hash-green in r4, q01 smoke-checked by entry() every round, and
-    # the whole registry re-proven at sf0.001 by test_oracle_parity
-    # each round regardless of window membership)
-    "q30_sessionization",
-    "q52_corpus_funnel",
-    "q53_order_value_quantiles",
-    "q57_status_pivot",
-    "q58_status_unpivot",
-    "q60_grouping_sets",
-    "q61_distribution_windows",
-    "q62_tpch_q1_pricing_summary",
-    "q63_tpch_q3_shipping_priority",
-    "q64_tpch_q5_local_supplier_volume",
-    "q65_tpch_q6_forecast_revenue",
-    "q66_tpch_q10_returned_items",
-    "q67_native_session_window",
-    "q68_tpch_q4_priority_check",
-    "q69_tpch_q7_volume_shipping",
-    "q70_tpch_q8_market_share",
-    "q71_tpch_q9_product_profit",
-    "q72_tpch_q13_order_counts",
-    "q73_tpch_q14_promo_revenue",
-    "q74_tpch_q15_top_supplier",
-    "q75_tpch_q17_small_qty_revenue",
-    "q76_tpch_q18_large_orders",
-    "q77_tpch_q19_disjunctive_revenue",
-    "q78_tpch_q21_waiting_supplier",
-    "q79_tpch_q22_lapsed_customers",
-    "q80_sliding_window_activity",
-    "q82_semantic_dedup",
-    "q83_quality_rules",
-    "q84_ngram_repetition",
-    "q85_crossdoc_ngram_dup",
-    "q86_key_skew_report",
-    "q87_cdc_apply",
-    "q89_value_histogram",
-    "q90_last_touch_attribution",
-    "q91_running_balance",
+    # new in round 7 — first driver rows
+    "q114_epoch_upsample",
+    "q115_negative_sampling",
+    "q116_budget_trim",
+    # r4-stale (two rounds without a driver row)
+    "q01_monthly_revenue",
+    "q02_customer_tier",
+    "q03_product_performance",
+    "q04_retention_cohort",
+    "q05_daily_anomaly",
+    "q06_dim_date",
+    "q47_zorder_layout",
+    "q48_pii_scrub",
+    "q49_repetition_stats",
+    "q50_tfidf_topk",
+    "q51_source_mixture",
+    "q81_ivfadc_topk",
+    # oldest r5 entries, insertion order
+    "q07_dim_products",
+    "q08_fact_daily_sales",
+    "q09_fact_orders",
+    "q10_clean_lineitem",
+    "q11_referential_integrity",
+    "q12_duplicate_checks",
+    "q13_null_rates",
+    "q14_quality_assertions",
+    "q15_top_orders_per_month",
+    "q16_status_pivot",
+    "q17_sales_rollup",
+    "q18_sales_cube",
+    "q19_date_coverage",
+    "q34_set_ops",
+    "q35_incremental_extract",
+    "q39_revenue_by_region",
+    "q40_supplier_performance",
+    "q42_fact_lineitem",
+    "q56_salted_revenue",
+    "q20_text_stats",
+    "q21_lang_id",
+    "q22_exact_dedup",
+    "q23_ngram_jaccard_dedup",
+    "q24_minhash_lsh_dedup",
+    "q25_simhash_pairs",
+    "q26_embedding_topk",
+    "q27_embedding_neardup",
+    "q28_ivf_topk",
+    "q29_doc_fingerprint",
+    "q31_event_rollup",
+    "q32_event_props_extract",
+    "q33_multimodal_features",
+    "q41_hyperplane_lsh_neardup",
+    "q55_embedding_stats",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
