@@ -372,13 +372,18 @@ def _recall_at_k(ann_df, vecs, qvecs, k: int) -> float:
     qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
     cn = np.linalg.norm(cmat, axis=1)
     qn = np.linalg.norm(qmat, axis=1)
-    sims = (qmat @ cmat.T) / np.outer(qn, cn)
     truth: set[tuple[int, int]] = set()
-    for qi, qid in enumerate(qids):
-        row = sims[qi].copy()
-        row[cids == qid] = -np.inf  # exclude self-id, as the operators do
-        top = np.argpartition(row, -k)[-k:]
-        truth.update((int(qid), int(cids[j])) for j in top)
+    # chunk over queries: the full sims matrix is n_q x n_corpus doubles
+    # (8 GB at 1K x 1M — the XL recall probe); 128-query chunks keep the
+    # working set ~1 GB with identical results
+    for lo in range(0, len(qids), 128):
+        hi = min(lo + 128, len(qids))
+        sims = (qmat[lo:hi] @ cmat.T) / np.outer(qn[lo:hi], cn)
+        for qi in range(lo, hi):
+            row = sims[qi - lo]
+            row[cids == qids[qi]] = -np.inf  # exclude self-id, as operators do
+            top = np.argpartition(row, -k)[-k:]
+            truth.update((int(qids[qi]), int(cids[j])) for j in top)
     got = {
         (int(r["src_id"]), int(r["neighbor_id"]))
         for r in ann_df.select("src_id", "neighbor_id").collect()
@@ -483,6 +488,34 @@ def _xl_section(spark, n_docs: int) -> dict:
     )
     index_build_sec = round(_t.time() - t0, 3)
     batch_docs = docs.filter(F.col("doc_id") >= n_corpus)
+    # Persisted IVF-PQ ANN at 1M — the headline operational number the
+    # index exists for: one-time build, then a 1K-query batch against
+    # the PERSISTED index, with recall vs brute force. Runs FIRST among
+    # the vector ops (Arrow/GC-sensitive; see op-order note below).
+    # n_cells=4096 is the ~4*sqrt(N) coarse sizing: nprobe=8 scans
+    # ~8/4096 of the corpus (~2K compressed candidates per query).
+    from etl_data_warehouse_spark.operators import ann_index
+
+    _release_session_state(spark)
+    t0 = _t.time()
+    ann_index.build_ivf_pq_index(
+        ndvecs, f"{base}/ivfpq", n_cells=4096, m=4, codes=16,
+        assign_arrow=True,
+    )
+    ivfpq_build_sec = round(_t.time() - t0, 3)
+    qv = ndvecs.filter(F.col("vec_id") < 1000).localCheckpoint()
+    t0 = _t.time()
+    ann = ann_index.query_ivf_pq_index(
+        ndvecs, qv, f"{base}/ivfpq", k=3, nprobe=8, assign_arrow=True
+    ).localCheckpoint()
+    ivfpq_query_sec = round(_t.time() - t0, 3)
+    ivfpq = {
+        "corpus": n_docs,
+        "n_queries": 1000,
+        "build_sec": ivfpq_build_sec,
+        "query_batch_sec": ivfpq_query_sec,
+        "recall_at3_vs_brute_force": _recall_at_k(ann, ndvecs, qv, k=3),
+    }
     # Op ORDER matters at XL: per-op _release_session_state does not
     # fully reclaim the heap litter of a 10^8-row string-churn op in
     # this single 8 GB JVM (measured: semantic_dedup read 230s when run
@@ -542,6 +575,7 @@ def _xl_section(spark, n_docs: int) -> dict:
         "n_vectors": n_docs,
         "method": "single_warm_run",
         "index_build_sec": index_build_sec,
+        "ivf_pq_index": ivfpq,
         "queries": timings,
         "srp_candidates": {
             "bits16_n_planes256": {"pairs": cand16, "max_bucket": max16},
@@ -617,6 +651,117 @@ def _cdc_stream_section(spark) -> dict:
     }
 
 
+def _streaming_scale_section(spark) -> dict:
+    """Volume rows for the round-6 streaming paths that had semantic
+    proofs but no scale number: event dedup
+    (dropDuplicatesWithinWatermark) and the stream-stream interval
+    join, each drained over a generated 100K-event feed (10 microbatch
+    files, one per trigger) and checked against its batch twin —
+    evidencing the bounded-state cost model at volume, mirroring the
+    cdc_stream section's method."""
+    from pyspark.sql import functions as SF
+
+    from etl_data_warehouse_spark.streaming import (
+        event_dedup_stream as eds,
+    )
+    from etl_data_warehouse_spark.streaming import stream_join as sj
+
+    n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "100000"))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream_bench")
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    # deterministic feed: ~20% duplicated event_ids (at-least-once
+    # redelivery), view/click mix for the join, all within a 1000s span
+    # (inside every watermark horizon, so batch twins are exact)
+    events = spark.range(n_events).select(
+        SF.pmod(SF.xxhash64("id", SF.lit(7)), SF.lit(int(n_events * 0.8)))
+        .alias("event_id"),
+        SF.timestamp_millis(
+            SF.lit(1_700_000_000_000) + SF.col("id") * 10
+        ).alias("ts"),
+        SF.pmod(SF.xxhash64("id", SF.lit(8)), SF.lit(5_000)).alias("user_id"),
+        SF.when(SF.pmod("id", SF.lit(3)) == 0, "view")
+        .otherwise("click")
+        .alias("event_type"),
+        (SF.pmod(SF.xxhash64("id", SF.lit(9)), SF.lit(1_000)).cast("double")
+         / 100.0).alias("value"),
+        SF.lit(None).cast("string").alias("props"),
+        SF.col("id").alias("_seq"),
+    ).localCheckpoint()
+    n_files = 10
+    per = n_events // n_files
+    for i in range(n_files):
+        events.filter(
+            (SF.col("_seq") >= i * per) & (SF.col("_seq") < (i + 1) * per)
+        ).drop("_seq").coalesce(1).write.mode("append").parquet(in_dir)
+    feed = events.drop("_seq")
+
+    # --- event dedup at volume -------------------------------------
+    t0 = time.time()
+    q = eds.start_event_dedup_stream(
+        spark, in_dir, f"{base}/dedup_out", f"{base}/dedup_ckpt",
+        watermark="1 hour", max_files=1,
+    )
+    q.awaitTermination(600)
+    dedup_drain = round(time.time() - t0, 3)
+    streamed_ids = spark.read.parquet(f"{base}/dedup_out").select("event_id")
+    n_streamed = streamed_ids.count()
+    n_distinct = feed.select("event_id").distinct().count()
+    dedup_row = {
+        "n_events": n_events,
+        "n_microbatch_files": n_files,
+        "drain_sec": dedup_drain,
+        "emitted": n_streamed,
+        "matches_batch_distinct": bool(
+            n_streamed == n_distinct
+            and streamed_ids.distinct().count() == n_distinct
+        ),
+    }
+
+    # --- stream-stream interval join at volume ---------------------
+    t0 = time.time()
+    q = sj.start_view_click_stream(
+        spark, in_dir, in_dir, f"{base}/join_out", f"{base}/join_ckpt",
+        horizon="1 hour", watermark="2 hours", max_files=1,
+    )
+    q.awaitTermination(600)
+    join_drain = round(time.time() - t0, 3)
+    streamed_pairs = spark.read.parquet(f"{base}/join_out")
+    batch_pairs = sj.view_click_join(
+        feed.filter(SF.col("event_type") == "view").select(
+            SF.col("event_id").alias("v_event_id"),
+            SF.col("ts").alias("v_ts"),
+            SF.col("user_id").alias("v_user_id"),
+            SF.col("value").alias("v_value"),
+        ),
+        feed.filter(SF.col("event_type") == "click").select(
+            SF.col("event_id").alias("c_event_id"),
+            SF.col("ts").alias("c_ts"),
+            SF.col("user_id").alias("c_user_id"),
+            SF.col("value").alias("c_value"),
+        ),
+        horizon="1 hour", watermark="2 hours",
+    )
+    keys = ["v_user_id", "v_event_id", "c_event_id"]
+    n_pairs = streamed_pairs.count()
+    n_diff = (
+        streamed_pairs.select(*keys)
+        .exceptAll(batch_pairs.select(*keys))
+        .union(batch_pairs.select(*keys).exceptAll(streamed_pairs.select(*keys)))
+        .count()
+    )
+    join_row = {
+        "n_events": n_events,
+        "n_microbatch_files": n_files,
+        "drain_sec": join_drain,
+        "attributed_pairs": n_pairs,
+        "matches_batch_join": n_diff == 0,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return {"event_dedup": dedup_row, "interval_join": join_row}
+
+
 def main() -> None:
     t_start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -657,6 +802,10 @@ def main() -> None:
     t0 = time.time()
     cdc_stream = _cdc_stream_section(spark)
     section_sec["cdc_stream"] = round(time.time() - t0, 1)
+    _release_session_state(spark)
+    t0 = time.time()
+    streaming_scale = _streaming_scale_section(spark)
+    section_sec["streaming_scale"] = round(time.time() - t0, 1)
     xl_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_XL", "0"))
     xl = None
     if xl_docs:
@@ -694,7 +843,16 @@ def main() -> None:
     detail["scale"] = scale
     detail["scale_dim768"] = dim768
     detail["cdc_stream"] = cdc_stream
+    detail["streaming_scale"] = streaming_scale
     here = os.path.dirname(os.path.abspath(__file__))
+    # Fresh-session MIN drift probe (tools/fresh_min.py writes
+    # DRIFT_CHECK.json): merged so the detail file carries the
+    # CLAUDE.md-mandated fresh-session MIN alongside warm-session p50s
+    # when a drift question is open.
+    drift_path = os.path.join(here, "DRIFT_CHECK.json")
+    if os.path.exists(drift_path):
+        with open(drift_path) as fh:
+            detail["drift_check"] = json.load(fh)
     if xl is not None:
         detail["scale_xl"] = xl
         # XL runs are opt-in; record them in their own committed file so
@@ -721,5 +879,30 @@ def main() -> None:
     print(line)
 
 
+def xl_only_main(n_docs: int) -> None:
+    """Fresh-session XL run (`python bench.py --xl-only [n_docs]`):
+    the CLAUDE.md drift rule applied to the 1M record — a dedicated
+    process whose heap has run nothing else, so XL numbers measure the
+    plans, not session litter. Writes BENCH_XL.json with
+    method=fresh_session_single_run."""
+    spark = get_spark("bench-xl")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    xl = _xl_section(spark, n_docs)
+    xl["method"] = "fresh_session_single_run"
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_XL.json"), "w") as fh:
+        json.dump(xl, fh, indent=1)
+    print(json.dumps({
+        "metric": "xl_fresh_session",
+        "n_docs": n_docs,
+        "queries": xl["queries"],
+        "ivf_pq_index": xl["ivf_pq_index"],
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--xl-only":
+        xl_only_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+    else:
+        main()
