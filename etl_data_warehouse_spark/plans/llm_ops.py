@@ -2227,3 +2227,125 @@ ORDER BY r.doc_id, r.neg_rank
 
 QUERIES["q115_negative_sampling"] = q115_negative_sampling
 ORACLES["q115_negative_sampling"] = Q115_ORACLE
+
+
+# --- q119: BM25 lexical retrieval --------------------------------------------
+
+_BM25_TERMS = ["vector", "query", "scan", "stream"]
+_BM25_TOPK = 10
+
+# ONE expression string used VERBATIM by both engines (Spark SQL and
+# DuckDB both accept CAST(x AS DOUBLE) and ln()): identical parse tree
+# => identical IEEE double op sequence, so the only cross-engine risk
+# is the final ulp of ln(), which the round-to-9/DECIMAL cast absorbs
+# (the q50/q104 policy). k1 = 1.2, b = 0.75; (k1+1) and (1-b) are
+# pre-folded literals so neither engine folds them differently.
+_BM25_TERM_SCORE_SQL = (
+    "CAST(round("
+    "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    " * ((CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+    " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+    ", 9) AS DECIMAL(18,9))"
+)
+
+
+def q119_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the document corpus for a fixed term
+    set — the lexical half of a hybrid (BM25 + ANN) retrieval stack;
+    q108 is the dense half. Corpus statistics (tf, dl, df, avgdl) come
+    from one tokenize pass; candidate math runs only on docs matching
+    a query term (posting-list-sized, never corpus-sized), with the
+    1-row corpus stats broadcast. Per-term scores are rounded to 9
+    decimals and DECIMAL-summed per doc, so the per-doc score is
+    order-independent and hash-exact; ranking orders by the EXACT
+    decimal sum with a doc_id tiebreaker. The global top-k window runs
+    on the candidate set only — at 100 TB that is bounded by the
+    posting lists of the query terms."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tft = tf.filter(F.col("token").isin(_BM25_TERMS))
+    dfreq = tft.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tft.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("term_score", F.expr(_BM25_TERM_SCORE_SQL))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score_exact"),
+        F.count("*").cast("long").alias("matched_terms"),
+    )
+    w = Window.orderBy(F.col("score_exact").desc(), "doc_id")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "rank",
+            "doc_id",
+            "matched_terms",
+            F.col("score_exact").cast("double").alias("bm25_score"),
+        )
+        .orderBy("rank")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+Q119_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), ' +')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1
+),
+totals AS (
+    SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM dl
+),
+tft AS (
+    SELECT * FROM tf WHERE token IN ({_BM25_TERMS_SQL})
+),
+dfreq AS (
+    SELECT token, COUNT(*)::BIGINT AS df FROM tft GROUP BY 1
+),
+scored AS (
+    SELECT t.doc_id,
+           {_BM25_TERM_SCORE_SQL} AS term_score
+    FROM tft t
+    JOIN dfreq USING (token)
+    JOIN dl USING (doc_id), totals
+),
+per_doc AS (
+    SELECT doc_id, SUM(term_score) AS score_exact,
+           COUNT(*)::BIGINT AS matched_terms
+    FROM scored GROUP BY doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        ORDER BY score_exact DESC, doc_id)::INT AS rank
+    FROM per_doc
+)
+SELECT rank, doc_id, matched_terms,
+       CAST(score_exact AS DOUBLE) AS bm25_score
+FROM ranked
+WHERE rank <= {_BM25_TOPK}
+ORDER BY rank
+"""
+
+QUERIES["q119_bm25_topk"] = q119_bm25_topk
+ORACLES["q119_bm25_topk"] = Q119_ORACLE

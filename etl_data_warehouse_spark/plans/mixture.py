@@ -531,3 +531,93 @@ ORDER BY doc_id
 
 QUERIES["q116_budget_trim"] = q116_budget_trim
 ORACLES["q116_budget_trim"] = Q116_ORACLE
+
+
+_TEMP_BUDGET_TOKENS = 100_000
+_SQRT_SCALE = 1_000_000  # n_tokens * SCALE must stay < 2^53 for exact sqrt
+
+
+def q117_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (multilingual sampling a la
+    XLM-R / mT5): source sampling weight proportional to p_i^(1/T)
+    with T = 2, i.e. proportional to sqrt(n_tokens) — upweights small
+    sources relative to proportional sampling without the uniform
+    mix's full flattening.
+
+    Cross-engine determinism without float accumulation: the weight
+    numerator is ``floor(sqrt(n_tokens * SCALE))`` — IEEE-754 sqrt is
+    correctly rounded, so the double is IDENTICAL in Spark and DuckDB
+    and its floor is a stable BIGINT; the denominator is an exact
+    BIGINT sum of those; planned tokens are integer
+    ``(budget * s_i) div sum_s``. The only doubles in the output are
+    single divisions of exact integers (bit-exact by IEEE). One
+    source-level agg + a 1-row broadcast — scan-proportional at any
+    corpus size.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    s = F.floor(
+        F.sqrt((F.col("n_tokens") * _SQRT_SCALE).cast("double"))
+    ).cast("long")
+    scaled = stats.select("source", "n_tokens", s.alias("sqrt_scaled"))
+    totals = scaled.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("sqrt_scaled").alias("sum_sqrt"),
+    )
+    out = scaled.crossJoin(F.broadcast(totals))
+    # TRUE integer division (`div`), matching DuckDB's `//`: floor of a
+    # double quotient can round up across an integer boundary and
+    # disagree with exact integer division
+    planned = F.expr(
+        f"(CAST({_TEMP_BUDGET_TOKENS} AS BIGINT) * sqrt_scaled) div sum_sqrt"
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("share_raw"),
+        (
+            F.col("sqrt_scaled").cast("double")
+            / F.col("sum_sqrt").cast("double")
+        ).alias("weight_t2"),
+        planned.alias("planned_tokens"),
+        (
+            planned.cast("double") / F.col("n_tokens").cast("double")
+        ).alias("epochs_needed"),
+    ).orderBy("source")
+
+
+Q117_ORACLE = f"""
+WITH stats AS (
+    SELECT source,
+           SUM(len(string_split_regex(trim(text), ' +')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+scaled AS (
+    SELECT source, n_tokens,
+           floor(sqrt((n_tokens * {_SQRT_SCALE})::DOUBLE))::BIGINT
+               AS sqrt_scaled
+    FROM stats
+),
+totals AS (
+    SELECT SUM(n_tokens)::BIGINT AS total_tokens,
+           SUM(sqrt_scaled)::BIGINT AS sum_sqrt
+    FROM scaled
+)
+SELECT source, n_tokens,
+       n_tokens::DOUBLE / total_tokens::DOUBLE AS share_raw,
+       sqrt_scaled::DOUBLE / sum_sqrt::DOUBLE AS weight_t2,
+       ({_TEMP_BUDGET_TOKENS}::BIGINT * sqrt_scaled) // sum_sqrt
+           AS planned_tokens,
+       (({_TEMP_BUDGET_TOKENS}::BIGINT * sqrt_scaled) // sum_sqrt)::DOUBLE
+           / n_tokens::DOUBLE AS epochs_needed
+FROM scaled, totals
+ORDER BY source
+"""
+
+QUERIES["q117_temperature_mixture"] = q117_temperature_mixture
+ORACLES["q117_temperature_mixture"] = Q117_ORACLE

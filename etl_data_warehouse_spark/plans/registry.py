@@ -72,7 +72,9 @@ ORACLES.update(tpch3.ORACLES)
 # scalarized to codes_csv). Round 7's window leads with the fixed q109
 # and this round's NEW queries, then the 12 entries whose latest
 # driver row is r4 (q01-q06, q47-q51, q81 — two rounds stale), then
-# the oldest r5 entries in insertion order up to the 50-slot budget.
+# the oldest r5 entries in insertion order up to the 50-slot budget
+# (q33/q41/q55 ceded their slots to the second round-7 batch
+# q117-q119 and rotate back in round 8).
 # Entries outside the window remain proven every round by
 # tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
 # driver-row freshness rotates. q81 stays rows-only by declared design
@@ -84,6 +86,9 @@ _WINDOW_FIRST = [
     "q114_epoch_upsample",
     "q115_negative_sampling",
     "q116_budget_trim",
+    "q117_temperature_mixture",
+    "q118_bpe_pair_counts",
+    "q119_bm25_topk",
     # r4-stale (two rounds without a driver row)
     "q01_monthly_revenue",
     "q02_customer_tier",
@@ -129,9 +134,6 @@ _WINDOW_FIRST = [
     "q29_doc_fingerprint",
     "q31_event_rollup",
     "q32_event_props_extract",
-    "q33_multimodal_features",
-    "q41_hyperplane_lsh_neardup",
-    "q55_embedding_stats",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

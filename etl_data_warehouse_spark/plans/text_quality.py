@@ -760,3 +760,94 @@ QUERIES["q111_source_dup_profile"] = q111_source_dup_profile
 ORACLES["q111_source_dup_profile"] = Q111_ORACLE
 QUERIES["q112_cross_source_overlap"] = q112_cross_source_overlap
 ORACLES["q112_cross_source_overlap"] = Q112_ORACLE
+
+
+# --- q118: BPE merge-step pair counts ----------------------------------------
+
+_BPE_TOP_PAIRS = 20
+
+
+def q118_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step over the corpus: adjacent-character-pair
+    frequencies, weighted by word frequency — the argmax row is the
+    first merge a byte-pair-encoding tokenizer would learn (Sennrich
+    et al. 2016). Classic BPE trains on the word-frequency DICTIONARY,
+    so the expensive char-pair explosion runs over distinct words
+    (vocabulary-sized, ~10^6-10^7 even at 100 TB), not over the corpus:
+    one corpus-scan word count, then pair extraction on the dictionary
+    and a pair-level agg — two vocabulary-sized shuffles after the
+    scan.
+
+    Pair extraction is ``zip_with(slice(chars, 1, n-1),
+    slice(chars, 2, n-1), concat)`` — element-wise over the array, no
+    per-element ``element_at`` re-evaluation of the char split (the
+    CollapseProject O(len^2) trap). All counts are BIGINT — hash-exact
+    cross-engine with no float anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("word_freq"))
+    )
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), F.lit(0))
+    n = F.size(chars)
+    pair_col = F.zip_with(
+        F.slice(chars, F.lit(1), n - 1),
+        F.slice(chars, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, b),
+    )
+    agg = (
+        words.select("word_freq", F.explode(pair_col).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.sum("word_freq").alias("pair_count"),
+            F.count("*").cast("long").alias("n_distinct_words"),
+        )
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BPE_TOP_PAIRS)
+        .select("rank", "pair", "pair_count", "n_distinct_words")
+        .orderBy("rank")
+    )
+
+
+Q118_ORACLE = f"""
+WITH w AS (
+    SELECT word, COUNT(*)::BIGINT AS word_freq
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents)
+    WHERE len(word) >= 2
+    GROUP BY word
+),
+ch AS (
+    SELECT word_freq, regexp_extract_all(word, '.') AS chars FROM w
+),
+p AS (
+    SELECT word_freq,
+           unnest(list_transform(
+               generate_series(1, len(chars) - 1),
+               i -> chars[i] || chars[i + 1])) AS pair
+    FROM ch
+),
+agg AS (
+    SELECT pair, SUM(word_freq)::BIGINT AS pair_count,
+           COUNT(*)::BIGINT AS n_distinct_words
+    FROM p GROUP BY pair
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        ORDER BY pair_count DESC, pair)::INT AS rank
+    FROM agg
+)
+SELECT rank, pair, pair_count, n_distinct_words
+FROM ranked
+WHERE rank <= {_BPE_TOP_PAIRS}
+ORDER BY rank
+"""
+
+QUERIES["q118_bpe_pair_counts"] = q118_bpe_pair_counts
+ORACLES["q118_bpe_pair_counts"] = Q118_ORACLE

@@ -1,0 +1,135 @@
+"""q118 (BPE pair counts) and q119 (BM25 retrieval) against exact
+Python recomputes of the same math over the same parquet corpus —
+independent of both Spark and DuckDB."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from etl_data_warehouse_spark.sources.catalog import load_table
+
+
+def _doc_texts(spark, sf_dir) -> dict[int, str]:
+    return {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+
+
+class TestBpePairCounts:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.text_quality import (
+            _BPE_TOP_PAIRS,
+            q118_bpe_pair_counts,
+        )
+
+        rows = q118_bpe_pair_counts(spark, sf_dir).collect()
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == _BPE_TOP_PAIRS
+
+        word_freq: Counter[str] = Counter()
+        for text in _doc_texts(spark, sf_dir).values():
+            for w in text.strip().split():
+                if len(w) >= 2:
+                    word_freq[w] += 1
+        pair_count: Counter[str] = Counter()
+        pair_words: Counter[str] = Counter()
+        for w, freq in word_freq.items():
+            seen = Counter(w[i : i + 2] for i in range(len(w) - 1))
+            for pair, occ in seen.items():
+                # Spark counts each occurrence within a word (explode),
+                # weighted by word_freq; n_distinct_words counts the
+                # exploded rows, i.e. occurrences, per distinct word
+                pair_count[pair] += occ * freq
+                pair_words[pair] += occ
+        expected = sorted(
+            pair_count.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:_BPE_TOP_PAIRS]
+        got = [(r["pair"], r["pair_count"]) for r in rows]
+        assert got == expected
+        for r in rows:
+            assert r["n_distinct_words"] == pair_words[r["pair"]]
+
+
+class TestBm25:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.llm_ops import (
+            _BM25_TERMS,
+            _BM25_TOPK,
+            q119_bm25_topk,
+        )
+
+        rows = q119_bm25_topk(spark, sf_dir).collect()
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == _BM25_TOPK
+        scores = [r["bm25_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+        texts = _doc_texts(spark, sf_dir)
+        toks = {d: t.strip().split() for d, t in texts.items()}
+        n_docs = len(toks)
+        sum_dl = sum(len(v) for v in toks.values())
+        avgdl = sum_dl / n_docs
+        df = {
+            t: sum(1 for v in toks.values() if t in v) for t in _BM25_TERMS
+        }
+        expected: dict[int, tuple[float, int]] = {}
+        for d, v in toks.items():
+            tf = Counter(v)
+            score = 0.0
+            matched = 0
+            for t in _BM25_TERMS:
+                if tf[t] == 0:
+                    continue
+                matched += 1
+                idf = math.log(
+                    (n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0
+                )
+                part = (tf[t] * 2.2) / (
+                    tf[t] + 1.2 * (0.25 + 0.75 * (len(v) / avgdl))
+                )
+                score += round(idf * part, 9)
+            if matched:
+                expected[d] = (score, matched)
+        top = sorted(
+            expected.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:_BM25_TOPK]
+        for r, (doc_id, (score, matched)) in zip(rows, top):
+            assert r["doc_id"] == doc_id
+            assert r["matched_terms"] == matched
+            assert r["bm25_score"] == pytest.approx(score, abs=1e-8)
+
+
+class TestTemperatureMixture:
+    def test_weights_and_budget(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.mixture import (
+            _TEMP_BUDGET_TOKENS,
+            q117_temperature_mixture,
+        )
+
+        rows = q117_temperature_mixture(spark, sf_dir).collect()
+        assert rows
+        assert sum(r["weight_t2"] for r in rows) == pytest.approx(1.0)
+        assert sum(r["share_raw"] for r in rows) == pytest.approx(1.0)
+        # integer floor division: planned never exceeds the budget
+        assert sum(r["planned_tokens"] for r in rows) <= _TEMP_BUDGET_TOKENS
+        # temperature flattening: weight/share = c/sqrt(share) is
+        # strictly decreasing in source size, so the smallest source
+        # gains relative weight and the largest loses it (sources just
+        # above the mean can legitimately still gain — don't assert a
+        # mean-crossing)
+        by_tokens = sorted(rows, key=lambda r: (r["n_tokens"], r["source"]))
+        ratios = [r["weight_t2"] / r["share_raw"] for r in by_tokens]
+        for a, b in zip(ratios, ratios[1:]):
+            assert a >= b - 1e-9
+        if by_tokens[0]["n_tokens"] < by_tokens[-1]["n_tokens"]:
+            assert by_tokens[0]["weight_t2"] > by_tokens[0]["share_raw"]
+            assert by_tokens[-1]["weight_t2"] < by_tokens[-1]["share_raw"]
+        # monotone: more tokens => weakly larger weight
+        for a, b in zip(by_tokens, by_tokens[1:]):
+            assert a["weight_t2"] <= b["weight_t2"] + 1e-12
