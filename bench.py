@@ -500,6 +500,7 @@ def _xl_section(spark, n_docs: int) -> dict:
     t0 = _t.time()
     ann_index.build_ivf_pq_index(
         ndvecs, f"{base}/ivfpq", n_cells=4096, m=4, codes=16,
+        coarse_train_limit=64 * 4096,  # FAISS-style points-per-centroid cap
         assign_arrow=True,
     )
     ivfpq_build_sec = round(_t.time() - t0, 3)

@@ -37,7 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pq import ivfadc_topk, pack_codes, pq_encode, train_pq_codebooks
+from .pq import (
+    ivfadc_topk,
+    pack_codes,
+    pack_encode_arrow,
+    pq_encode,
+    train_pq_codebooks,
+)
 from .similarity import kmeans_centroids, rank_cells, with_norm
 
 
@@ -71,15 +77,27 @@ def build_ivf_pq_index(
     coarse_iterations: int = 4,
     pq_iterations: int = 4,
     pq_train_limit: int | None = 10000,
+    coarse_train_limit: int | None = None,
     assign_arrow: bool = False,
     vec_col: str = "embedding",
 ) -> None:
     """Train quantizer state on the corpus (PQ codebooks on the
     ``pq_train_limit`` lowest vec_ids — Lloyd's cost is linear in the
     training set; subsampling is standard practice) and persist state
-    plus the encoded corpus as batch 0."""
+    plus the encoded corpus as batch 0.
+
+    ``coarse_train_limit`` subsamples coarse-quantizer TRAINING the
+    same way (the FAISS max_points_per_centroid move — ~64-256 points
+    per cell train centroids as good as the full corpus; the FULL
+    corpus is still assigned afterwards). ``assign_arrow=True`` also
+    routes corpus encoding through ``pack_encode_arrow`` — one Arrow
+    pass instead of the N·m·codes-row fold ranking; same BLAS-ulp
+    caveat, so deterministic replay keeps the default fold path."""
+    train_c = vectors
+    if coarse_train_limit is not None:
+        train_c = vectors.orderBy("vec_id").limit(coarse_train_limit)
     cents = kmeans_centroids(
-        vectors,
+        train_c,
         n_cells=n_cells,
         max_iterations=coarse_iterations,
         vec_col=vec_col,
@@ -93,7 +111,10 @@ def build_ivf_pq_index(
     )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     books.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
-    packed = pack_codes(pq_encode(vectors, books, vec_col=vec_col), books)
+    if assign_arrow:
+        packed = pack_encode_arrow(vectors, books, vec_col=vec_col)
+    else:
+        packed = pack_codes(pq_encode(vectors, books, vec_col=vec_col), books)
     assigned = _assign_cells(vectors, cents, assign_arrow, vec_col)
     packed.write.mode("overwrite").parquet(f"{index_dir}/packed/batch=0")
     assigned.write.mode("overwrite").parquet(f"{index_dir}/assigned/batch=0")
@@ -152,10 +173,15 @@ def append_to_ivf_index(
         # every id was a re-crawl — nothing to encode, and writing
         # nothing keeps the batch dirs absent consistently on replay
         return
-    packed = pack_codes(
-        pq_encode(new_vectors, idx["codebooks"], vec_col=vec_col),
-        idx["codebooks"],
-    )
+    if assign_arrow:
+        packed = pack_encode_arrow(
+            new_vectors, idx["codebooks"], vec_col=vec_col
+        )
+    else:
+        packed = pack_codes(
+            pq_encode(new_vectors, idx["codebooks"], vec_col=vec_col),
+            idx["codebooks"],
+        )
     assigned = _assign_cells(
         new_vectors, idx["centroids"], assign_arrow, vec_col
     )

@@ -230,6 +230,75 @@ def pack_codes(codes_table: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
+def pack_encode_arrow(
+    vectors: DataFrame, codebooks: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Throughput twin of ``pack_codes(pq_encode(...))``: one
+    mapInPandas pass emits the packed layout (vec_id, code_ids,
+    rnorm2) directly — no m-way explode, no broadcast join against
+    every code, and no N·m·codes-row ranking window (the fold path
+    pushes 64M rows through row_number at 1M vectors, m=4, codes=16;
+    this path touches N rows once).
+
+    Equivalence: per subspace, codes are sorted by code_id so numpy
+    argmin's first-occurrence rule IS the fold path's asc-code_id
+    tiebreak; the matmul drops the row-constant |sv|^2 term (argmin
+    unaffected); rnorm2 accumulates the codebooks' OWN cnorm2 values
+    in subspace order — the same left fold as pack_codes. Same caveat
+    as every assign_arrow path: BLAS summation can flip exact-distance
+    ties, so the fold path remains the oracle-checked default
+    (tests/test_pq.py pins equality on the test corpus)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    rows = codebooks.select("subspace", "code_id", "cv", "cnorm2").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books, ids, norms = [], [], []
+    for s in range(m):
+        rs = sorted(
+            (r for r in rows if r["subspace"] == s),
+            key=lambda r: r["code_id"],
+        )
+        books.append(
+            np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rs])
+        )
+        ids.append(np.array([r["code_id"] for r in rs], dtype=np.int32))
+        norms.append(np.array([r["cnorm2"] for r in rs], dtype=np.float64))
+    subdim = books[0].shape[1]
+    d2 = [(b * b).sum(axis=1) for b in books]
+    np_ = np
+
+    def enc(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np_.stack(
+                [np_.asarray(x, dtype=np_.float64) for x in pdf[vec_col]]
+            )
+            n = len(pdf)
+            code_mat = np_.empty((n, m), dtype=np_.int32)
+            rn = np_.zeros(n, dtype=np_.float64)
+            for s in range(m):
+                sub = vmat[:, s * subdim : (s + 1) * subdim]
+                d = d2[s][None, :] - 2.0 * (sub @ books[s].T)
+                a = np_.argmin(d, axis=1)
+                code_mat[:, s] = ids[s][a]
+                rn = rn + norms[s][a]
+            yield pd_.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code_ids": list(code_mat),
+                    "rnorm2": rn,
+                }
+            )
+
+    return vectors.select("vec_id", vec_col).mapInPandas(
+        enc, schema="vec_id bigint, code_ids array<int>, rnorm2 double"
+    )
+
+
 def pq_topk(
     codes_table: DataFrame,
     codebooks: DataFrame,

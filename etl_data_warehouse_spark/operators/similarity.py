@@ -813,7 +813,15 @@ def kmeans_centroids(
 
         rows = cents.select("cell_id", "cv").collect()
         cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
-        cmat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+        # sort centroids by cell_id so argmin's first-occurrence tie
+        # rule IS the asc-cell_id tiebreak — an O(k) argmin per row
+        # instead of the previous full-row lexsort (O(k log k) with a
+        # large constant: at k=4096 the lexsort dominated 1M-row builds)
+        by_id = np.argsort(cell_ids, kind="stable")
+        cell_ids = cell_ids[by_id]
+        cmat = np.stack(
+            [np.asarray(r["cv"], dtype=np.float64) for r in rows]
+        )[by_id]
         cnorm2 = (cmat * cmat).sum(axis=1)
         np_, pd_ = np, pd
 
@@ -826,9 +834,7 @@ def kmeans_centroids(
                 )
                 # ||v-c||^2 up to the row-constant ||v||^2 term
                 d = cnorm2[None, :] - 2.0 * (vmat @ cmat.T)
-                order = np_.lexsort(
-                    (np_.broadcast_to(cell_ids, d.shape), d), axis=1
-                )[:, 0]
+                order = np_.argmin(d, axis=1)
                 yield pd_.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],

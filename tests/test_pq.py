@@ -222,3 +222,33 @@ class TestIvfPq:
             codes_packed=packed, assigned=assigned,
         ).collect()
         assert sorted(map(tuple, base)) == sorted(map(tuple, fast))
+
+
+class TestPackEncodeArrow:
+    def test_equals_fold_path(self, spark, corpus, codebooks):
+        """The Arrow packer must reproduce pack_codes(pq_encode(...))
+        exactly on the test corpus: same codes (argmin first-occurrence
+        == asc-code_id tiebreak), bit-equal rnorm2 (same left fold over
+        the codebooks' own cnorm2 values)."""
+        from etl_data_warehouse_spark.operators.pq import (
+            pack_codes,
+            pack_encode_arrow,
+        )
+
+        fold = {
+            r["vec_id"]: (list(r["code_ids"]), r["rnorm2"])
+            for r in pack_codes(
+                pq_encode(corpus, codebooks), codebooks
+            ).collect()
+        }
+        arrow = {
+            r["vec_id"]: (list(r["code_ids"]), r["rnorm2"])
+            for r in pack_encode_arrow(corpus, codebooks).collect()
+        }
+        assert set(fold) == set(arrow)
+        diff_codes = [
+            v for v in fold if fold[v][0] != arrow[v][0]
+        ]
+        assert not diff_codes, diff_codes[:5]
+        for v in fold:
+            assert fold[v][1] == arrow[v][1], v
