@@ -22,6 +22,7 @@ from ..functions.text import (
     rolling_hash,
     stopword_hits,
     token_count,
+    tokens,
 )
 from ..operators import cdc, dedup, graph, multimodal, sessionize, similarity
 from ..sources.catalog import load_table
@@ -2349,3 +2350,290 @@ ORDER BY rank
 
 QUERIES["q119_bm25_topk"] = q119_bm25_topk
 ORACLES["q119_bm25_topk"] = Q119_ORACLE
+
+
+# --- q120: hybrid retrieval — reciprocal-rank fusion -------------------------
+
+_RRF_NQ = 10        # query docs: doc_id < 10
+_RRF_POOL = 10      # per-ranker pool depth
+_RRF_K = 5          # fused top-k
+# one shared fusion expression — identical parse tree in both engines;
+# each fused score is at most two IEEE terms added in a fixed order, so
+# it is bit-exact with NO rounding policy needed
+_RRF_SCORE_SQL = (
+    "COALESCE(1.0 / (60.0 + CAST(dense_rank AS DOUBLE)), 0.0)"
+    " + COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)"
+)
+
+
+def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): fuse a DENSE ranking (exact cosine top-10 per query vector —
+    q108's retrieval stage) with a LEXICAL ranking (distinct-token
+    Jaccard top-10) via RRF = sum over rankers of 1/(60 + rank) — the
+    standard fusion for hybrid (BM25/ANN) stacks, here composed from
+    the engine's own retrieval primitives.
+
+    Scale shape: the query side is 10 docs (broadcast everywhere); the
+    dense pass is the brute-force baseline (the ANN ladder is the
+    corpus-scale path); the lexical pass joins on shared tokens so its
+    cost is posting-list-sized. The fused score is at most two IEEE
+    additions in a fixed order — bit-exact cross-engine without any
+    rounding policy."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _RRF_NQ), k=_RRF_POOL
+    ).select(
+        F.col("src_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+
+    tokd = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("token"),
+    )
+    ntok = tokd.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    qtok = tokd.filter(F.col("doc_id") < _RRF_NQ).select(
+        F.col("doc_id").alias("qid"), "token"
+    )
+    shared = (
+        qtok.join(tokd, "token")
+        .filter(F.col("qid") != F.col("doc_id"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    qn = ntok.select(F.col("doc_id").alias("qid"), F.col("ntok").alias("qn"))
+    jac = (
+        shared.join(F.broadcast(qn), "qid")
+        .join(ntok, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.col("shared").cast("double")
+                / (F.col("qn") + F.col("ntok") - F.col("shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(
+        F.col("jaccard").desc(), "doc_id"
+    )
+    lex = (
+        jac.withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .filter(F.col("lex_rank") <= _RRF_POOL)
+        .select("qid", "doc_id", "lex_rank")
+    )
+
+    fused = dense.join(lex, ["qid", "doc_id"], "full_outer").withColumn(
+        "rrf_score", F.expr(_RRF_SCORE_SQL)
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= _RRF_K)
+        .select(
+            "qid", "fused_rank", "doc_id", "rrf_score",
+            "dense_rank", "lex_rank",
+        )
+        .orderBy("qid", "fused_rank")
+    )
+
+
+Q120_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_RRF_NQ}
+),
+dsims AS (
+    SELECT q.vec_id AS qid, b.vec_id AS doc_id,
+           {_DOT_SQL.format(a="q.embedding", b="b.embedding")}
+             / ({_NORM_SQL.format(a="q.embedding")}
+                * {_NORM_SQL.format(a="b.embedding")}) AS cosine_sim
+    FROM q JOIN embeddings b ON q.vec_id <> b.vec_id
+),
+dense AS (
+    SELECT qid, doc_id, rank::INT AS dense_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine_sim DESC, doc_id) AS rank
+        FROM dsims)
+    WHERE rank <= {_RRF_POOL}
+),
+tok AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), ' +')) AS token
+        FROM documents)
+),
+ntok AS (SELECT doc_id, COUNT(*)::BIGINT AS ntok FROM tok GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS qid, b.doc_id AS doc_id, COUNT(*)::BIGINT AS shared
+    FROM tok a JOIN tok b USING (token)
+    WHERE a.doc_id < {_RRF_NQ} AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT s.qid, s.doc_id,
+           s.shared::DOUBLE
+             / (nq.ntok + nd.ntok - s.shared)::DOUBLE AS jaccard
+    FROM shared s
+    JOIN ntok nq ON nq.doc_id = s.qid
+    JOIN ntok nd ON nd.doc_id = s.doc_id
+),
+lex AS (
+    SELECT qid, doc_id, rank::INT AS lex_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY jaccard DESC, doc_id) AS rank
+        FROM jac)
+    WHERE rank <= {_RRF_POOL}
+),
+fused AS (
+    SELECT COALESCE(d.qid, l.qid) AS qid,
+           COALESCE(d.doc_id, l.doc_id) AS doc_id,
+           d.dense_rank, l.lex_rank,
+           {_RRF_SCORE_SQL.replace("dense_rank", "d.dense_rank")
+                          .replace("lex_rank", "l.lex_rank")} AS rrf_score
+    FROM dense d
+    FULL OUTER JOIN lex l ON d.qid = l.qid AND d.doc_id = l.doc_id
+)
+SELECT qid, fused_rank, doc_id, rrf_score, dense_rank, lex_rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::INT AS fused_rank
+    FROM fused)
+WHERE fused_rank <= {_RRF_K}
+ORDER BY qid, fused_rank
+"""
+
+QUERIES["q120_hybrid_rrf"] = q120_hybrid_rrf
+ORACLES["q120_hybrid_rrf"] = Q120_ORACLE
+
+
+# --- q123: fill-in-the-middle (FIM) transform --------------------------------
+
+
+def _md5_long(salt: str, key) -> "F.Column":
+    """Nonnegative 32-bit value from md5(salt || key) — the hash_bucket
+    primitive with a COLUMN modulus applied by the caller (hash_bucket
+    itself takes a constant bucket count)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def q123_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    split each document's token sequence at two deterministic points
+    into (prefix, middle, suffix) and re-emit in PSM order —
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the standard infilling
+    augmentation for code/text pretraining.
+
+    The two cut points are md5-derived (h % valid_range), so the
+    transform is reproducible and hash-exact cross-engine; cut1 lands in
+    [1, n-2] and cut2 in [cut1+1, n-1], so all three spans are
+    non-empty. Token-unit slicing on both sides (never char slicing —
+    the q93 multi-byte lesson); the rebuilt string is fingerprinted
+    with md5 and measured in BYTES (octet_length) so the output stays
+    scalar and the hash gate sees the whole transform.
+
+    Scale shape: a pure zero-shuffle projection over the corpus — the
+    ideal 100 TB operator (like q105 chunking); the only order-sensitive
+    step is the final cosmetic orderBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n = F.size(toks).cast("int")
+    base = docs.select("doc_id", toks.alias("tok"), n.alias("n_tokens")).filter(
+        F.col("n_tokens") >= 3
+    )
+    cut1 = (F.lit(1) + _md5_long("fim1", "doc_id") % (F.col("n_tokens") - 2)).cast(
+        "int"
+    )
+    cut2 = (
+        F.col("cut1")
+        + 1
+        + _md5_long("fim2", "doc_id")
+        % (F.col("n_tokens") - 1 - F.col("cut1"))
+    ).cast("int")
+    with_cuts = base.withColumn("cut1", cut1).withColumn("cut2", cut2)
+    fim_text = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(F.slice("tok", F.lit(1), F.col("cut1")), " "),
+        F.lit(" <SUF> "),
+        F.array_join(
+            F.slice(
+                "tok",
+                F.col("cut2") + 1,
+                F.col("n_tokens") - F.col("cut2"),
+            ),
+            " ",
+        ),
+        F.lit(" <MID> "),
+        F.array_join(
+            F.slice(
+                "tok", F.col("cut1") + 1, F.col("cut2") - F.col("cut1")
+            ),
+            " ",
+        ),
+    )
+    return (
+        with_cuts.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "cut1",
+            "cut2",
+            F.octet_length(fim_text).cast("long").alias("fim_bytes"),
+            F.md5(fim_text).alias("fim_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q123_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok,
+           len(string_split_regex(trim(text), ' +'))::INT AS n_tokens
+    FROM documents
+),
+c1 AS (
+    SELECT *,
+           (1 + ('0x' || substring(md5('fim1' || doc_id), 1, 8))::BIGINT
+                % (n_tokens - 2))::INT AS cut1
+    FROM t WHERE n_tokens >= 3
+),
+c2 AS (
+    SELECT *,
+           (cut1 + 1 + ('0x' || substring(md5('fim2' || doc_id), 1, 8))::BIGINT
+                % (n_tokens - 1 - cut1))::INT AS cut2
+    FROM c1
+),
+f AS (
+    SELECT doc_id, n_tokens, cut1, cut2,
+           '<PRE> ' || array_to_string(list_slice(tok, 1, cut1), ' ')
+           || ' <SUF> '
+           || array_to_string(list_slice(tok, cut2 + 1, n_tokens), ' ')
+           || ' <MID> '
+           || array_to_string(list_slice(tok, cut1 + 1, cut2), ' ')
+             AS fim_text
+    FROM c2
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, cut1, cut2,
+       octet_length(encode(fim_text))::BIGINT AS fim_bytes,
+       md5(fim_text) AS fim_md5
+FROM f
+ORDER BY doc_id
+"""
+
+QUERIES["q123_fim_transform"] = q123_fim_transform
+ORACLES["q123_fim_transform"] = Q123_ORACLE

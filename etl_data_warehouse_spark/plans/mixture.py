@@ -621,3 +621,260 @@ ORDER BY source
 
 QUERIES["q117_temperature_mixture"] = q117_temperature_mixture
 ORACLES["q117_temperature_mixture"] = Q117_ORACLE
+
+
+_CURRICULUM_BUCKETS = 10
+
+
+def q121_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering (Bengio et al. 2009 applied the
+    way pretraining pipelines do it): bucket documents into difficulty
+    deciles by token count (shorter = easier), then emit the global
+    training order — deciles in sequence, a deterministic hash shuffle
+    inside each decile so each difficulty band is internally unordered
+    but reproducible.
+
+    All-integer math (counts, ntile, row_number with unique
+    tiebreaks) — hash-exact with no float policy. Two window passes
+    over the corpus (decile assignment, then the global order): the
+    global row_number is the one single-partition stage, acceptable
+    because the OUTPUT is a training manifest that is inherently a
+    total order; at 100 TB you'd shard it by (decile, priority range)
+    and number within shards."""
+    docs = load_table(spark, "documents", sf_dir)
+    wd = Window.orderBy("n_tokens", "doc_id")
+    wp = Window.orderBy("decile", "priority", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", token_count("text").alias("n_tokens")
+        )
+        .withColumn(
+            "decile", F.ntile(_CURRICULUM_BUCKETS).over(wd).cast("int")
+        )
+        .withColumn("priority", hash_bucket("doc_id", "curr", _DECISION_SCALE))
+        .withColumn(
+            "curriculum_pos", F.row_number().over(wp).cast("long")
+        )
+        .select(
+            "doc_id", "source", "n_tokens", "decile", "priority",
+            "curriculum_pos",
+        )
+        .orderBy("curriculum_pos")
+    )
+
+
+Q121_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens
+    FROM documents
+),
+d AS (
+    SELECT doc_id, source, n_tokens,
+           ntile({_CURRICULUM_BUCKETS}) OVER (
+               ORDER BY n_tokens, doc_id)::INT AS decile,
+           {bucket_sql("doc_id", "curr", 10_000)} AS priority
+    FROM t
+)
+SELECT doc_id, source, n_tokens, decile, priority,
+       row_number() OVER (
+           ORDER BY decile, priority, doc_id)::BIGINT AS curriculum_pos
+FROM d
+ORDER BY curriculum_pos
+"""
+
+QUERIES["q121_curriculum_schedule"] = q121_curriculum_schedule
+ORACLES["q121_curriculum_schedule"] = Q121_ORACLE
+
+
+# --- q122: DSIR importance weights -------------------------------------------
+
+_DSIR_BUCKETS = 4096     # hashed bigram feature space (2^12)
+_DSIR_TARGET_PCT = 10    # md5 bucket 0 of 10 = the "target domain" sample
+
+
+def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate hashed-bigram
+    unigram models over a TARGET domain sample and the RAW pool, then
+    score every raw document by its log importance weight
+    log w(x) = sum over features f in x of [log p_target(f) - log
+    p_raw(f)] (add-one smoothing over the hashed feature space).
+    Resampling by this weight shifts the raw pool toward the target
+    distribution — the standard pretraining-data selection recipe.
+
+    Determinism playbook (same as q104's decimal logp): each feature's
+    two log-probs are engine-divergent in the last ulp, so both are
+    rounded to 9dp and carried as DECIMAL(18,9); the per-doc weight is
+    an exact decimal sum of cnt x (lt - lr) — order-independent —
+    cast to DOUBLE only at the output boundary (no rounding of the
+    double). Feature hashing and the target-sample split are md5
+    buckets, bit-identical in DuckDB.
+
+    Scale shape: one corpus scan + bigram explode behind a doc_id
+    repartition (the Exchange is shared by all four consumers via
+    ReuseExchange — model counts, totals, and per-doc features read ONE
+    materialized shuffle, not four scans); both models and the totals
+    frame are <= 4096 rows and broadcast. Linear in corpus tokens; the
+    closing global rank is doc-grain (at 100 TB: shard the manifest and
+    rank within shards, as q121 documents).
+    """
+    from ..functions.text import word_ngrams
+
+    para = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "documents", sf_dir)
+    feats = (
+        docs.filter(token_count("text") >= 2)
+        .select(
+            "doc_id",
+            (hash_bucket("doc_id", "dsir_t", _DSIR_TARGET_PCT) == 0).alias(
+                "is_target"
+            ),
+            F.explode(word_ngrams("text", 2)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            hash_bucket("gram", "dsir_f", _DSIR_BUCKETS).alias("bucket"),
+        )
+        .repartition(para, "doc_id")  # ONE shared scan+explode Exchange
+    )
+    tmodel = (
+        feats.filter("is_target")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    rmodel = (
+        feats.filter(~F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("r_cnt"))
+    )
+    model = (
+        tmodel.join(rmodel, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        )
+    )
+    consts = feats.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_r"),
+    )
+    docfeat = (
+        feats.filter(~F.col("is_target"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lt = F.round(
+        F.log(
+            (F.col("t_cnt") + 1).cast("double")
+            / (F.col("n_t") + F.lit(_DSIR_BUCKETS)).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    lr = F.round(
+        F.log(
+            (F.col("r_cnt") + 1).cast("double")
+            / (F.col("n_r") + F.lit(_DSIR_BUCKETS)).cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    per_doc = (
+        docfeat.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "cnt",
+            (F.col("cnt").cast("decimal(10,0)") * (lt - lr)).alias(
+                "contrib"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("w_dec"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.count("*").cast("long").alias("n_buckets"),
+        )
+    )
+    w = Window.orderBy(F.col("w_dec").desc(), "doc_id")
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("dsir_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "dsir_rank",
+            "doc_id",
+            "source",
+            "n_feats",
+            "n_buckets",
+            F.col("w_dec").cast("double").alias("log_weight"),
+        )
+        .orderBy("dsir_rank")
+    )
+
+
+Q122_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           ({bucket_sql("doc_id", "dsir_t", _DSIR_TARGET_PCT)} = 0)
+             AS is_target,
+           {bucket_sql("gram", "dsir_f", _DSIR_BUCKETS)} AS bucket
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tok) - 1),
+                   i -> tok[i] || ' ' || tok[i + 1])) AS gram
+        FROM tok WHERE len(tok) >= 2)
+),
+tm AS (
+    SELECT bucket, COUNT(*)::BIGINT AS t_cnt FROM f
+    WHERE is_target GROUP BY 1
+),
+rm AS (
+    SELECT bucket, COUNT(*)::BIGINT AS r_cnt FROM f
+    WHERE NOT is_target GROUP BY 1
+),
+model AS (
+    SELECT COALESCE(tm.bucket, rm.bucket) AS bucket,
+           COALESCE(t_cnt, 0) AS t_cnt, COALESCE(r_cnt, 0) AS r_cnt
+    FROM tm FULL OUTER JOIN rm ON tm.bucket = rm.bucket
+),
+c AS (
+    SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS n_t,
+           SUM(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS n_r
+    FROM f
+),
+df AS (
+    SELECT doc_id, bucket, COUNT(*)::BIGINT AS cnt FROM f
+    WHERE NOT is_target GROUP BY 1, 2
+),
+s AS (
+    SELECT df.doc_id, df.cnt,
+           round(ln((m.t_cnt + 1)::DOUBLE
+                    / (c.n_t + {_DSIR_BUCKETS})::DOUBLE),
+                 9)::DECIMAL(18,9) AS lt,
+           round(ln((m.r_cnt + 1)::DOUBLE
+                    / (c.n_r + {_DSIR_BUCKETS})::DOUBLE),
+                 9)::DECIMAL(18,9) AS lr
+    FROM df JOIN model m USING (bucket) CROSS JOIN c
+),
+pd AS (
+    SELECT doc_id, SUM(cnt::DECIMAL(10,0) * (lt - lr)) AS w_dec,
+           SUM(cnt)::BIGINT AS n_feats, COUNT(*)::BIGINT AS n_buckets
+    FROM s GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY w_dec DESC, pd.doc_id)::INT AS dsir_rank,
+       pd.doc_id, d.source, n_feats, n_buckets, w_dec::DOUBLE AS log_weight
+FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+ORDER BY dsir_rank
+"""
+
+QUERIES["q122_dsir_weights"] = q122_dsir_weights
+ORACLES["q122_dsir_weights"] = Q122_ORACLE

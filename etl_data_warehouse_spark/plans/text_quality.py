@@ -802,14 +802,14 @@ def q118_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(
             F.sum("word_freq").alias("pair_count"),
-            F.count("*").cast("long").alias("n_distinct_words"),
+            F.count("*").cast("long").alias("n_vocab_occurrences"),
         )
     )
     w = Window.orderBy(F.col("pair_count").desc(), "pair")
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _BPE_TOP_PAIRS)
-        .select("rank", "pair", "pair_count", "n_distinct_words")
+        .select("rank", "pair", "pair_count", "n_vocab_occurrences")
         .orderBy("rank")
     )
 
@@ -835,7 +835,7 @@ p AS (
 ),
 agg AS (
     SELECT pair, SUM(word_freq)::BIGINT AS pair_count,
-           COUNT(*)::BIGINT AS n_distinct_words
+           COUNT(*)::BIGINT AS n_vocab_occurrences
     FROM p GROUP BY pair
 ),
 ranked AS (
@@ -843,7 +843,7 @@ ranked AS (
         ORDER BY pair_count DESC, pair)::INT AS rank
     FROM agg
 )
-SELECT rank, pair, pair_count, n_distinct_words
+SELECT rank, pair, pair_count, n_vocab_occurrences
 FROM ranked
 WHERE rank <= {_BPE_TOP_PAIRS}
 ORDER BY rank

@@ -42,9 +42,8 @@ class TestBpePairCounts:
         for w, freq in word_freq.items():
             seen = Counter(w[i : i + 2] for i in range(len(w) - 1))
             for pair, occ in seen.items():
-                # Spark counts each occurrence within a word (explode),
-                # weighted by word_freq; n_distinct_words counts the
-                # exploded rows, i.e. occurrences, per distinct word
+                # pair_count: occurrences weighted by word_freq;
+                # n_vocab_occurrences: occurrences across the vocabulary
                 pair_count[pair] += occ * freq
                 pair_words[pair] += occ
         expected = sorted(
@@ -53,7 +52,7 @@ class TestBpePairCounts:
         got = [(r["pair"], r["pair_count"]) for r in rows]
         assert got == expected
         for r in rows:
-            assert r["n_distinct_words"] == pair_words[r["pair"]]
+            assert r["n_vocab_occurrences"] == pair_words[r["pair"]]
 
 
 class TestBm25:
@@ -133,3 +132,69 @@ class TestTemperatureMixture:
         # monotone: more tokens => weakly larger weight
         for a, b in zip(by_tokens, by_tokens[1:]):
             assert a["weight_t2"] <= b["weight_t2"] + 1e-12
+
+
+class TestHybridRrf:
+    def test_fusion_math_and_shape(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.llm_ops import (
+            _RRF_K,
+            _RRF_NQ,
+            _RRF_POOL,
+            q120_hybrid_rrf,
+        )
+
+        rows = q120_hybrid_rrf(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        assert set(by_q) == set(range(_RRF_NQ))
+        for qid, rs in by_q.items():
+            assert [r["fused_rank"] for r in rs] == list(
+                range(1, _RRF_K + 1)
+            )
+            scores = [r["rrf_score"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            for r in rs:
+                # the fused score is exactly the two-term RRF recompute
+                expect = 0.0
+                if r["dense_rank"] is not None:
+                    assert 1 <= r["dense_rank"] <= _RRF_POOL
+                    expect += 1.0 / (60.0 + float(r["dense_rank"]))
+                if r["lex_rank"] is not None:
+                    assert 1 <= r["lex_rank"] <= _RRF_POOL
+                    expect += 1.0 / (60.0 + float(r["lex_rank"]))
+                assert r["rrf_score"] == expect
+                assert (
+                    r["dense_rank"] is not None or r["lex_rank"] is not None
+                )
+
+
+class TestCurriculumSchedule:
+    def test_total_order_and_decile_monotonicity(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.mixture import (
+            q121_curriculum_schedule,
+        )
+
+        rows = q121_curriculum_schedule(spark, sf_dir).collect()
+        assert [r["curriculum_pos"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        # deciles appear as contiguous non-decreasing blocks, and the
+        # order inside each decile is (priority, doc_id)
+        for a, b in zip(rows, rows[1:]):
+            assert a["decile"] <= b["decile"]
+            if a["decile"] == b["decile"]:
+                assert (a["priority"], a["doc_id"]) < (
+                    b["priority"],
+                    b["doc_id"],
+                )
+        # easier (shorter) deciles never contain longer docs than the
+        # max of a harder decile's min (ntile boundary sanity)
+        import collections
+
+        by_dec = collections.defaultdict(list)
+        for r in rows:
+            by_dec[r["decile"]].append(r["n_tokens"])
+        decs = sorted(by_dec)
+        for d1, d2 in zip(decs, decs[1:]):
+            assert max(by_dec[d1]) <= min(by_dec[d2])
