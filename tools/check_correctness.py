@@ -79,6 +79,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd or flag-like arg would otherwise match NOTHING and
+        # print a vacuous ALL PASS — fail loudly instead.
+        print(f"ERROR unknown query names: {sorted(unknown)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

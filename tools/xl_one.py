@@ -1,0 +1,104 @@
+"""Run ONE XL-scale operator in a brand-new process/SparkSession.
+
+bench.py's --xl-only mode runs the whole XL suite in one JVM, which is
+the honest "daily pipeline" shape — but op ORDER inside that JVM still
+colors individual numbers (the 8 GB local-mode heap never fully
+reclaims a prior op's litter; see the op-order note in bench._xl_section
+and the CLAUDE.md fresh-session rule). When ONE number needs an
+uncontaminated reading (drift questions like semantic_dedup r4=82s vs
+r6/r7=128-146s), this tool generates the same corpus and runs exactly
+that operator, alone, MIN of --runs executions.
+
+Usage:  python tools/xl_one.py semantic_dedup [--n=1000000] [--runs=2]
+Ops:    semantic_dedup | hyperplane_lsh_wide | exact_dedup |
+        simhash_blocked | lm_perplexity | doc_chunking | dup_span_removal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_data_warehouse_spark.operators import dedup, similarity  # noqa: E402
+from etl_data_warehouse_spark.operators import corpus as corpus_ops  # noqa: E402
+from etl_data_warehouse_spark.plans.text_quality import (  # noqa: E402
+    remove_dup_spans,
+)
+from etl_data_warehouse_spark.session import get_spark  # noqa: E402
+from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
+    generate_clustered_embeddings,
+    generate_documents,
+)
+
+
+def main() -> int:
+    op = sys.argv[1]
+    n = 1_000_000
+    runs = 2
+    for a in sys.argv[2:]:
+        if a.startswith("--n="):
+            n = int(a.split("=", 1)[1])
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+
+    spark = get_spark("xl-one")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_xl_one")
+    shutil.rmtree(base, ignore_errors=True)
+    para = spark.sparkContext.defaultParallelism
+
+    # identical corpora to bench._xl_section
+    if op in ("semantic_dedup", "hyperplane_lsh_wide"):
+        generate_clustered_embeddings(
+            spark, n, dim=16, n_clusters=max(1, n // 4), noise=0.02
+        ).repartition(para).write.parquet(f"{base}/ndvecs.parquet")
+        data = spark.read.parquet(f"{base}/ndvecs.parquet")
+    else:
+        generate_documents(spark, n).repartition(para).write.parquet(
+            f"{base}/docs.parquet"
+        )
+        data = spark.read.parquet(f"{base}/docs.parquet")
+
+    ops = {
+        "semantic_dedup": lambda: similarity.semantic_dedup(
+            data, threshold=0.90, n_cells=max(256, n // 64),
+            assign_arrow=True, pairs_arrow=True,
+        ),
+        "hyperplane_lsh_wide": lambda: similarity.hyperplane_lsh_neardup(
+            data, threshold=0.90, n_planes=384, bands=16
+        ),
+        "exact_dedup": lambda: dedup.exact_dedup_groups(data),
+        "simhash_blocked": lambda: dedup.simhash_pairs_blocked(
+            data, signatures=dedup.simhash_signatures
+        ),
+        "lm_perplexity": lambda: corpus_ops.lm_perplexity_score(
+            data, data.filter(F.col("doc_id") % 5 == 0)
+        ),
+        "doc_chunking": lambda: corpus_ops.chunk_documents(data),
+        "dup_span_removal": lambda: remove_dup_spans(data, hash_keys=True),
+    }
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        ops[op]().write.format("noop").mode("overwrite").save()
+        times.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({
+        "op": op, "n": n, "method": "isolated_fresh_session",
+        "min_sec": min(times), "all": times,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
