@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     # round 6 additions
     "q100_tpch_q11_important_stock",
     "q104_lm_perplexity",
+    # round 7 additions (linear scale paths only)
+    "q119_bm25_topk",
+    "q122_dsir_weights",
+    "q123_fim_transform",
 ]
 
 

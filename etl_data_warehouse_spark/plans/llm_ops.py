@@ -2637,3 +2637,73 @@ ORDER BY doc_id
 
 QUERIES["q123_fim_transform"] = q123_fim_transform
 ORACLES["q123_fim_transform"] = Q123_ORACLE
+
+
+# --- q124: tokenizer fertility / compression stats ---------------------------
+
+
+def q124_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility and compression report: bytes,
+    characters, whitespace tokens, and BPE-ish pre-tokenizer tokens per
+    source, with the derived ratios every tokenizer evaluation tracks —
+    bytes/token (compression) and bpe/ws fertility (how many subword
+    pieces a whitespace word splits into). These ratios are how
+    pretraining pipelines budget compute per source and catch encoding
+    pathologies (a source whose bytes/token spikes is binary junk or
+    the wrong language for the tokenizer).
+
+    All sums are BIGINT (byte counts via octet_length — never char
+    counts, the q93 multi-byte lesson); ratios are BIGINT::DOUBLE /
+    BIGINT::DOUBLE at the output boundary — the same IEEE divide in
+    both engines, no rounding policy needed. One scan, one
+    source-grain agg — the zero-risk 100 TB shape."""
+    docs = load_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.octet_length("text").cast("long")).alias("total_bytes"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(token_count("text")).cast("long").alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("bpe_tokens"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "ws_tokens",
+        "bpe_tokens",
+        (d("total_bytes") / d("ws_tokens")).alias("bytes_per_ws_token"),
+        (d("total_bytes") / d("bpe_tokens")).alias("bytes_per_bpe_token"),
+        (d("bpe_tokens") / d("ws_tokens")).alias("fertility"),
+    ).orderBy("source")
+
+
+Q124_ORACLE = """
+WITH t AS (
+    SELECT source,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           length(text)::BIGINT AS n_chars,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_ws,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe
+    FROM documents
+),
+a AS (
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_bytes)::BIGINT AS total_bytes,
+           SUM(n_chars)::BIGINT AS total_chars,
+           SUM(n_ws)::BIGINT AS ws_tokens,
+           SUM(n_bpe)::BIGINT AS bpe_tokens
+    FROM t GROUP BY source
+)
+SELECT source, n_docs, total_bytes, total_chars, ws_tokens, bpe_tokens,
+       total_bytes::DOUBLE / ws_tokens::DOUBLE AS bytes_per_ws_token,
+       total_bytes::DOUBLE / bpe_tokens::DOUBLE AS bytes_per_bpe_token,
+       bpe_tokens::DOUBLE / ws_tokens::DOUBLE AS fertility
+FROM a
+ORDER BY source
+"""
+
+QUERIES["q124_tokenizer_fertility"] = q124_tokenizer_fertility
+ORACLES["q124_tokenizer_fertility"] = Q124_ORACLE

@@ -1,0 +1,113 @@
+"""Training-shard writer: reproducibility, exactly-once coverage,
+packing math, and balance."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from etl_data_warehouse_spark.sources.catalog import load_table
+from etl_data_warehouse_spark.sources.shards import (
+    pack_training_shards,
+    shard_manifest,
+    write_training_shards,
+)
+
+N_SHARDS = 8
+BUDGET = 256
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+
+
+def _content_fingerprint(spark, path: str) -> dict[int, str]:
+    rows = (
+        spark.read.parquet(path)
+        .select("shard", "doc_id", "chunk_offset")
+        .collect()
+    )
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["doc_id"], r["chunk_offset"])
+        )
+    return {
+        s: hashlib.md5(str(sorted(v)).encode()).hexdigest()
+        for s, v in by_shard.items()
+    }
+
+
+class TestTrainingShards:
+    def test_exactly_once_and_packing_math(self, spark, docs):
+        packed = pack_training_shards(
+            docs, n_shards=N_SHARDS, budget=BUDGET
+        ).collect()
+        assert len(packed) == docs.count()
+        assert len({r["doc_id"] for r in packed}) == len(packed)
+        by_shard: dict[int, list] = {}
+        for r in packed:
+            assert 0 <= r["shard"] < N_SHARDS
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: (r["shuffle_pos"], r["doc_id"]))
+            offset = 0
+            for r in rows:
+                assert r["chunk_offset"] == offset
+                assert r["chunk_in_shard"] == offset // BUDGET
+                assert r["offset_in_chunk"] == offset % BUDGET
+                offset += r["n_tokens"]
+
+    def test_write_reproducible_and_manifest(self, spark, docs, tmp_path):
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        m1 = write_training_shards(
+            docs, p1, n_shards=N_SHARDS, budget=BUDGET
+        ).collect()
+        m2 = write_training_shards(
+            docs, p2, n_shards=N_SHARDS, budget=BUDGET
+        ).collect()
+        assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+        assert _content_fingerprint(spark, p1) == _content_fingerprint(
+            spark, p2
+        )
+        # manifest is derived from the WRITTEN data
+        total_docs = sum(r["n_docs"] for r in m1)
+        assert total_docs == docs.count()
+        assert sorted(r["shard"] for r in m1) == sorted(
+            {r["shard"] for r in m1}
+        )
+        again = shard_manifest(spark, p1).collect()
+        assert [tuple(r) for r in again] == [tuple(r) for r in m1]
+        # partition layout on disk: shard=N dirs, each readable alone
+        dirs = {
+            d for d in os.listdir(p1) if d.startswith("shard=")
+        }
+        assert len(dirs) == len(m1)
+        one = spark.read.parquet(os.path.join(p1, "shard=0"))
+        assert one.count() == next(
+            r["n_docs"] for r in m1 if r["shard"] == 0
+        )
+
+    def test_overwrite_swap_idempotent(self, spark, docs, tmp_path):
+        p = str(tmp_path / "s")
+        write_training_shards(docs, p, n_shards=N_SHARDS, budget=BUDGET)
+        fp = _content_fingerprint(spark, p)
+        write_training_shards(docs, p, n_shards=N_SHARDS, budget=BUDGET)
+        assert _content_fingerprint(spark, p) == fp
+
+    def test_balance(self, docs):
+        # md5 sharding: no shard should dwarf another (loose bound at
+        # 500 docs / 8 shards; tightens with corpus size)
+        rows = pack_training_shards(
+            docs, n_shards=N_SHARDS, budget=BUDGET
+        ).collect()
+        tokens: dict[int, int] = {}
+        for r in rows:
+            tokens[r["shard"]] = tokens.get(r["shard"], 0) + r["n_tokens"]
+        assert len(tokens) == N_SHARDS
+        assert max(tokens.values()) < 3 * min(tokens.values())
