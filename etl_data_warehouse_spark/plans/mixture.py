@@ -711,20 +711,30 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     double). Feature hashing and the target-sample split are md5
     buckets, bit-identical in DuckDB.
 
-    Scale shape: one corpus scan + bigram explode behind a doc_id
-    repartition (the Exchange is shared by all four consumers via
-    ReuseExchange — model counts, totals, and per-doc features read ONE
-    materialized shuffle, not four scans); both models and the totals
-    frame are <= 4096 rows and broadcast. Linear in corpus tokens; the
-    closing global rank is doc-grain (at 100 TB: shard the manifest and
-    rank within shards, as q121 documents).
+    Scale shape: ONE corpus scan + bigram explode feeding ONE
+    (doc_id, bucket) aggregate; everything downstream is derived from
+    that doc-bucket-grain frame — the bucket models by a conditional
+    re-agg (so the target/raw filter never splits the shared subplan:
+    a pushed-down filter below the Exchange would defeat ReuseExchange,
+    which is exactly what the first cut of this query got wrong), the
+    totals from the 4096-row model, and the scoring join from the same
+    Exchange via ReuseExchange (plan-asserted in
+    tests/test_dsir_fim.py). The target-docs filter runs LAST, on
+    doc-grain rows. Models and totals broadcast at <= 4096 rows. Linear
+    in corpus tokens; the closing global rank is doc-grain (at 100 TB:
+    shard the manifest and rank within shards, as q121 documents).
     """
     from ..functions.text import word_ngrams
 
     para = spark.sparkContext.defaultParallelism
     docs = load_table(spark, "documents", sf_dir)
-    feats = (
+    docfeat = (
         docs.filter(token_count("text") >= 2)
+        # explicit, for the same ReuseExchange reason as the bucket
+        # filter below: the closing source join implies isnotnull(doc_id)
+        # in only one consumer branch otherwise
+        .filter(F.col("doc_id").isNotNull())
+        .repartition(para)  # single-row-group parquet: parallelize entry
         .select(
             "doc_id",
             (hash_bucket("doc_id", "dsir_t", _DSIR_TARGET_PCT) == 0).alias(
@@ -737,38 +747,32 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_target",
             hash_bucket("gram", "dsir_f", _DSIR_BUCKETS).alias("bucket"),
         )
-        .repartition(para, "doc_id")  # ONE shared scan+explode Exchange
-    )
-    tmodel = (
-        feats.filter("is_target")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("t_cnt"))
-    )
-    rmodel = (
-        feats.filter(~F.col("is_target"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("r_cnt"))
-    )
-    model = (
-        tmodel.join(rmodel, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
-            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
-        )
-    )
-    consts = feats.agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_t"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
-        .cast("long")
-        .alias("n_r"),
-    )
-    docfeat = (
-        feats.filter(~F.col("is_target"))
+        # explicit, so the scoring join's implicit isnotnull(join key)
+        # doesn't make ITS copy of this subplan differ from the model
+        # branch's — canonical equality is what ReuseExchange keys on
+        .filter(F.col("bucket").isNotNull())
         .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        # is_target is doc-constant; carrying it as an AGG OUTPUT (not a
+        # grouping key) stops predicate pushdown at this aggregate, so
+        # the later target filter can never split the shared subplan.
+        .agg(F.count("*").alias("cnt"), F.max("is_target").alias("is_target"))
+    )
+    wall = Window.partitionBy()  # all-rows window over the 4096-row model
+    model = (
+        docfeat.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("t_cnt"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cnt")))
+            .cast("long")
+            .alias("r_cnt"),
+        )
+        # totals as window sums, NOT a separate agg frame — a second
+        # consts frame would be a third consumer of docfeat's lineage
+        # and a third corpus scan+explode
+        .withColumn("n_t", F.sum("t_cnt").over(wall).cast("long"))
+        .withColumn("n_r", F.sum("r_cnt").over(wall).cast("long"))
     )
     lt = F.round(
         F.log(
@@ -786,9 +790,9 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,9)")
     per_doc = (
         docfeat.join(F.broadcast(model), "bucket")
-        .crossJoin(F.broadcast(consts))
         .select(
             "doc_id",
+            "is_target",
             "cnt",
             (F.col("cnt").cast("decimal(10,0)") * (lt - lr)).alias(
                 "contrib"
@@ -799,7 +803,10 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("contrib").alias("w_dec"),
             F.sum("cnt").cast("long").alias("n_feats"),
             F.count("*").cast("long").alias("n_buckets"),
+            F.max("is_target").alias("is_target"),
         )
+        .filter(~F.col("is_target"))  # LAST: keeps the shared subplan
+        .drop("is_target")
     )
     w = Window.orderBy(F.col("w_dec").desc(), "doc_id")
     return (

@@ -85,6 +85,26 @@ class TestDsirWeights:
                 weight(feats), abs=1e-6
             )
 
+    def test_single_shared_explode_in_final_plan(self, spark, sf_dir):
+        """The corpus scan+explode+(doc,bucket)-agg subplan must be
+        SHARED between the model branch and the scoring branch
+        (ReuseExchange / AQE stage reuse) — a pushed-down filter or an
+        implicit join null-filter in one branch silently doubles the
+        corpus pass (how the first cut of q122 shipped)."""
+        from etl_data_warehouse_spark.plans.mixture import (
+            q122_dsir_weights,
+        )
+
+        df = q122_dsir_weights(spark, sf_dir)
+        df.collect()  # a write would spawn its OWN QueryExecution
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("Generate explode") == 1
+
 
 class TestFimTransform:
     def test_matches_python_recompute(self, spark, sf_dir):
