@@ -2263,23 +2263,45 @@ def q119_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent and hash-exact; ranking orders by the EXACT
     decimal sum with a doc_id tiebreaker. The global top-k window runs
     on the candidate set only — at 100 TB that is bounded by the
-    posting lists of the query terms."""
-    docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    totals = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tft = tf.filter(F.col("token").isin(_BM25_TERMS))
-    dfreq = tft.groupBy("token").agg(F.count("*").alias("df"))
+    posting lists of the query terms.
+
+    Plan shape (the PLAN_AUDIT lesson): the first cut tokenized the
+    corpus FOUR times (tf, dl, and two copies of the filtered tf). Now
+    dl rides the tf rows as a doc-partitioned window sum and the corpus
+    totals come from a projection-only second scan (token_count, no
+    explode), so the explode runs ONCE; df is a token-partitioned
+    window over the already-filtered posting rows (posting-list-sized
+    exchange) instead of a separate dfreq frame whose column-pruned
+    lineage copy would re-run the explode."""
     from pyspark.sql import Window
 
+    docs = load_table(spark, "documents", sf_dir)
+    para = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .repartition(para)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    tft = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+        )
+        .filter(F.col("token").isin(_BM25_TERMS))
+    )
+    totals = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("sum_dl"),
+    )
     scored = (
-        tft.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
+        tft.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token")).cast("long")
+        )
         .crossJoin(F.broadcast(totals))
         .withColumn("term_score", F.expr(_BM25_TERM_SCORE_SQL))
     )
@@ -2707,3 +2729,170 @@ ORDER BY source
 
 QUERIES["q124_tokenizer_fertility"] = q124_tokenizer_fertility
 ORACLES["q124_tokenizer_fertility"] = Q124_ORACLE
+
+
+# --- q125: T5-style span corruption ------------------------------------------
+
+_T5_MASK_PCT = 15  # per-token corruption probability (md5 percent bucket)
+
+
+def q125_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising objective (Raffel et al. 2020): mask a deterministic
+    ~15% of tokens, collapse each CONTIGUOUS masked run into one
+    sentinel <Xi> in the input, and emit the target as the sentinel
+    sequence with the original spans — the span-corruption pair every
+    encoder-decoder pretraining pipeline materializes.
+
+    The per-token mask is md5(doc_id, pos) % 100 — reproducible and
+    hash-exact cross-engine; spans and sentinel numbering fall out of
+    one window pass (lag for span starts, running sum for span index).
+    Input/target are rebuilt with the q95 discipline — Spark
+    array_sort(collect_list(struct(pos, piece))) ≡ DuckDB
+    string_agg(ORDER BY pos), null pieces dropped by both engines —
+    and surfaced as md5 + byte length so the output stays scalar.
+
+    Scale shape: posexplode + ONE doc-keyed window pass + one doc
+    aggregate — a single corpus shuffle on doc_id, linear in tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    para = spark.sparkContext.defaultParallelism
+    tk = (
+        docs.repartition(para)  # single-row-group parquet: parallelize
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("t5"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = (
+        tk.withColumn("masked", (h % 100) < _T5_MASK_PCT)
+        .withColumn(
+            "span_start",
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "span_idx",
+            F.sum(F.col("span_start").cast("int")).over(run).cast("long"),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<X"), (F.col("span_idx") - 1).cast("string"), F.lit(">")
+    )
+    ip = (
+        F.when(~F.col("masked"), F.col("w"))
+        .when(F.col("span_start"), sentinel)
+    )
+    tp = (
+        F.when(
+            F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("w"))
+        )
+        .when(F.col("masked"), F.col("w"))
+    )
+
+    def rebuild(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(), F.struct("pos", piece.alias("t"))
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        )
+
+    agg = x.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("long").alias("n_masked"),
+        F.max("span_idx").cast("long").alias("n_spans"),
+        rebuild(ip).alias("input_text"),
+        rebuild(tp).alias("target_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        F.md5("input_text").alias("input_md5"),
+        F.octet_length("input_text").cast("long").alias("input_bytes"),
+        F.md5("target_text").alias("target_md5"),
+        F.octet_length("target_text").cast("long").alias("target_bytes"),
+    ).orderBy("doc_id")
+
+
+Q125_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents
+),
+tk AS (
+    SELECT doc_id, unnest(generate_series(1, len(tok))) - 1 AS pos,
+           unnest(tok) AS w
+    FROM t
+),
+m AS (
+    SELECT *,
+           (('0x' || substring(md5('t5' || doc_id || '_' || pos), 1, 8))
+              ::BIGINT % 100 < {_T5_MASK_PCT}) AS masked
+    FROM tk
+),
+s AS (
+    SELECT *,
+           (masked AND NOT COALESCE(lag(masked) OVER (
+               PARTITION BY doc_id ORDER BY pos), false)) AS span_start
+    FROM m
+),
+x AS (
+    SELECT *,
+           SUM(CASE WHEN span_start THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS span_idx
+    FROM s
+),
+p AS (
+    SELECT doc_id, pos, masked, span_start, span_idx,
+           CASE WHEN NOT masked THEN w
+                WHEN span_start THEN '<X' || (span_idx - 1) || '>' END AS ip,
+           CASE WHEN span_start
+                    THEN '<X' || (span_idx - 1) || '> ' || w
+                WHEN masked THEN w END AS tp
+    FROM x
+),
+a AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           SUM(masked::INT)::BIGINT AS n_masked,
+           MAX(span_idx)::BIGINT AS n_spans,
+           COALESCE(string_agg(ip, ' ' ORDER BY pos), '') AS input_text,
+           COALESCE(string_agg(tp, ' ' ORDER BY pos), '') AS target_text
+    FROM p GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_masked, n_spans,
+       md5(input_text) AS input_md5,
+       octet_length(encode(input_text))::BIGINT AS input_bytes,
+       md5(target_text) AS target_md5,
+       octet_length(encode(target_text))::BIGINT AS target_bytes
+FROM a
+ORDER BY doc_id
+"""
+
+QUERIES["q125_span_corruption"] = q125_span_corruption
+ORACLES["q125_span_corruption"] = Q125_ORACLE

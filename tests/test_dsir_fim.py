@@ -133,3 +133,41 @@ class TestFimTransform:
             )
             assert r["fim_bytes"] == len(fim.encode())
             assert r["fim_md5"] == hashlib.md5(fim.encode()).hexdigest()
+
+
+class TestSpanCorruption:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.llm_ops import (
+            _T5_MASK_PCT,
+            q125_span_corruption,
+        )
+
+        toks = _doc_tokens(spark, sf_dir)
+        rows = q125_span_corruption(spark, sf_dir).collect()
+        assert [r["doc_id"] for r in rows] == sorted(toks)
+        for r in rows:
+            tok = toks[r["doc_id"]]
+            masked = [
+                _md5_long("t5", f"{r['doc_id']}_{i}") % 100 < _T5_MASK_PCT
+                for i in range(len(tok))
+            ]
+            inp, tgt, span = [], [], -1
+            for i, (w, m) in enumerate(zip(tok, masked)):
+                if not m:
+                    inp.append(w)
+                elif i == 0 or not masked[i - 1]:
+                    span += 1
+                    inp.append(f"<X{span}>")
+                    tgt.extend([f"<X{span}>", w])
+                else:
+                    tgt.append(w)
+            input_text, target_text = " ".join(inp), " ".join(tgt)
+            assert r["n_tokens"] == len(tok)
+            assert r["n_masked"] == sum(masked)
+            assert r["n_spans"] == span + 1
+            assert r["input_md5"] == hashlib.md5(input_text.encode()).hexdigest()
+            assert r["target_md5"] == hashlib.md5(
+                target_text.encode()
+            ).hexdigest()
+            assert r["input_bytes"] == len(input_text.encode())
+            assert r["target_bytes"] == len(target_text.encode())
