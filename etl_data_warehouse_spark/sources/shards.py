@@ -125,3 +125,69 @@ def _atomic_swap_write_partitioned(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def append_training_batch(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    n_shards: int = 64,
+    budget: int = 512,
+    salt: str = "shard",
+    key: str = "doc_id",
+) -> None:
+    """Daily-append variant of the writer: pack a new batch of documents
+    into ``path/batch=N/shard=M/`` so each shard's packed token stream
+    EXTENDS across batches — per-shard chunk offsets continue from the
+    totals of all other batches, so chunks a trainer already consumed
+    never move (the packed-prefix property).
+
+    Crash/replay protocol is the ann_index/cdc one: the re-crawl guard
+    anti-joins doc ids against every batch EXCEPT this one, and the
+    batch dir is written with mode=overwrite — a replay of a partial
+    write re-packs the identical full batch (append-mode would
+    duplicate rows when a replay races a partial write). Per-batch
+    marginal cost is O(batch + n_shards), never O(corpus)."""
+    import os
+
+    spark = docs.sparkSession
+    have_prior = os.path.exists(path) and any(
+        d.startswith("batch=") for d in os.listdir(path)
+    )
+    if have_prior:
+        allb = spark.read.option("basePath", path).parquet(path)
+        other = allb.filter(F.col("batch") != batch_id)
+        docs = docs.join(
+            other.select(F.col(key)).distinct(), key, "left_anti"
+        )
+        base = other.groupBy("shard").agg(
+            F.sum("n_tokens").alias("base_off")
+        )
+    else:
+        base = None
+    packed = pack_training_shards(
+        docs, n_shards=n_shards, budget=budget, salt=salt, key=key
+    )
+    if base is not None:
+        packed = (
+            packed.join(F.broadcast(base), "shard", "left")
+            .withColumn(
+                "chunk_offset",
+                F.col("chunk_offset")
+                + F.coalesce("base_off", F.lit(0).cast("long")),
+            )
+            .drop("base_off")
+            .withColumn(
+                "chunk_in_shard", F.expr(f"chunk_offset div {budget}")
+            )
+            .withColumn(
+                "offset_in_chunk",
+                F.expr(f"chunk_offset % {budget}").cast("long"),
+            )
+        )
+    packed = packed.localCheckpoint()
+    if not packed.take(1):
+        return  # every id was a re-crawl; replay keeps the dir absent
+    packed.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/batch={batch_id}"
+    )

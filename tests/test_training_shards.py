@@ -111,3 +111,66 @@ class TestTrainingShards:
             tokens[r["shard"]] = tokens.get(r["shard"], 0) + r["n_tokens"]
         assert len(tokens) == N_SHARDS
         assert max(tokens.values()) < 3 * min(tokens.values())
+
+
+class TestAppendTrainingBatch:
+    def _split(self, docs):
+        b0 = docs.filter("doc_id % 3 != 0")
+        b1 = docs.filter("doc_id % 3 = 0")
+        return b0, b1
+
+    def test_packed_prefix_and_continuity(self, spark, docs, tmp_path):
+        from pyspark.sql import functions as F
+        from etl_data_warehouse_spark.sources.shards import (
+            append_training_batch,
+        )
+
+        p = str(tmp_path / "inc")
+        b0, b1 = self._split(docs)
+        append_training_batch(b0, p, 0, n_shards=N_SHARDS, budget=BUDGET)
+        before = {
+            (r["shard"], r["doc_id"]): r["chunk_offset"]
+            for r in spark.read.option("basePath", p).parquet(p).collect()
+        }
+        append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
+        allr = spark.read.option("basePath", p).parquet(p).collect()
+        # packed prefix: batch-0 offsets unchanged by the append
+        for r in allr:
+            if r["batch"] == 0:
+                assert before[(r["shard"], r["doc_id"])] == r["chunk_offset"]
+        # continuity: per shard, offsets tile the stream with no gaps
+        by_shard: dict[int, list] = {}
+        for r in allr:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r["chunk_offset"])
+            off = 0
+            for r in rows:
+                assert r["chunk_offset"] == off
+                assert r["chunk_in_shard"] == off // BUDGET
+                off += r["n_tokens"]
+        assert len(allr) == docs.count()
+
+    def test_replay_and_recrawl_idempotent(self, spark, docs, tmp_path):
+        from etl_data_warehouse_spark.sources.shards import (
+            append_training_batch,
+        )
+
+        p = str(tmp_path / "inc")
+        b0, b1 = self._split(docs)
+        append_training_batch(b0, p, 0, n_shards=N_SHARDS, budget=BUDGET)
+        append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
+        snap = sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", p).parquet(p).collect()
+        )
+        # replay batch 1 (same content) — overwrite makes it a no-op
+        append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
+        # re-crawl: batch 2 re-delivers batch 0's docs — all dropped,
+        # so the batch=2 dir is never created
+        append_training_batch(b0, p, 2, n_shards=N_SHARDS, budget=BUDGET)
+        after = sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", p).parquet(p).collect()
+        )
+        assert after == snap
