@@ -2896,3 +2896,112 @@ ORDER BY doc_id
 
 QUERIES["q125_span_corruption"] = q125_span_corruption
 ORACLES["q125_span_corruption"] = Q125_ORACLE
+
+
+# --- q126: contrastive hard-negative mining ----------------------------------
+
+_HN_NQ = 10    # anchor docs: vec_id < 10
+_HN_NEG = 3    # hard negatives per anchor
+
+
+def q126_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for each anchor, emit its POSITIVE (the most
+    similar same-label example) and its top-3 HARD NEGATIVES (the most
+    similar different-label examples — the ones a contrastive loss
+    learns the most from). Ranking is exact cosine with the fold dot
+    product (Spark F.aggregate left fold == DuckDB list_reduce, the
+    repo's bit-exact identity), ties broken by cand_id.
+
+    Scale shape: anchors broadcast against one in-place corpus scan
+    (brute_force_topk's regime); the per-(anchor, same/diff) window
+    becomes a partial WindowGroupLimit so only ~(1+k) survivors per
+    partition shuffle. The ANN ladder (q28/q81/q94 + the persisted
+    index) is the corpus-scale candidate generator — this is the exact
+    twin a miner validates against."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = similarity.with_norm(emb.filter(F.col("vec_id") < _HN_NQ)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    v = similarity.with_norm(emb).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("_v").alias("nv"),
+        F.col("_norm").alias("nn"),
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            (
+                similarity._dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("cosine_sim"),
+            (F.col("anchor_label") == F.col("cand_label")).alias("is_same"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "is_same").orderBy(
+        F.desc("cosine_sim"), "cand_id"
+    )
+    ranked = sims.withColumn("pair_rank", F.row_number().over(w).cast("int"))
+    return (
+        ranked.filter(
+            (F.col("is_same") & (F.col("pair_rank") == 1))
+            | (~F.col("is_same") & (F.col("pair_rank") <= _HN_NEG))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.when(F.col("is_same"), "positive")
+            .otherwise("hard_negative")
+            .alias("pair_type"),
+            "pair_rank",
+            "cand_id",
+            "cand_label",
+            "cosine_sim",
+        )
+        .orderBy("anchor_id", F.desc("pair_type"), "pair_rank")
+    )
+
+
+Q126_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id < {_HN_NQ}
+),
+sims AS (
+    SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+           b.vec_id AS cand_id, b.label AS cand_label,
+           {_DOT_SQL.format(a="q.embedding", b="b.embedding")}
+             / ({_NORM_SQL.format(a="q.embedding")}
+                * {_NORM_SQL.format(a="b.embedding")}) AS cosine_sim,
+           (q.label = b.label) AS is_same
+    FROM q JOIN embeddings b ON q.vec_id <> b.vec_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY anchor_id, is_same
+        ORDER BY cosine_sim DESC, cand_id)::INT AS pair_rank
+    FROM sims
+)
+SELECT anchor_id, anchor_label,
+       CASE WHEN is_same THEN 'positive'
+            ELSE 'hard_negative' END AS pair_type,
+       pair_rank, cand_id, cand_label, cosine_sim
+FROM r
+WHERE (is_same AND pair_rank = 1)
+   OR (NOT is_same AND pair_rank <= {_HN_NEG})
+ORDER BY anchor_id, pair_type DESC, pair_rank
+"""
+
+QUERIES["q126_hard_negatives"] = q126_hard_negatives
+ORACLES["q126_hard_negatives"] = Q126_ORACLE

@@ -198,3 +198,31 @@ class TestCurriculumSchedule:
         decs = sorted(by_dec)
         for d1, d2 in zip(decs, decs[1:]):
             assert max(by_dec[d1]) <= min(by_dec[d2])
+
+
+class TestHardNegatives:
+    def test_shape_and_semantics(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.llm_ops import (
+            _HN_NEG,
+            _HN_NQ,
+            q126_hard_negatives,
+        )
+
+        rows = q126_hard_negatives(spark, sf_dir).collect()
+        by_anchor: dict[int, list] = {}
+        for r in rows:
+            by_anchor.setdefault(r["anchor_id"], []).append(r)
+        assert set(by_anchor) == set(range(_HN_NQ))
+        for anchor, rs in by_anchor.items():
+            pos = [r for r in rs if r["pair_type"] == "positive"]
+            neg = [r for r in rs if r["pair_type"] == "hard_negative"]
+            assert len(pos) == 1 and pos[0]["pair_rank"] == 1
+            assert pos[0]["cand_label"] == pos[0]["anchor_label"]
+            assert [n["pair_rank"] for n in neg] == list(
+                range(1, _HN_NEG + 1)
+            )
+            for n in neg:
+                assert n["cand_label"] != n["anchor_label"]
+                assert n["cand_id"] != anchor
+            sims = [n["cosine_sim"] for n in neg]
+            assert sims == sorted(sims, reverse=True)
