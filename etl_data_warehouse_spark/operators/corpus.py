@@ -184,9 +184,19 @@ def lm_perplexity_score(
 
     para = docs.sparkSession.sparkContext.defaultParallelism
     train_tok = train_docs.select(F.explode(tokens("text")).alias("token"))
-    model = train_tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    consts = train_tok.agg(
-        (F.count("*") + F.countDistinct("token") + F.lit(1))
+    # localCheckpoint: the model is vocabulary-sized (the sanctioned
+    # small-frame case) and has TWO consumers — the broadcast join and
+    # the smoothing-denominator aggregate; without it each consumer
+    # re-runs the training-slice scan+explode (PLAN_AUDIT: 3 explodes,
+    # now 1). denom = N + V + 1 == sum(cnt) + count(*) + 1 over the
+    # model, so consts no longer needs train_tok at all.
+    model = (
+        train_tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    consts = model.agg(
+        (F.sum("cnt") + F.count("*") + F.lit(1))
         .cast("double")
         .alias("denom")
     )
