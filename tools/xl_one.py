@@ -85,6 +85,35 @@ def main() -> int:
         "doc_chunking": lambda: corpus_ops.chunk_documents(data),
         "dup_span_removal": lambda: remove_dup_spans(data, hash_keys=True),
     }
+    if op == "training_shards":
+        # real write path (not a noop sink): one-shot shard write of the
+        # full corpus, then one 10%-sized incremental batch append
+        from etl_data_warehouse_spark.sources import shards
+
+        cut = int(n * 0.9)
+        out = f"{base}/shards"
+        t0 = time.time()
+        shards.write_training_shards(
+            data.filter(F.col("doc_id") < cut), out, n_shards=64
+        ).write.format("noop").mode("overwrite").save()
+        write_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        shards.append_training_batch(
+            data.filter(F.col("doc_id") >= cut), f"{base}/shards_inc", 0,
+            n_shards=64,
+        )
+        shards.append_training_batch(
+            data.filter(F.col("doc_id") < cut), f"{base}/shards_inc", 1,
+            n_shards=64,
+        )
+        append_sec = round(time.time() - t0, 3)
+        shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps({
+            "op": op, "n": n, "method": "isolated_fresh_session",
+            "oneshot_write_sec": write_sec,
+            "two_batch_append_sec": append_sec,
+        }))
+        return 0
     times = []
     for _ in range(runs):
         t0 = time.time()
