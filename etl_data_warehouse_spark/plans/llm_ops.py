@@ -3005,3 +3005,89 @@ ORDER BY anchor_id, pair_type DESC, pair_rank
 
 QUERIES["q126_hard_negatives"] = q126_hard_negatives
 ORACLES["q126_hard_negatives"] = Q126_ORACLE
+
+
+# --- q127: behavior-sequence training examples --------------------------------
+
+_SEQ_LEN = 16  # input sequence length (most recent events)
+
+
+def q127_behavior_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-recommendation dataset builder (the SASRec/GRU4Rec
+    prep step): per user, the chronologically ordered types of the most
+    recent ``_SEQ_LEN`` events as the INPUT sequence and the single most
+    recent event as the NEXT-EVENT label — the leave-one-out split every
+    next-item-prediction trainer materializes from an event log.
+
+    Event ordering is (ts, event_id) in both engines — the proven q30
+    discipline (load_table's NTZ normalization is order-preserving, and
+    the unique event_id tiebreak makes the window deterministic). The
+    input string is rebuilt with the ordered-struct pattern keyed on
+    NEGATED recency rank, so the sequence reads oldest -> newest.
+
+    Scale shape: one user-keyed window (rank + count share the shuffle)
+    + one user aggregate — a single corpus shuffle; the WindowGroupLimit
+    prunes to seq_len+1 rows per user before the aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    r = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rn") <= _SEQ_LEN + 1)
+    )
+    piece = F.when(
+        F.col("rn") > 1,
+        F.struct((-F.col("rn")).alias("k"), F.col("event_type").alias("t")),
+    )
+    agg = (
+        r.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (F.count("*") - 1).cast("long").alias("seq_len"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(piece)), lambda s: s["t"]
+                ),
+                " ",
+            ).alias("input_seq"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("event_type"))
+            ).alias("next_event"),
+        )
+        .filter(F.col("seq_len") >= 1)
+    )
+    return agg.select(
+        "user_id", "n_events", "seq_len", "input_seq", "next_event"
+    ).orderBy("user_id")
+
+
+Q127_ORACLE = f"""
+WITH r AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS n_events
+    FROM events
+),
+k AS (SELECT * FROM r WHERE rn <= {_SEQ_LEN + 1})
+SELECT user_id,
+       MAX(n_events) AS n_events,
+       (COUNT(*) - 1)::BIGINT AS seq_len,
+       string_agg(CASE WHEN rn > 1 THEN event_type END, ' '
+                  ORDER BY rn DESC) AS input_seq,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS next_event
+FROM k
+GROUP BY user_id
+HAVING COUNT(*) >= 2
+ORDER BY user_id
+"""
+
+QUERIES["q127_behavior_sequences"] = q127_behavior_sequences
+ORACLES["q127_behavior_sequences"] = Q127_ORACLE

@@ -73,8 +73,8 @@ ORACLES.update(tpch3.ORACLES)
 # and this round's NEW queries, then the 12 entries whose latest
 # driver row is r4 (q01-q06, q47-q51, q81 — two rounds stale), then
 # the oldest r5 entries in insertion order up to the 50-slot budget
-# (q25-q29/q31/q32/q33/q41/q55 ceded their slots to the second
-# and third round-7 batches q117-q126 and rotate back in round 8).
+# (q24-q29/q31/q32/q33/q41/q55 ceded their slots to the second
+# and third round-7 batches q117-q127 and rotate back in round 8).
 # Entries outside the window remain proven every round by
 # tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
 # driver-row freshness rotates. q81 stays rows-only by declared design
@@ -96,6 +96,7 @@ _WINDOW_FIRST = [
     "q124_tokenizer_fertility",
     "q125_span_corruption",
     "q126_hard_negatives",
+    "q127_behavior_sequences",
     # r4-stale (two rounds without a driver row)
     "q01_monthly_revenue",
     "q02_customer_tier",
@@ -133,7 +134,6 @@ _WINDOW_FIRST = [
     "q21_lang_id",
     "q22_exact_dedup",
     "q23_ngram_jaccard_dedup",
-    "q24_minhash_lsh_dedup",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

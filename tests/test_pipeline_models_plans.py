@@ -143,6 +143,10 @@ class TestPhysicalPlans:
             plan = self._plan(fn(spark, sf_dir))
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
+            # a 100-TB-fatal node that can appear silently when a join
+            # loses its equi-condition to a rewrite; broadcast scalar
+            # frames plan as BroadcastNestedLoopJoin, never this
+            assert "CartesianProduct" not in plan, name
 
     def test_whole_stage_codegen_on_fact_rollup(self, spark, sf_dir):
         df = QUERIES["q08_fact_daily_sales"](spark, sf_dir)

@@ -226,3 +226,36 @@ class TestHardNegatives:
                 assert n["cand_id"] != anchor
             sims = [n["cosine_sim"] for n in neg]
             assert sims == sorted(sims, reverse=True)
+
+
+class TestBehaviorSequences:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.llm_ops import (
+            _SEQ_LEN,
+            q127_behavior_sequences,
+        )
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        ev = (
+            load_table(spark, "events", sf_dir)
+            .select("user_id", "event_id", "event_type", "ts")
+            .collect()
+        )
+        by_user: dict[int, list] = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append(r)
+        rows = q127_behavior_sequences(spark, sf_dir).collect()
+        expected_users = sorted(u for u, e in by_user.items() if len(e) >= 2)
+        assert [r["user_id"] for r in rows] == expected_users
+        for r in rows:
+            hist = sorted(
+                by_user[r["user_id"]],
+                key=lambda e: (e["ts"], e["event_id"]),
+            )
+            assert r["n_events"] == len(hist)
+            assert r["next_event"] == hist[-1]["event_type"]
+            inputs = hist[:-1][-_SEQ_LEN:]
+            assert r["seq_len"] == len(inputs)
+            assert r["input_seq"] == " ".join(
+                e["event_type"] for e in inputs
+            )
