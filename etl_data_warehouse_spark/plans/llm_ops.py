@@ -2140,21 +2140,42 @@ def q115_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next id and a ``same_source`` flag so a trainer can drop or
     re-weight likely-false negatives.
 
-    Plan shape: one scalar count (1-row broadcast), a zero-shuffle
-    explode projection to (doc_id, neg_rank, neg_doc_id), then ONE
-    equi-join back to documents to type the negative — at 100 TB
-    that's the unavoidable pair-enrichment shuffle and nothing else;
-    with the corpus bucketed by doc_id it is Exchange-free on the
-    build side."""
+    Density-proof (ADVICE r7): the draw targets a DENSE
+    ``row_number``-derived index 0..n_docs-1, never raw doc_ids — on a
+    corpus with id gaps a ``hash % n_docs`` drawn as an id would
+    silently vanish in the enrichment join and break the
+    k-negatives-per-doc contract. Self-collisions are bumped in index
+    space ((idx+1) % n) and the negative is joined back BY INDEX, so
+    every (doc, rank) pair resolves to exactly one real document.
+
+    Plan shape: one global numbering window (the compact doc list —
+    at 100 TB shard-and-number it exactly like the q121/q122 manifest
+    closers), a zero-shuffle explode projection to (doc_id, neg_rank,
+    neg_idx), then ONE equi-join back to the numbered list to type the
+    negative — the unavoidable pair-enrichment shuffle and nothing
+    else."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, "documents", sf_dir)
-    n = docs.agg(F.count("*").alias("n_docs"))
+    numbered = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.row_number().over(Window.orderBy("doc_id")) - 1
+        ).cast("long").alias("idx"),
+    )
+    n = numbered.agg(F.count("*").alias("n_docs"))
     ranks = F.explode(
         F.sequence(F.lit(1), F.lit(_NEG_PER_DOC))
     ).alias("neg_rank")
     pairs = (
-        docs.select("doc_id", F.col("source").alias("src_source"))
+        numbered.select(
+            "doc_id",
+            F.col("source").alias("src_source"),
+            F.col("idx").alias("src_idx"),
+        )
         .crossJoin(F.broadcast(n))
-        .select("doc_id", "src_source", "n_docs", ranks)
+        .select("doc_id", "src_source", "src_idx", "n_docs", ranks)
     )
     # operators/sampling.hash_bucket inlined with a COLUMN modulus (the
     # helper takes a literal bucket count): same md5/first-8-hex recipe
@@ -2173,21 +2194,22 @@ def q115_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     neg0 = raw32 % F.col("n_docs")
-    neg = F.when(neg0 == F.col("doc_id"), (neg0 + 1) % F.col("n_docs")).otherwise(
-        neg0
-    )
+    neg = F.when(
+        neg0 == F.col("src_idx"), (neg0 + 1) % F.col("n_docs")
+    ).otherwise(neg0)
     pairs = pairs.select(
         "doc_id",
         "src_source",
         F.col("neg_rank").cast("int").alias("neg_rank"),
-        neg.alias("neg_doc_id"),
+        neg.alias("neg_idx"),
     )
-    target = docs.select(
+    target = numbered.select(
+        F.col("idx").alias("neg_idx"),
         F.col("doc_id").alias("neg_doc_id"),
         F.col("source").alias("neg_source"),
     )
     return (
-        pairs.join(target, "neg_doc_id")
+        pairs.join(target, "neg_idx")
         .select(
             "doc_id",
             "neg_rank",
@@ -2200,14 +2222,19 @@ def q115_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q115_ORACLE = f"""
-WITH n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+WITH numbered AS (
+    SELECT doc_id, source,
+           (ROW_NUMBER() OVER (ORDER BY doc_id) - 1)::BIGINT AS idx
+    FROM documents
+),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM numbered),
 pairs AS (
-    SELECT d.doc_id, d.source AS src_source, n.n_docs,
+    SELECT d.doc_id, d.source AS src_source, d.idx AS src_idx, n.n_docs,
            unnest(generate_series(1, {_NEG_PER_DOC}))::INT AS neg_rank
-    FROM documents d, n
+    FROM numbered d, n
 ),
 drawn AS (
-    SELECT doc_id, src_source, neg_rank,
+    SELECT doc_id, src_source, src_idx, neg_rank,
            (('0x' || substring(
                  md5('neg' || doc_id || ':' || neg_rank), 1, 8))::BIGINT
             % n_docs) AS neg0,
@@ -2216,13 +2243,14 @@ drawn AS (
 ),
 resolved AS (
     SELECT doc_id, src_source, neg_rank,
-           CASE WHEN neg0 = doc_id THEN (neg0 + 1) % n_docs
-                ELSE neg0 END AS neg_doc_id
+           CASE WHEN neg0 = src_idx THEN (neg0 + 1) % n_docs
+                ELSE neg0 END AS neg_idx
     FROM drawn
 )
-SELECT r.doc_id, r.neg_rank, r.neg_doc_id, t.source AS neg_source,
+SELECT r.doc_id, r.neg_rank, t.doc_id AS neg_doc_id,
+       t.source AS neg_source,
        r.src_source = t.source AS same_source
-FROM resolved r JOIN documents t ON r.neg_doc_id = t.doc_id
+FROM resolved r JOIN numbered t ON r.neg_idx = t.idx
 ORDER BY r.doc_id, r.neg_rank
 """
 

@@ -9,10 +9,10 @@ would break replay), pack the shard's stream into fixed-token context
 chunks (the q45 concatenate-then-chop discipline), and write ONE
 parquet directory partitioned by shard.
 
-Extends the reference's loader family (loaders/warehouse_loader.py
-writes row batches to Postgres; loaders/s3_loader.py writes whole
-files) to the training-data case where the *layout* is the contract:
-same input -> byte-identical shard contents, any shard readable alone.
+Extends the reference's loader family (loaders/warehouse_loader.py:24-83
+writes row batches to Postgres) to the training-data case where the
+*layout* is the contract: same input -> byte-identical shard contents,
+any shard readable alone.
 
 100 TB posture: one hash-partition shuffle on `shard` (partitionBy on
 the write side, no global sort); the within-shard window sorts
@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count
 from ..operators.sampling import hash_bucket
-from .sinks import _atomic_swap_write
 
 _ORDER_SPACE = 1 << 31  # shuffle-position space; collisions broken by doc_id
 
@@ -127,6 +126,46 @@ def _atomic_swap_write_partitioned(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _batch_dirs(path: str) -> dict[int, str]:
+    """Map batch_id -> absolute dir for every ``batch=N`` dir under path."""
+    import os
+    import re
+
+    if not os.path.exists(path):
+        return {}
+    out: dict[int, str] = {}
+    for d in os.listdir(path):
+        m = re.fullmatch(r"batch=(\d+)", d)
+        if m:
+            out[int(m.group(1))] = os.path.join(path, d)
+    return out
+
+
+def _is_committed(batch_dir: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(batch_dir, _COMMIT_MARKER))
+
+
+def _has_parquet(batch_dir: str) -> bool:
+    import os
+
+    for _root, _dirs, files in os.walk(batch_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def committed_batches(path: str) -> list[int]:
+    """Batch ids whose commit marker exists (readable, offset-stable)."""
+    return sorted(
+        b for b, d in _batch_dirs(path).items() if _is_committed(d)
+    )
+
+
 def append_training_batch(
     docs: DataFrame,
     path: str,
@@ -139,28 +178,64 @@ def append_training_batch(
     """Daily-append variant of the writer: pack a new batch of documents
     into ``path/batch=N/shard=M/`` so each shard's packed token stream
     EXTENDS across batches — per-shard chunk offsets continue from the
-    totals of all other batches, so chunks a trainer already consumed
-    never move (the packed-prefix property).
+    totals of PRIOR batches, so chunks a trainer already consumed never
+    move (the packed-prefix property).
 
-    Crash/replay protocol is the ann_index/cdc one: the re-crawl guard
-    anti-joins doc ids against every batch EXCEPT this one, and the
-    batch dir is written with mode=overwrite — a replay of a partial
-    write re-packs the identical full batch (append-mode would
-    duplicate rows when a replay races a partial write). Per-batch
-    marginal cost is O(batch + n_shards), never O(corpus)."""
+    Crash/replay protocol (stricter than ann_index's, because offsets
+    are CUMULATIVE, not order-independent per-id state): a per-batch
+    ``_COMMITTED`` marker is written only after the partition write
+    succeeds, and
+
+    - base offsets sum ONLY committed batches with id < batch_id, so a
+      batch's offsets are a pure function of its predecessors — replay
+      after later batches landed reproduces identical offsets;
+    - an EXISTING but uncommitted earlier batch raises (it must replay
+      to completion first; basing offsets on its partial totals would
+      let two batches occupy overlapping chunk ranges);
+    - the re-crawl guard anti-joins ids against committed batches only,
+      so a half-written batch is invisible to later appends and is
+      completed by its own replay;
+    - the batch dir is written with mode=overwrite — a replay of a
+      partial write re-packs the identical full batch (append-mode
+      would duplicate rows when a replay races a partial write);
+    - an all-re-crawl (empty) batch commits a marker-only dir, so
+      "batch N ran" is recorded without parquet files.
+
+    Batches must be appended in increasing batch_id order (a missing
+    smaller id is treated as empty). Per-batch marginal cost is
+    O(batch + n_shards), never O(corpus)."""
     import os
 
     spark = docs.sparkSession
-    have_prior = os.path.exists(path) and any(
-        d.startswith("batch=") for d in os.listdir(path)
+    dirs = _batch_dirs(path)
+    stuck = sorted(
+        b for b, d in dirs.items() if b < batch_id and not _is_committed(d)
     )
-    if have_prior:
-        allb = spark.read.option("basePath", path).parquet(path)
-        other = allb.filter(F.col("batch") != batch_id)
-        docs = docs.join(
-            other.select(F.col(key)).distinct(), key, "left_anti"
+    if stuck:
+        raise RuntimeError(
+            f"uncommitted earlier batch(es) {stuck} under {path}: replay "
+            "them to completion before appending batch "
+            f"{batch_id} (their partial token totals cannot anchor "
+            "this batch's offsets)"
         )
-        base = other.groupBy("shard").agg(
+    other_committed = [
+        d
+        for b, d in dirs.items()
+        if b != batch_id and _is_committed(d) and _has_parquet(d)
+    ]
+    older_committed = [
+        d
+        for b, d in dirs.items()
+        if b < batch_id and _is_committed(d) and _has_parquet(d)
+    ]
+    if other_committed:
+        seen = spark.read.option("basePath", path).parquet(*other_committed)
+        docs = docs.join(
+            seen.select(F.col(key)).distinct(), key, "left_anti"
+        )
+    if older_committed:
+        prior = spark.read.option("basePath", path).parquet(*older_committed)
+        base = prior.groupBy("shard").agg(
             F.sum("n_tokens").alias("base_off")
         )
     else:
@@ -185,9 +260,14 @@ def append_training_batch(
                 F.expr(f"chunk_offset % {budget}").cast("long"),
             )
         )
+    batch_dir = f"{path}/batch={batch_id}"
     packed = packed.localCheckpoint()
-    if not packed.take(1):
-        return  # every id was a re-crawl; replay keeps the dir absent
-    packed.write.mode("overwrite").partitionBy("shard").parquet(
-        f"{path}/batch={batch_id}"
-    )
+    if packed.take(1):
+        packed.write.mode("overwrite").partitionBy("shard").parquet(
+            batch_dir
+        )
+    else:
+        # all-re-crawl batch: record it ran (marker-only dir, no data)
+        os.makedirs(batch_dir, exist_ok=True)
+    with open(os.path.join(batch_dir, _COMMIT_MARKER), "w") as fh:
+        fh.write("committed\n")

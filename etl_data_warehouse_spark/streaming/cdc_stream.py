@@ -116,33 +116,72 @@ def _version_sort_key(name: str) -> tuple[int, int]:
         return (sys.maxsize, sys.maxsize)
 
 
+# Explicit record of committed version names. Inferring commit status
+# from sort-key <= pointer is wrong in one corner: a crash-orphan v{B}
+# (rename done, pointer swap not) would become "committed"
+# retroactively once batch B replays and commits v{B}-r1, since
+# (B,0) <= (B,1) — surfacing state no reader was ever pointed at.
+# The log is rewritten atomically AFTER each pointer swap; a crash
+# between swap and log write leaves the pointed version missing from
+# the log, so the committed set is always log ∪ {pointed}.
+_COMMITLOG = "_COMMITS"
+
+
+def _read_commitlog(snapshot_path: str) -> list[str] | None:
+    p = os.path.join(snapshot_path, _COMMITLOG)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
+def _write_commitlog(snapshot_path: str, names: list[str]) -> None:
+    tmp = os.path.join(snapshot_path, _COMMITLOG + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(names) + "\n")
+    os.replace(tmp, os.path.join(snapshot_path, _COMMITLOG))
+
+
+def _pointed_version(snapshot_path: str) -> str | None:
+    pointer = os.path.join(snapshot_path, _POINTER)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer, encoding="utf-8") as fh:
+        return fh.read().strip()
+
+
 def _committed_versions(snapshot_path: str) -> list[str]:
     """COMMITTED version dir names, oldest → newest commit order.
 
-    Commit order is the parsed (batch_id, retry) pair — see
-    ``_version_sort_key``. A v* dir NEWER than the pointer target is a
-    crash artifact (rename happened, pointer swap did not): it was
-    never committed, so it is excluded here — time travel and replay
-    guards must not surface state no reader was ever pointed at. Dirs
-    older than the pointer are genuinely committed history retained by
-    ``retain_versions``."""
+    The committed set is the explicit commit log (``_COMMITS``) plus
+    the currently pointed version (covers a crash between pointer swap
+    and log write), restricted to dirs still on disk. A v* dir on disk
+    but in neither — a crash artifact whose rename happened but whose
+    pointer swap did not — is excluded: time travel and replay guards
+    must never surface state no reader was ever pointed at, even after
+    its batch replays under a ``-r{n}`` name. Snapshots created before
+    the commit log existed fall back to the sort-key <= pointer
+    inference."""
     if not os.path.isdir(snapshot_path):
         return []
-    names = sorted(
-        (
-            e
-            for e in os.listdir(snapshot_path)
-            if e.startswith("v") and not e.startswith(".tmp-")
-        ),
-        key=_version_sort_key,
-    )
-    pointer = os.path.join(snapshot_path, _POINTER)
-    if os.path.exists(pointer):
-        with open(pointer, encoding="utf-8") as fh:
-            current = fh.read().strip()
-        cutoff = _version_sort_key(current)
-        names = [n for n in names if _version_sort_key(n) <= cutoff]
-    return names
+    on_disk = {
+        e
+        for e in os.listdir(snapshot_path)
+        if e.startswith("v") and not e.startswith(".tmp-")
+    }
+    log = _read_commitlog(snapshot_path)
+    pointed = _pointed_version(snapshot_path)
+    if log is None:
+        # legacy layout (no commit log): infer from the pointer
+        names = sorted(on_disk, key=_version_sort_key)
+        if pointed is not None:
+            cutoff = _version_sort_key(pointed)
+            names = [n for n in names if _version_sort_key(n) <= cutoff]
+        return names
+    committed = [n for n in log if n in on_disk]
+    if pointed and pointed in on_disk and pointed not in committed:
+        committed.append(pointed)
+    return sorted(committed, key=_version_sort_key)
 
 
 def _commit_snapshot(
@@ -175,6 +214,12 @@ def _commit_snapshot(
     staging = os.path.join(snapshot_path, f".tmp-{version}")
     state.write.mode("overwrite").parquet(staging)
     os.rename(staging, version_dir)
+    # Committed history BEFORE this commit (old pointer still current):
+    # computed now so a crash-orphan sibling of `version` (same batch,
+    # lower retry, never pointed) can never be inferred committed.
+    prior = [
+        n for n in _committed_versions(snapshot_path) if n != version
+    ]
     tmp_pointer = os.path.join(snapshot_path, _POINTER + ".tmp")
     with open(tmp_pointer, "w", encoding="utf-8") as fh:
         fh.write(version)
@@ -182,9 +227,15 @@ def _commit_snapshot(
     # best-effort GC: keep the newest ``retain_versions`` committed
     # versions (the fresh one included) as a time-travel window; older
     # versions and stale staging dirs are garbage. retain_versions=1 is
-    # the classic latest-only snapshot.
-    keep = set(_committed_versions(snapshot_path)[-max(1, retain_versions):])
-    keep.add(version)
+    # the classic latest-only snapshot. The commit log records exactly
+    # the kept set (rewritten atomically, after the pointer swap so the
+    # log never lists an unpointed version).
+    committed = prior + [version]
+    keep_list = committed[-max(1, retain_versions):]
+    if version not in keep_list:
+        keep_list.append(version)
+    _write_commitlog(snapshot_path, keep_list)
+    keep = set(keep_list)
     for entry in os.listdir(snapshot_path):
         if entry == _POINTER or entry in keep:
             continue

@@ -269,3 +269,35 @@ class TestSnapshotTimeTravel:
             cs.read_cdc_state(spark, snap, version="v000000000002")
         # current read still serves the pointed-at committed version
         assert cs.read_cdc_state(spark, snap).count() == 1
+
+    def test_orphan_stays_uncommitted_after_batch_replays(
+        self, spark, tmp_path
+    ):
+        """ADVICE r7: with sort-key<=pointer inference, a crash-orphan
+        v{B} became 'committed' retroactively once batch B replayed and
+        committed v{B}-r1 ((B,0) <= (B,1)). The explicit commit log
+        must keep the never-pointed orphan out — and GC it."""
+        from etl_data_warehouse_spark.streaming import cdc_stream as cs
+
+        snap = str(tmp_path / "snap_orphan_replay")
+        state = spark.createDataFrame(
+            [(1, 10, 1, 1.0, "U")],
+            "key long, ts long, change_id long, value double, op string",
+        )
+        cs._commit_snapshot(snap, 0, state, retain_versions=5)
+        # batch 1 crashes after rename, before pointer swap
+        orphan = os.path.join(snap, "v000000000001")
+        state.write.mode("overwrite").parquet(orphan)
+        assert cs.list_snapshot_versions(snap) == ["v000000000000"]
+        # batch 1 replays: the orphan name exists, so it commits as -r1
+        d = cs._commit_snapshot(snap, 1, state, retain_versions=5)
+        assert d.endswith("v000000000001-r1")
+        versions = cs.list_snapshot_versions(snap)
+        assert versions == ["v000000000000", "v000000000001-r1"]
+        assert "v000000000001" not in versions
+        # the orphan was garbage-collected by the commit
+        assert not os.path.exists(orphan)
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="not retained"):
+            cs.read_cdc_state(spark, snap, version="v000000000001")

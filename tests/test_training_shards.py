@@ -167,10 +167,72 @@ class TestAppendTrainingBatch:
         # replay batch 1 (same content) — overwrite makes it a no-op
         append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
         # re-crawl: batch 2 re-delivers batch 0's docs — all dropped,
-        # so the batch=2 dir is never created
+        # so batch=2 commits as a marker-only dir with no data files
         append_training_batch(b0, p, 2, n_shards=N_SHARDS, budget=BUDGET)
+        assert os.path.exists(os.path.join(p, "batch=2", "_COMMITTED"))
+        assert not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(os.path.join(p, "batch=2"))
+            for f in fs
+        )
         after = sorted(
             tuple(r)
             for r in spark.read.option("basePath", p).parquet(p).collect()
         )
         assert after == snap
+
+    def test_partial_batch_blocks_append_until_replayed(
+        self, spark, docs, tmp_path
+    ):
+        """ADVICE r7 (medium): offsets must be a pure function of
+        COMMITTED predecessors. A crashed (uncommitted) batch blocks
+        later appends; its replay completes it; offsets then match the
+        crash-free run exactly."""
+        from etl_data_warehouse_spark.sources.shards import (
+            append_training_batch,
+            committed_batches,
+        )
+
+        p, pref = str(tmp_path / "inc"), str(tmp_path / "ref")
+        b0, b1 = self._split(docs)
+        b2 = b0.limit(40)
+        # crash-free reference run
+        for i, b in enumerate([b0, b1]):
+            append_training_batch(
+                b, pref, i, n_shards=N_SHARDS, budget=BUDGET
+            )
+        # crashy run: batch 1 "crashes" after writing data, before commit
+        append_training_batch(b0, p, 0, n_shards=N_SHARDS, budget=BUDGET)
+        append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
+        os.remove(os.path.join(p, "batch=1", "_COMMITTED"))
+        assert committed_batches(p) == [0]
+        with pytest.raises(RuntimeError, match="uncommitted earlier"):
+            append_training_batch(
+                b2, p, 2, n_shards=N_SHARDS, budget=BUDGET
+            )
+        # replay batch 1 → completes + commits; content ≡ crash-free run
+        append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
+        assert committed_batches(p) == [0, 1]
+        assert _content_fingerprint(spark, p) == _content_fingerprint(
+            spark, pref
+        )
+        # batch 2 now proceeds (all re-crawled ids drop — marker only)
+        append_training_batch(b2, p, 2, n_shards=N_SHARDS, budget=BUDGET)
+        assert committed_batches(p) == [0, 1, 2]
+
+    def test_replay_after_later_batch_keeps_offsets(
+        self, spark, docs, tmp_path
+    ):
+        """Replaying a committed batch AFTER later batches landed must
+        reproduce identical offsets (base sums only id < batch_id)."""
+        from etl_data_warehouse_spark.sources.shards import (
+            append_training_batch,
+        )
+
+        p = str(tmp_path / "inc")
+        b0, b1 = self._split(docs)
+        append_training_batch(b0, p, 0, n_shards=N_SHARDS, budget=BUDGET)
+        append_training_batch(b1, p, 1, n_shards=N_SHARDS, budget=BUDGET)
+        snap = _content_fingerprint(spark, p)
+        append_training_batch(b0, p, 0, n_shards=N_SHARDS, budget=BUDGET)
+        assert _content_fingerprint(spark, p) == snap

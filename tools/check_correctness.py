@@ -128,8 +128,16 @@ def main() -> int:
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
-            sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
-            if sh != dh:
+            # norm_value raises TypeError on container cells; an oracle
+            # returning a list/blob column must FAIL that one query, not
+            # abort the whole checker (the Spark side is schema-guarded
+            # above, but DuckDB rows reach here unchecked).
+            try:
+                sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
+            except TypeError as ex:
+                problems.append(f"unhashable cell: {ex}")
+                sh = dh = None
+            if sh is not None and sh != dh:
                 problems.append("value hash mismatch")
                 # show first differing row for debugging
                 so = sorted(range(len(scols)), key=lambda i: scols[i])
