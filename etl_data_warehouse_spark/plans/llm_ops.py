@@ -2429,7 +2429,17 @@ def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale path); the lexical pass joins on shared tokens so its
     cost is posting-list-sized. The fused score is at most two IEEE
     additions in a fixed order — bit-exact cross-engine without any
-    rounding policy."""
+    rounding policy.
+
+    Plan shape (the r7 PLAN_AUDIT diet — was 6 scans / 4 explodes /
+    10 exchanges): the corpus is tokenized ONCE; per-doc distinct-token
+    counts ride the token rows as a doc-partitioned window sum (q119's
+    `dl` trick) instead of a separate corpus-sized `ntok` frame, and
+    the query side is a pruned 10-doc scan broadcast into the posting
+    join, carrying its own `qn`. Both Jaccard denominator inputs are
+    then AGG OUTPUTS of the one pair aggregation, so the two
+    corpus-sized enrichment joins of the first cut disappear — one full
+    corpus scan per arm is the 100 TB plan."""
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2448,31 +2458,35 @@ def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(F.split(F.trim(F.col("text")), " +"))
         ).alias("token"),
+    ).withColumn(
+        "ntok",
+        F.count("*").over(Window.partitionBy("doc_id")).cast("long"),
     )
-    ntok = tokd.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    # query side: the doc_id < NQ predicate prunes ITS copy of the scan
+    # to the 10 query docs (per-partition filter, so the window's ntok
+    # is unchanged); the result is broadcast — no corpus-side shuffle
     qtok = tokd.filter(F.col("doc_id") < _RRF_NQ).select(
-        F.col("doc_id").alias("qid"), "token"
+        F.col("doc_id").alias("qid"), "token", F.col("ntok").alias("qn")
     )
     shared = (
-        qtok.join(tokd, "token")
+        tokd.join(F.broadcast(qtok), "token")
         .filter(F.col("qid") != F.col("doc_id"))
         .groupBy("qid", "doc_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    qn = ntok.select(F.col("doc_id").alias("qid"), F.col("ntok").alias("qn"))
-    jac = (
-        shared.join(F.broadcast(qn), "qid")
-        .join(ntok, "doc_id")
-        .select(
-            "qid",
-            "doc_id",
-            (
-                F.col("shared").cast("double")
-                / (F.col("qn") + F.col("ntok") - F.col("shared")).cast(
-                    "double"
-                )
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("shared"),
+            F.max("ntok").alias("ntok"),
+            F.max("qn").alias("qn"),
         )
+    )
+    jac = shared.select(
+        "qid",
+        "doc_id",
+        (
+            F.col("shared").cast("double")
+            / (F.col("qn") + F.col("ntok") - F.col("shared")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
     )
     wl = Window.partitionBy("qid").orderBy(
         F.col("jaccard").desc(), "doc_id"
@@ -2483,8 +2497,29 @@ def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", "lex_rank")
     )
 
-    fused = dense.join(lex, ["qid", "doc_id"], "full_outer").withColumn(
-        "rrf_score", F.expr(_RRF_SCORE_SQL)
+    # full-outer fusion as union + one agg: one (qid, doc_id) exchange
+    # instead of the join's two, on the ≤ NQ·POOL·2 candidate rows
+    fused = (
+        dense.select(
+            "qid",
+            "doc_id",
+            "dense_rank",
+            F.lit(None).cast("int").alias("lex_rank"),
+        )
+        .unionByName(
+            lex.select(
+                "qid",
+                "doc_id",
+                F.lit(None).cast("int").alias("dense_rank"),
+                "lex_rank",
+            )
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.max("dense_rank").alias("dense_rank"),
+            F.max("lex_rank").alias("lex_rank"),
+        )
+        .withColumn("rrf_score", F.expr(_RRF_SCORE_SQL))
     )
     wf = Window.partitionBy("qid").orderBy(
         F.col("rrf_score").desc(), "doc_id"

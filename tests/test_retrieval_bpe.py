@@ -168,6 +168,29 @@ class TestHybridRrf:
                     r["dense_rank"] is not None or r["lex_rank"] is not None
                 )
 
+    def test_exchange_diet_in_final_plan(self, spark, sf_dir):
+        """r8 plan diet (VERDICT r7 #2): one corpus tokenize per arm.
+        The first cut scanned 6x / exploded 4x / shuffled 10x for a
+        50-row result; the diet rides ntok as a window sum on the one
+        corpus explode, broadcasts the pruned 10-doc query side, and
+        fuses via union+agg instead of a full-outer join."""
+        from etl_data_warehouse_spark.plans.llm_ops import q120_hybrid_rrf
+
+        df = q120_hybrid_rrf(spark, sf_dir)
+        df.collect()  # a write would spawn its OWN QueryExecution
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") <= 4
+        assert final.count("Generate explode") <= 2
+        n_exchanges = final.count(
+            "Exchange hashpartitioning"
+        ) + final.count("Exchange RoundRobin")
+        assert n_exchanges <= 8
+
 
 class TestCurriculumSchedule:
     def test_total_order_and_decile_monotonicity(self, spark, sf_dir):
