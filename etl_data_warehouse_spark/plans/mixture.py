@@ -693,7 +693,7 @@ _DSIR_BUCKETS = 4096     # hashed bigram feature space (2^12)
 _DSIR_TARGET_PCT = 10    # md5 bucket 0 of 10 = the "target domain" sample
 
 
-def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): estimate hashed-bigram
     unigram models over a TARGET domain sample and the RAW pool, then
@@ -721,8 +721,10 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange via ReuseExchange (plan-asserted in
     tests/test_dsir_fim.py). The target-docs filter runs LAST, on
     doc-grain rows. Models and totals broadcast at <= 4096 rows. Linear
-    in corpus tokens; the closing global rank is doc-grain (at 100 TB:
-    shard the manifest and rank within shards, as q121 documents).
+    in corpus tokens. Returns the doc-grain weight frame (doc_id,
+    source, n_feats, n_buckets, w_dec) BEFORE ranking: q122 closes
+    with the global row_number (the single-partition stage), q130 with
+    the sharded keyed_global_rank manifest closer.
     """
     from ..functions.text import word_ngrams
 
@@ -808,9 +810,13 @@ def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_target"))  # LAST: keeps the shared subplan
         .drop("is_target")
     )
+    return per_doc.join(docs.select("doc_id", "source"), "doc_id")
+
+
+def q122_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("w_dec").desc(), "doc_id")
     return (
-        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        _dsir_doc_weights(spark, sf_dir)
         .withColumn("dsir_rank", F.row_number().over(w).cast("int"))
         .select(
             "dsir_rank",
@@ -885,3 +891,123 @@ ORDER BY dsir_rank
 
 QUERIES["q122_dsir_weights"] = q122_dsir_weights
 ORACLES["q122_dsir_weights"] = Q122_ORACLE
+
+
+# --- q129/q130: sharded manifest closers (VERDICT r7 #4) ---------------------
+#
+# q121 and q122 end in a global row_number — the single-partition stage
+# their docstrings flagged for sharding at 100 TB. These variants
+# produce BIT-IDENTICAL output through operators/manifest.py's
+# histogram-sort numbering (range-aligned shard key + within-shard
+# distributed row_number + broadcast prefix-sum offsets), and are
+# registered against the SAME DuckDB oracles as their global twins —
+# the hash row IS the proof that the sharded renumbering equals the
+# global order exactly.
+
+_CURR_SHARDS = 8
+_DSIR_GRID = 64  # weight-cell quantization: cells per unit log-weight
+
+
+def q129_sharded_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q121 with BOTH global windows sharded. The ntile becomes
+    `ntile_from_rank` over a (n_tokens)-keyed exact rank (the decile
+    boundary stat pass is a value-histogram, not a global sort); the
+    closing order becomes a (decile x priority-range)-keyed rank —
+    priority is already a uniform md5 hash in [0, 10000), so carving
+    it into `_CURR_SHARDS` contiguous ranges per decile gives balanced,
+    range-aligned shards. Each shard numbers locally (distributed
+    window) and lifts by the broadcast prefix sum of shard counts.
+
+    The doc-grain token frame is localCheckpoint'd: keyed_global_rank
+    consumes its input twice (stat pass + data pass, the histogram-sort
+    shape — the same double pass Spark's own range-partitioned sort
+    performs); at cluster scale persist it instead."""
+    from ..operators.manifest import keyed_global_rank, ntile_from_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    ).localCheckpoint()
+    ranked = keyed_global_rank(
+        toks, "n_tokens", ["doc_id"], out="_grank", total_col="_total"
+    )
+    staged = (
+        ranked.withColumn(
+            "decile",
+            ntile_from_rank(
+                F.col("_grank"), F.col("_total"), _CURRICULUM_BUCKETS
+            ),
+        )
+        .withColumn(
+            "priority", hash_bucket("doc_id", "curr", _DECISION_SCALE)
+        )
+        .withColumn(
+            "shard",
+            (
+                F.col("decile").cast("long") * _CURR_SHARDS
+                + F.expr(
+                    f"(priority * {_CURR_SHARDS}) div {_DECISION_SCALE}"
+                )
+            ).cast("long"),
+        )
+        .drop("_grank", "_total")
+    )
+    return (
+        keyed_global_rank(
+            staged, "shard", ["priority", "doc_id"], out="curriculum_pos"
+        )
+        .select(
+            "doc_id", "source", "n_tokens", "decile", "priority",
+            "curriculum_pos",
+        )
+        .orderBy("curriculum_pos")
+    )
+
+
+def q130_sharded_dsir_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q122 with the closing global rank sharded: weights quantize into
+    coarse cells (floor(w_dec * 64) — data-independent, monotone in the
+    sort key, so cells are range-aligned by construction), each cell
+    numbers (w_dec desc, doc_id) locally and lifts by the broadcast
+    prefix sum of cell counts, descending. Cell count is bounded by the
+    log-weight RANGE x 64 (thousands), not the corpus. The doc-grain
+    weight frame is localCheckpoint'd for the stat+data double pass
+    (persist at cluster scale)."""
+    from ..operators.manifest import keyed_global_rank
+
+    base = (
+        _dsir_doc_weights(spark, sf_dir)
+        .withColumn(
+            "_cell",
+            F.floor(F.col("w_dec").cast("double") * _DSIR_GRID).cast(
+                "long"
+            ),
+        )
+        .localCheckpoint()
+    )
+    return (
+        keyed_global_rank(
+            base,
+            "_cell",
+            [F.col("w_dec").desc(), "doc_id"],
+            out="_pos",
+            key_desc=True,
+        )
+        .select(
+            F.col("_pos").cast("int").alias("dsir_rank"),
+            "doc_id",
+            "source",
+            "n_feats",
+            "n_buckets",
+            F.col("w_dec").cast("double").alias("log_weight"),
+        )
+        .orderBy("dsir_rank")
+    )
+
+
+QUERIES["q129_sharded_curriculum"] = q129_sharded_curriculum
+ORACLES["q129_sharded_curriculum"] = Q121_ORACLE
+QUERIES["q130_sharded_dsir_manifest"] = q130_sharded_dsir_manifest
+ORACLES["q130_sharded_dsir_manifest"] = Q122_ORACLE
