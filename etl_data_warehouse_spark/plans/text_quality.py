@@ -851,3 +851,93 @@ ORDER BY rank
 
 QUERIES["q118_bpe_pair_counts"] = q118_bpe_pair_counts
 ORACLES["q118_bpe_pair_counts"] = Q118_ORACLE
+
+
+# --- q131: iterated BPE trainer (first K merges) ------------------------------
+
+_BPE_TRAIN_STEPS = 4
+
+
+def q131_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first K merges an iterated BPE trainer learns on the corpus
+    (operators/bpe.py — q118's merge step looped with deterministic
+    tiebreaks). Each iteration is vocabulary-sized: a pair aggregate, a
+    1-row argmax collect, and a projection-only merge fold; the oracle
+    unrolls the SAME K iterations as DuckDB CTEs (the q106 CTE-unroll
+    trick), applying each merge with a delimiter-safe list_reduce
+    string fold — hash equality proves pair counts, argmax tiebreaks,
+    AND the leftmost-greedy merge application all agree engine-to-
+    engine at every step."""
+    from ..operators import bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe.train_bpe(docs, _BPE_TRAIN_STEPS)
+    return bpe.merges_df(spark, merges).orderBy("step")
+
+
+def _bpe_train_oracle(steps: int) -> str:
+    """DuckDB twin of q131: K trainer iterations unrolled as CTEs.
+
+    Merge application is a list_reduce fold over the symbol list
+    building a chr(31)-delimited string: fuse when the accumulator's
+    LAST symbol equals the merge left and the incoming symbol equals
+    the merge right (delimiter never occurs in corpus text, so
+    ends_with(acc, d || left) tests exact last-symbol equality);
+    leftmost-greedy falls out of the fold exactly as in
+    operators/bpe.py's array fold."""
+    d = "chr(31)"
+    parts = [
+        """w AS (
+    SELECT word, COUNT(*)::BIGINT AS word_freq
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents)
+    WHERE len(word) >= 2
+    GROUP BY word
+)""",
+        """s0 AS (
+    SELECT word_freq, regexp_extract_all(word, '.') AS symbols FROM w
+)""",
+    ]
+    for i in range(steps):
+        parts.append(f"""p{i} AS (
+    SELECT s.word_freq,
+           s.symbols[t.i] AS "left", s.symbols[t.i + 1] AS "right"
+    FROM s{i} s, unnest(generate_series(1, len(s.symbols) - 1)) AS t(i)
+    WHERE len(s.symbols) >= 2
+)""")
+        parts.append(f"""m{i} AS (
+    SELECT {i}::INT AS step, "left", "right",
+           SUM(word_freq)::BIGINT AS pair_count
+    FROM p{i}
+    GROUP BY "left", "right"
+    ORDER BY pair_count DESC, "left", "right"
+    LIMIT 1
+)""")
+        if i < steps - 1:
+            parts.append(f"""s{i + 1} AS (
+    SELECT s.word_freq,
+           string_split(
+               list_reduce(s.symbols, (acc, x) -> CASE
+                   WHEN (acc = m."left"
+                         OR ends_with(acc, {d} || m."left"))
+                        AND x = m."right"
+                   THEN acc || m."right"
+                   ELSE acc || {d} || x END),
+               {d}) AS symbols
+    FROM s{i} s, m{i} m
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT step, "left", "right", pair_count FROM m{i}'
+        for i in range(steps)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT * FROM (\n" + union
+        + "\n) ORDER BY step"
+    )
+
+
+Q131_ORACLE = _bpe_train_oracle(_BPE_TRAIN_STEPS)
+
+QUERIES["q131_bpe_train_steps"] = q131_bpe_train_steps
+ORACLES["q131_bpe_train_steps"] = Q131_ORACLE
