@@ -1,8 +1,9 @@
 """End-to-end training-data pipeline: the corpus twin of the warehouse
 DAG (plans/pipeline.py).
 
-clean/gate → exact-dedup → split/sample → pack → contamination audit →
-mixture report, as one lazy Spark program with idempotent sinks:
+clean/gate → exact-dedup → split/sample → eval-set decontamination →
+pack → contamination audit → mixture report, as one lazy Spark program
+with idempotent sinks:
 
 - gates reuse the streaming funnel's stateless projections
   (streaming/corpus_stream.py ≡ q52 semantics), so batch and streaming
@@ -29,10 +30,12 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import token_count
 from ..operators import corpus, sampling
 from ..sources.catalog import load_table
 from ..sources.sinks import append_dedup
 from ..streaming.corpus_stream import clean_document_stream
+from .text_quality import decontaminate_spans
 
 
 def run_corpus_pipeline(
@@ -69,8 +72,34 @@ def run_corpus_pipeline(
     split.write.mode("overwrite").parquet(split_path)
     split = spark.read.parquet(split_path)
 
+    # --- eval-set decontamination of the train split --------------------
+    # Before anything is packed/sharded, cut every train-side token span
+    # covered by an 8-gram of the HELD-OUT test split (q128 semantics:
+    # the q95 span-cut pointed at the eval set) — written shards are
+    # provably free of eval n-grams (tests/test_decontamination.py).
+    train_raw = split.filter(F.col("split") == "train")
+    eval_docs = split.filter(F.col("split") == "test").select(
+        "doc_id", "text"
+    )
+    decon = decontaminate_spans(
+        train_raw.select("doc_id", "text"), eval_docs
+    )
+    train = train_raw.drop("text", "n_tokens").join(
+        decon.select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "n_removed",
+        ),
+        "doc_id",
+    ).withColumn("n_tokens", token_count("text"))
+    decon_path = os.path.join(out_dir, "train_decontaminated")
+    train.write.mode("overwrite").parquet(decon_path)
+    train = spark.read.parquet(decon_path)
+    spans_removed = train.agg(
+        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long")
+    ).collect()[0][0]
+
     # --- pack the train split into fixed-token chunks -------------------
-    train = split.filter(F.col("split") == "train")
     packed = sampling.sequence_packing(train, budget=pack_budget)
     packed_path = os.path.join(out_dir, "packed_train")
     packed.write.mode("overwrite").parquet(packed_path)
@@ -111,5 +140,6 @@ def run_corpus_pipeline(
         "split_counts": split_counts,
         "train_chunks": n_chunks,
         "contaminated_test_docs": contaminated,
+        "decontaminated_tokens_removed": int(spans_removed),
         "status": "SUCCESS",
     }

@@ -448,15 +448,9 @@ def q95_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(docs)
 
 
-def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
-    """Core of q95 over any (doc_id, text) frame — see q95 docstring.
-
-    ``hash_keys=True`` is the scale configuration: the gram join/group
-    key becomes ``xxhash64(gram)`` (8 bytes instead of a ~60-char
-    string), narrowing both the doc-freq shuffle and the join-back.
-    False-collision odds are ~n_grams^2/2^64 — at 10^12 grams that is
-    still <<1 spurious removal corpus-wide. The string-key default is
-    what the DuckDB oracle replays bit-exactly."""
+def _token_grams(docs: DataFrame, hash_keys: bool):
+    """Shared span machinery: (tok, grams) for a (doc_id, text) frame —
+    the token-array Exchange plus the positioned word-8-gram explode."""
     para = docs.sparkSession.sparkContext.defaultParallelism
     # Project the token array BEFORE the repartition: the Exchange both
     # acts as the CollapseProject optimizer barrier (see CLAUDE.md /
@@ -485,16 +479,14 @@ def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
         grams = grams.select(
             "doc_id", "pos", F.xxhash64("gram").alias("gram")
         )
-    # no checkpoint: both gram consumers re-explode from the reused
-    # token Exchange (cheap CPU, no resident blocks — the 1M shape)
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("doc_freq"))
-        .filter(F.col("doc_freq") >= 2)
-        .select("gram")
-    )
+    return tok, grams
+
+
+def _cut_spans(tok: DataFrame, grams: DataFrame, banned: DataFrame) -> DataFrame:
+    """Remove every token position covered by an 8-gram whose key is in
+    ``banned`` (a 1-column ``gram`` frame); rebuild the surviving text."""
     covered = (
-        grams.join(dup_grams, "gram")
+        grams.join(banned, "gram")
         .select(
             "doc_id",
             F.explode(
@@ -532,6 +524,54 @@ def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def remove_dup_spans(docs: DataFrame, hash_keys: bool = False) -> DataFrame:
+    """Core of q95 over any (doc_id, text) frame — see q95 docstring.
+
+    ``hash_keys=True`` is the scale configuration: the gram join/group
+    key becomes ``xxhash64(gram)`` (8 bytes instead of a ~60-char
+    string), narrowing both the doc-freq shuffle and the join-back.
+    False-collision odds are ~n_grams^2/2^64 — at 10^12 grams that is
+    still <<1 spurious removal corpus-wide. The string-key default is
+    what the DuckDB oracle replays bit-exactly."""
+    tok, grams = _token_grams(docs, hash_keys)
+    # no checkpoint: both gram consumers re-explode from the reused
+    # token Exchange (cheap CPU, no resident blocks — the 1M shape)
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+        .select("gram")
+    )
+    return _cut_spans(tok, grams, dup_grams)
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    hash_keys: bool = False,
+    broadcast_banned: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination as a TRANSFORM: remove from ``docs``
+    every token position covered by a word 8-gram that occurs ANYWHERE
+    in ``eval_docs`` (the benchmark/eval set), and rebuild the cleaned
+    training text — q46 measures the leakage, this applies the q95
+    span-cut against it, so written shards can be proven free of eval
+    n-grams (the GPT-3/PaLM-style n-gram decontamination policy).
+
+    Scale shape: the banned set is the eval corpus's distinct grams —
+    benchmark-sized, so it is BROADCAST by default and the train-side
+    cut needs no extra shuffle beyond q95's machinery (one token
+    Exchange, gram explode, position anti-join, per-doc rebuild). For
+    an eval set too large to broadcast, pass broadcast_banned=False
+    (shuffle semi-join) and hash_keys=True (8-byte keys)."""
+    tok, grams = _token_grams(docs, hash_keys)
+    _etok, egrams = _token_grams(eval_docs, hash_keys)
+    banned = egrams.select("gram").distinct()
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    return _cut_spans(tok, grams, banned)
 
 
 Q95_ORACLE = """
@@ -941,3 +981,95 @@ Q131_ORACLE = _bpe_train_oracle(_BPE_TRAIN_STEPS)
 
 QUERIES["q131_bpe_train_steps"] = q131_bpe_train_steps
 ORACLES["q131_bpe_train_steps"] = Q131_ORACLE
+
+
+# --- q128: eval-set decontamination transform --------------------------------
+
+
+def q128_eval_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontaminate the TRAIN split against the TEST split's 8-grams
+    (q43's deterministic md5 split: bucket < 80 trains, >= 90 is the
+    held-out eval set): every train-side token position covered by an
+    8-gram that appears anywhere in the eval set is cut and the
+    surviving text rebuilt (decontaminate_spans — the q95 span-cut
+    pointed at a benchmark set instead of the dup index). The eval
+    gram set is benchmark-sized and broadcast; the pipeline twin runs
+    this stage before shard writing (plans/corpus_pipeline.py)."""
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = hash_bucket(F.col("doc_id").cast("string"), "split", 100)
+    train = docs.filter(bucket < 80).select("doc_id", "text")
+    evals = docs.filter(bucket >= 90).select("doc_id", "text")
+    return decontaminate_spans(train, evals)
+
+
+_Q128_SPLIT_B = (
+    "(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT"
+    " % 100)"
+)
+
+Q128_ORACLE = f"""
+WITH train AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents WHERE {_Q128_SPLIT_B} < 80
+),
+ev AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok
+    FROM documents WHERE {_Q128_SPLIT_B} >= 90
+),
+banned AS (
+    SELECT DISTINCT unnest(CASE WHEN len(tok) >= 8 THEN
+        list_transform(generate_series(1, len(tok) - 7),
+            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                 || tok[i+3] || ' ' || tok[i+4] || ' ' || tok[i+5]
+                 || ' ' || tok[i+6] || ' ' || tok[i+7])
+    ELSE [] END) AS gram
+    FROM ev
+),
+grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tok) >= 8
+               THEN generate_series(1, len(tok) - 7) ELSE [] END) - 1
+               AS pos,
+           unnest(CASE WHEN len(tok) >= 8 THEN
+               list_transform(generate_series(1, len(tok) - 7),
+                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                        || ' ' || tok[i+3] || ' ' || tok[i+4] || ' '
+                        || tok[i+5] || ' ' || tok[i+6] || ' '
+                        || tok[i+7])
+           ELSE [] END) AS gram
+    FROM train
+),
+covered AS (
+    SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(g.pos, g.pos + 7)) AS p
+        FROM grams g JOIN banned USING (gram)
+    )
+),
+toks AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(tok))) - 1 AS p,
+           unnest(tok) AS w
+    FROM train
+),
+rebuilt AS (
+    SELECT k.doc_id,
+           COUNT(*)::BIGINT AS n_kept,
+           string_agg(k.w, ' ' ORDER BY k.p) AS clean_text
+    FROM toks k ANTI JOIN covered c USING (doc_id, p)
+    GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       len(t.tok)::BIGINT AS n_tokens,
+       (len(t.tok) - COALESCE(r.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM train t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+QUERIES["q128_eval_decontamination"] = q128_eval_decontamination
+ORACLES["q128_eval_decontamination"] = Q128_ORACLE
