@@ -27,6 +27,7 @@ from etl_data_warehouse_spark.session import get_spark  # noqa: E402
 from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
     generate_clustered_embeddings,
     generate_documents,
+    generate_events,
 )
 
 
@@ -34,11 +35,14 @@ def main() -> int:
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = 1_000_000
     n_emb = 100_000
+    n_events = 1_000_000
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=", 1)[1])
         if a.startswith("--n-emb="):
             n_emb = int(a.split("=", 1)[1])
+        if a.startswith("--n-events="):
+            n_events = int(a.split("=", 1)[1])
 
     from etl_data_warehouse_spark.plans.registry import QUERIES
 
@@ -59,6 +63,9 @@ def main() -> int:
     generate_clustered_embeddings(
         spark, n_emb, dim=16, n_clusters=256
     ).repartition(para).write.parquet(f"{base}/embeddings.parquet")
+    generate_events(spark, n_events).repartition(para).write.parquet(
+        f"{base}/events.parquet"
+    )
 
     results = {}
     for name in names:
@@ -83,6 +90,7 @@ def main() -> int:
         {
             "n_docs": n,
             "n_embeddings": n_emb,
+            "n_events": n_events,
             "method": "fresh_session_single_run",
             "queries": {**section.get("queries", {}), **results},
         }
