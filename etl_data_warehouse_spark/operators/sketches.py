@@ -147,3 +147,115 @@ def global_topk(sketches: DataFrame, k: int, max_items: int = 1024) -> list:
         ).alias("top")
     ).first()
     return list(row["top"])
+
+
+# --- Portable register-level HLL (cross-engine hash-exact) -------------------
+# The DataSketches paths above are the production sketches, but their
+# binary state is not reproducible outside the JVM, so their evidence
+# is test-pinned. This family implements the HLL register math
+# DIRECTLY (Flajolet et al. 2007): md5-derived 60-bit hash, p register
+# bits, rho = leading-zero rank of the remaining 52-bit window,
+# register = MAX(rho) — every step integer/bit arithmetic that DuckDB
+# reproduces token-for-token, so the ORACLE GATE can hash-check a
+# sketch end-to-end (q132). The harmonic-mean denominator is kept as
+# an EXACT BIGINT (sum of 2^(53-M_j), max 256*2^53 < 2^62); the only
+# float op is one literal/BIGINT divide at the output boundary.
+# Register tables are mergeable by register-wise MAX — union == merge
+# is pinned by TestPortableHll, the same contract the DataSketches
+# rollups rely on.
+
+HLL_P = 8  # 256 registers; RSE ~ 1.04/sqrt(256) = 6.5%
+_HLL_M = 1 << HLL_P
+_HLL_WINDOW = 60 - HLL_P  # md5-derived 60-bit hash minus register bits
+_HLL_RHO_MAX = _HLL_WINDOW + 1
+# alpha_m * m^2 * 2^(window+1), folded to ONE double literal so both
+# engines parse the identical shortest-repr decimal and perform the
+# identical single IEEE divide by the exact BIGINT denominator.
+HLL_EST_NUMERATOR = (
+    0.7213 / (1.0 + 1.079 / float(_HLL_M))
+    * float(_HLL_M) * float(_HLL_M) * float(1 << _HLL_RHO_MAX)
+)
+
+
+def hll_register_cols(key, salt: str = "hll") -> tuple[F.Column, F.Column]:
+    """(register index, rho) for a key column — the per-row HLL
+    primitives. 60-bit hash from the first 15 md5 hex digits (fits a
+    signed BIGINT; DuckDB twin: ``('0x' || substring(md5(...), 1,
+    15))::BIGINT``); low p bits pick the register (``h & (m-1)``), the
+    remaining window's leading-zero rank is ``rho`` via bit_length
+    (``length(bin(w))``) — identical operators in both engines."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    idx = h.bitwiseAND(F.lit(_HLL_M - 1)).cast("int").alias("hll_idx")
+    w = F.shiftright(h, HLL_P)
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("hll_rho")
+    )
+    return idx, rho
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group register table (group_cols..., hll_idx, m_j) — the
+    persistable, mergeable sketch state. One shuffle at
+    (group, register) grain with map-side partial MAX."""
+    idx, rho = hll_register_cols(value_col)
+    return (
+        df.select(*group_cols, idx, rho)
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("hll_rho").alias("m_j"))
+    )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union sketches by register-wise MAX (drop grouping levels from
+    finer to coarser) — lossless w.r.t. the sketch's own accuracy."""
+    return regs.groupBy(*group_cols, "hll_idx").agg(
+        F.max("m_j").alias("m_j")
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct estimate per group from a register table. The harmonic
+    denominator is EXACT: absent registers (M_j = 0) contribute
+    2^rho_max each via the closed-form ``(m - hit) << rho_max``
+    correction, so the sketch never materializes empty registers."""
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            # pyspark's shiftleft() only takes an int shift; the SQL
+            # function accepts a column expression
+            F.sum(
+                F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - m_j)")
+            ).alias("s_present"),
+            F.count(F.lit(1)).cast("int").alias("n_registers_hit"),
+        )
+        .select(
+            *group_cols,
+            "n_registers_hit",
+            (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_registers_hit")).cast("long")
+                * F.lit(1 << _HLL_RHO_MAX).cast("long")
+            ).alias("sketch_sum"),
+        )
+        .select(
+            *group_cols,
+            "n_registers_hit",
+            "sketch_sum",
+            (
+                F.lit(HLL_EST_NUMERATOR)
+                / F.col("sketch_sum").cast("double")
+            ).alias("hll_estimate"),
+        )
+    )

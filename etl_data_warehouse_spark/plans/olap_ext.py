@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import sketches as sketches_mod
 from ..sources.catalog import load_table
 
 _QS = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]
@@ -474,8 +475,119 @@ ORDER BY bin
 """
 
 
+# --- q132: portable HLL register sketch (hash-exact cross-engine) -----------
+
+
+def q132_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL sketch per event type PLUS the merged-total
+    grain, with the register math itself under the hash gate: the
+    DataSketches paths (operators/sketches.py daily_distinct_sketches)
+    are the production sketches but their binary state cannot be
+    reproduced in DuckDB, so this query implements the HLL registers
+    portably (md5 60-bit hash, 8 register bits, bit_length rho,
+    register-wise MAX) and the oracle recomputes them token-for-token
+    — the first sketch in the registry whose ESTIMATE is hash-checked,
+    not test-pinned. The harmonic denominator stays an exact BIGINT
+    (sum of 2^(53-M_j) + closed-form empty-register correction); the
+    single float op is one literal/BIGINT divide at the boundary.
+
+    The '__all__' grain is stacked into the SAME scan (explode of
+    [event_type, '__all__']) — per-grain registers and the union
+    sketch come out of one shuffle; register-wise-MAX mergeability
+    (what a 100 TB rollup would do instead of restacking) is pinned by
+    TestPortableHll. exact_distinct is carried for accuracy
+    visibility at test SFs — it is the expensive exact path a real
+    deployment would DROP (that's the point of the sketch).
+
+    Reference scope: the reference's analytics use exact
+    COUNT(DISTINCT) only (reference: warehouse/analytics_queries.sql);
+    this is the scale substitute."""
+    from ..operators import sketches
+
+    events = load_table(spark, "events", sf_dir)
+    stacked = events.select(
+        F.explode(
+            F.array(F.col("event_type"), F.lit("__all__"))
+        ).alias("grain"),
+        "user_id",
+    )
+    per_user = stacked.groupBy("grain", "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows_u")
+    )
+    idx, rho = sketches.hll_register_cols("user_id")
+    regs = (
+        per_user.select("grain", "n_rows_u", idx, rho)
+        .groupBy("grain", "hll_idx")
+        .agg(
+            F.max("hll_rho").alias("m_j"),
+            F.sum("n_rows_u").alias("n_rows_part"),
+            F.count(F.lit(1)).cast("long").alias("n_users_part"),
+        )
+    )
+    est = sketches.hll_estimate(regs, ["grain"])
+    totals = regs.groupBy("grain").agg(
+        F.sum("n_rows_part").cast("long").alias("n_rows"),
+        F.sum("n_users_part").cast("long").alias("exact_distinct"),
+    )
+    return (
+        est.join(totals, "grain")
+        .select(
+            "grain",
+            "n_rows",
+            "exact_distinct",
+            "n_registers_hit",
+            "sketch_sum",
+            "hll_estimate",
+        )
+        .orderBy("grain")
+    )
+
+
+Q132_ORACLE = f"""
+WITH stacked AS (
+    SELECT event_type AS grain, user_id FROM events
+    UNION ALL
+    SELECT '__all__' AS grain, user_id FROM events
+),
+per_user AS (
+    SELECT grain, user_id, COUNT(*)::BIGINT AS n_rows_u
+    FROM stacked GROUP BY grain, user_id
+),
+hashed AS (
+    SELECT grain, n_rows_u,
+           ('0x' || substring(md5('hll' || user_id::VARCHAR), 1, 15))::BIGINT
+               AS h
+    FROM per_user
+),
+rowsx AS (
+    SELECT grain, n_rows_u, (h & 255)::INT AS hll_idx,
+           (CASE WHEN (h >> 8) = 0 THEN 53
+                 ELSE 53 - length(bin(h >> 8)) END)::INT AS rho
+    FROM hashed
+),
+regs AS (
+    SELECT grain, hll_idx, MAX(rho) AS m_j,
+           SUM(n_rows_u)::BIGINT AS n_rows_part,
+           COUNT(*)::BIGINT AS n_users_part
+    FROM rowsx GROUP BY grain, hll_idx
+)
+SELECT grain,
+       SUM(n_rows_part)::BIGINT AS n_rows,
+       SUM(n_users_part)::BIGINT AS exact_distinct,
+       COUNT(*)::INT AS n_registers_hit,
+       (SUM(1::BIGINT << (53 - m_j))
+        + (256 - COUNT(*)) * 9007199254740992)::BIGINT AS sketch_sum,
+       {sketches_mod.HLL_EST_NUMERATOR!r} / (SUM(1::BIGINT << (53 - m_j))
+        + (256 - COUNT(*)) * 9007199254740992)::DOUBLE AS hll_estimate
+FROM regs
+GROUP BY grain
+ORDER BY grain
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
+    "q132_hll_register_sketch": q132_hll_register_sketch,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -493,4 +605,5 @@ ORACLES = {
     "q80_sliding_window_activity": Q80_ORACLE,
     "q86_key_skew_report": Q86_ORACLE,
     "q89_value_histogram": Q89_ORACLE,
+    "q132_hll_register_sketch": Q132_ORACLE,
 }

@@ -19,6 +19,7 @@ from . import (
     mixture,
     olap_ext,
     sampling_plans,
+    scoring,
     text_quality,
     tpch,
     tpch2,
@@ -58,6 +59,8 @@ QUERIES.update(mixture.QUERIES)
 ORACLES.update(mixture.ORACLES)
 QUERIES.update(olap_ext.QUERIES)
 ORACLES.update(olap_ext.ORACLES)
+QUERIES.update(scoring.QUERIES)
+ORACLES.update(scoring.ORACLES)
 QUERIES.update(tpch.QUERIES)
 ORACLES.update(tpch.ORACLES)
 QUERIES.update(tpch2.QUERIES)
@@ -65,75 +68,75 @@ ORACLES.update(tpch2.ORACLES)
 QUERIES.update(tpch3.QUERIES)
 ORACLES.update(tpch3.ORACLES)
 
-# --- Driver correctness window rotation (round 7) ------------------------
+# --- Driver correctness window rotation (round 8) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 6's window proved q99-q113 (new) plus 35 r4-stale
-# entries; q109 was the round's one red row (now fixed: codes
-# scalarized to codes_csv). Round 7's window leads with the fixed q109
-# and this round's NEW queries, then the 12 entries whose latest
-# driver row is r4 (q01-q06, q47-q51, q81 — two rounds stale), then
-# the oldest r5 entries in insertion order up to the 50-slot budget
-# (q24-q29/q31/q32/q33/q41/q55 ceded their slots to the second
-# and third round-7 batches q117-q127 and rotate back in round 8).
-# Entries outside the window remain proven every round by
-# tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
-# driver-row freshness rotates. q81 stays rows-only by declared design
-# (q94 carries the composition's hash evidence — see its docstring).
+# QUERIES. Round 7's window proved the fixed q109, the new q114-q127,
+# and 35 r4/r5-stale entries (all green). Round 8's window leads with
+# this round's NEW queries (q128 decontamination, q129/q130 sharded
+# manifest closers — registered against their global twins' oracles,
+# so their hash rows double as the sharded==global proof — q131
+# BPE trainer, q132 portable HLL, q133/q134 scored curation, q135
+# tokenizer application), then the 27 entries whose latest driver row
+# is r5 (they ceded slots to q117-q127 last round), then the oldest
+# r6 entries to fill the 50-slot budget. Entries outside the window
+# remain proven every round by tests/test_oracle_parity.py's
+# full-registry sf0.001 sweep; only driver-row freshness rotates.
+# q81 stays rows-only by declared design (q94 carries the
+# composition's hash evidence — see its docstring).
 _WINDOW_FIRST = [
-    # fixed this round — needs a fresh (green) driver row
-    "q109_int8_quantize",
-    # new in round 7 — first driver rows
-    "q114_epoch_upsample",
-    "q115_negative_sampling",
-    "q116_budget_trim",
-    "q117_temperature_mixture",
-    "q118_bpe_pair_counts",
-    "q119_bm25_topk",
-    "q120_hybrid_rrf",
-    "q121_curriculum_schedule",
-    "q122_dsir_weights",
-    "q123_fim_transform",
-    "q124_tokenizer_fertility",
-    "q125_span_corruption",
-    "q126_hard_negatives",
-    "q127_behavior_sequences",
-    # r4-stale (two rounds without a driver row)
-    "q01_monthly_revenue",
-    "q02_customer_tier",
-    "q03_product_performance",
-    "q04_retention_cohort",
-    "q05_daily_anomaly",
-    "q06_dim_date",
-    "q47_zorder_layout",
-    "q48_pii_scrub",
-    "q49_repetition_stats",
-    "q50_tfidf_topk",
-    "q51_source_mixture",
-    "q81_ivfadc_topk",
-    # oldest r5 entries, insertion order
-    "q07_dim_products",
-    "q08_fact_daily_sales",
-    "q09_fact_orders",
-    "q10_clean_lineitem",
-    "q11_referential_integrity",
-    "q12_duplicate_checks",
-    "q13_null_rates",
-    "q14_quality_assertions",
-    "q15_top_orders_per_month",
-    "q16_status_pivot",
-    "q17_sales_rollup",
-    "q18_sales_cube",
-    "q19_date_coverage",
-    "q34_set_ops",
-    "q35_incremental_extract",
-    "q39_revenue_by_region",
-    "q40_supplier_performance",
-    "q42_fact_lineitem",
-    "q56_salted_revenue",
-    "q20_text_stats",
-    "q21_lang_id",
-    "q22_exact_dedup",
-    "q23_ngram_jaccard_dedup",
+    # new in round 8 — first driver rows
+    "q128_eval_decontamination",
+    "q129_sharded_curriculum",
+    "q130_sharded_dsir_manifest",
+    "q131_bpe_train_steps",
+    "q132_hll_register_sketch",
+    "q133_quality_classifier",
+    "q134_preference_pairs",
+    "q135_bpe_encode",
+    # r5-stale (ceded their slots in round 7), insertion order
+    "q24_minhash_lsh_dedup",
+    "q25_simhash_pairs",
+    "q26_embedding_topk",
+    "q27_embedding_neardup",
+    "q28_ivf_topk",
+    "q29_doc_fingerprint",
+    "q31_event_rollup",
+    "q32_event_props_extract",
+    "q33_multimodal_features",
+    "q36_event_funnel",
+    "q37_asof_join",
+    "q38_range_join",
+    "q41_hyperplane_lsh_neardup",
+    "q43_train_test_split",
+    "q44_vocab_topk",
+    "q45_sequence_packing",
+    "q46_contamination",
+    "q55_embedding_stats",
+    "q59_dedup_clusters",
+    "q88_weighted_sample",
+    "q92_topk_sketch_rollup",
+    "q93_frame_sample",
+    "q94_ivfadc_exact",
+    "q95_dup_span_removal",
+    "q96_snapshot_diff",
+    "q97_dedup_keep_longest",
+    "q98_json_flatten",
+    # oldest r6 entries
+    "q30_sessionization",
+    "q52_corpus_funnel",
+    "q53_order_value_quantiles",
+    "q57_status_pivot",
+    "q58_status_unpivot",
+    "q60_grouping_sets",
+    "q61_distribution_windows",
+    "q62_tpch_q1_pricing_summary",
+    "q63_tpch_q3_shipping_priority",
+    "q64_tpch_q5_local_supplier_volume",
+    "q65_tpch_q6_forecast_revenue",
+    "q66_tpch_q10_returned_items",
+    "q67_native_session_window",
+    "q68_tpch_q4_priority_check",
+    "q69_tpch_q7_volume_shipping",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

@@ -1073,3 +1073,135 @@ ORDER BY t.doc_id
 
 QUERIES["q128_eval_decontamination"] = q128_eval_decontamination
 ORACLES["q128_eval_decontamination"] = Q128_ORACLE
+
+
+# --- q135: tokenizer application (encode the corpus with learned merges) -----
+
+
+def q135_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of q131's trainer: learn
+    the first K merges, segment the word DICTIONARY with them
+    (operators/bpe.segment_words — vocabulary-sized, the only rows the
+    fold ever touches), then join the per-word subword count back to
+    the corpus tokens and report per-source fertility under the
+    LEARNED tokenizer (q124's report presupposes a trained tokenizer;
+    this produces it end-to-end). Words shorter than 2 chars are not
+    in the dictionary and encode to 1 symbol by definition (coalesce).
+
+    Scale shape: encoding cost is dictionary-sized (the fold runs per
+    DISTINCT word, ~10^6-10^7 rows at 100 TB), corpus-side work is one
+    explode + one broadcast join + one source-grain agg — the corpus
+    never re-tokenizes per merge. Hash equality proves the trained
+    merges AND their application agree engine-to-engine (the oracle
+    re-learns the same K merges as unrolled CTEs and re-applies them
+    with the delimiter-safe list_reduce fold)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe.train_bpe(docs, _BPE_TRAIN_STEPS)
+    seg = bpe.segment_words(bpe.word_freq_dictionary(docs), merges)
+    vocab = seg.select(
+        "word", F.size("symbols").cast("long").alias("n_subwords")
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("word_tokens"),
+            F.sum(
+                F.coalesce(F.col("n_subwords"), F.lit(1).cast("long"))
+            )
+            .cast("long")
+            .alias("subword_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "word_tokens",
+            "subword_tokens",
+            (
+                F.col("subword_tokens").cast("double")
+                / F.col("word_tokens").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_oracle(steps: int) -> str:
+    """DuckDB twin of q135: the q131 trainer CTEs carrying ``word``
+    through every state, ALL K merges applied (the trainer oracle
+    stops applying at K-1 because step K's counts don't need it), then
+    the corpus-token join and per-source fertility report."""
+    d = "chr(31)"
+    parts = [
+        """w AS (
+    SELECT word, COUNT(*)::BIGINT AS word_freq
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents)
+    WHERE len(word) >= 2
+    GROUP BY word
+)""",
+        """s0 AS (
+    SELECT word, word_freq, regexp_extract_all(word, '.') AS symbols
+    FROM w
+)""",
+    ]
+    for i in range(steps):
+        parts.append(f"""p{i} AS (
+    SELECT s.word_freq,
+           s.symbols[t.i] AS "left", s.symbols[t.i + 1] AS "right"
+    FROM s{i} s, unnest(generate_series(1, len(s.symbols) - 1)) AS t(i)
+    WHERE len(s.symbols) >= 2
+)""")
+        parts.append(f"""m{i} AS (
+    SELECT "left", "right"
+    FROM p{i}
+    GROUP BY "left", "right"
+    ORDER BY SUM(word_freq) DESC, "left", "right"
+    LIMIT 1
+)""")
+        parts.append(f"""s{i + 1} AS (
+    SELECT s.word, s.word_freq,
+           string_split(
+               list_reduce(s.symbols, (acc, x) -> CASE
+                   WHEN (acc = m."left"
+                         OR ends_with(acc, {d} || m."left"))
+                        AND x = m."right"
+                   THEN acc || m."right"
+                   ELSE acc || {d} || x END),
+               {d}) AS symbols
+    FROM s{i} s, m{i} m
+)""")
+    parts.append(f"""vocab AS (
+    SELECT word, len(symbols)::BIGINT AS n_subwords FROM s{steps}
+)""")
+    parts.append("""toks AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(trim(text), ' +')) AS word
+    FROM documents
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT t.source,
+       COUNT(DISTINCT t.doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS word_tokens,
+       SUM(COALESCE(v.n_subwords, 1))::BIGINT AS subword_tokens,
+       SUM(COALESCE(v.n_subwords, 1))::BIGINT::DOUBLE / COUNT(*)::DOUBLE
+           AS fertility
+FROM toks t LEFT JOIN vocab v USING (word)
+GROUP BY t.source
+ORDER BY t.source
+"""
+    )
+
+
+Q135_ORACLE = _bpe_encode_oracle(_BPE_TRAIN_STEPS)
+
+QUERIES["q135_bpe_encode"] = q135_bpe_encode
+ORACLES["q135_bpe_encode"] = Q135_ORACLE

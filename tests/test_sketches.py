@@ -108,3 +108,70 @@ class TestTopKSketches:
         plan = daily._jdf.queryExecution().executedPlan().toString()
         assert "Expand" not in plan
         assert "approx_top_k_accumulate" in plan
+
+
+class TestPortableHll:
+    """Cross-engine register HLL (hll_register_cols family): merge
+    property, accuracy, and bit-exactness of the register math vs a
+    pure-Python md5 reference."""
+
+    def test_merge_of_group_registers_equals_direct_union(
+        self, spark, sf_dir
+    ):
+        from etl_data_warehouse_spark.operators.sketches import (
+            hll_merge_registers,
+            hll_registers,
+        )
+
+        events = load_table(spark, "events", sf_dir)
+        per_type = hll_registers(events, "user_id", ["event_type"])
+        merged = hll_merge_registers(
+            per_type.drop("event_type").withColumn(
+                "g", F.lit("all")
+            ),
+            ["g"],
+        ).drop("g")
+        direct = hll_registers(
+            events.withColumn("g", F.lit("all")), "user_id", ["g"]
+        ).drop("g")
+        m = {r["hll_idx"]: r["m_j"] for r in merged.collect()}
+        d = {r["hll_idx"]: r["m_j"] for r in direct.collect()}
+        assert m == d
+
+    def test_estimate_within_error_bound(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 5000
+        df = spark.range(n).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        est = hll_estimate(
+            hll_registers(df, "v", ["g"]), ["g"]
+        ).first()["hll_estimate"]
+        # m=256 -> rse ~6.5%; 20% is ~3 sigma
+        assert abs(est - n) / n < 0.20, est
+
+    def test_register_math_matches_python_reference(self, spark):
+        import hashlib
+
+        from etl_data_warehouse_spark.operators.sketches import (
+            hll_register_cols,
+        )
+
+        keys = list(range(100))
+        df = spark.range(100).select(F.col("id").alias("k"))
+        idx, rho = hll_register_cols("k")
+        got = {
+            r["k"]: (r["hll_idx"], r["hll_rho"])
+            for r in df.select("k", idx, rho).collect()
+        }
+        for k in keys:
+            h = int(
+                hashlib.md5(f"hll{k}".encode()).hexdigest()[:15], 16
+            )
+            w = h >> 8
+            exp_rho = 53 if w == 0 else 53 - w.bit_length()
+            assert got[k] == (h & 255, exp_rho), k
