@@ -39,6 +39,18 @@ from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
 )
 
 
+def _decontaminate(data):
+    from etl_data_warehouse_spark.plans.text_quality import (
+        decontaminate_spans,
+    )
+
+    train = data.filter(F.col("doc_id") % 10 != 0)
+    evals = data.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate_spans(
+        train, evals, hash_keys=True, broadcast_banned=False
+    )
+
+
 def main() -> int:
     op = sys.argv[1]
     n = 1_000_000
@@ -84,6 +96,12 @@ def main() -> int:
         ),
         "doc_chunking": lambda: corpus_ops.chunk_documents(data),
         "dup_span_removal": lambda: remove_dup_spans(data, hash_keys=True),
+        # q128's operator in its LARGE-eval-set configuration: a 10%
+        # eval slice of the corpus is far past broadcast size at 1M, so
+        # the banned-gram join runs as a shuffled semi-join on hashed
+        # 8-byte gram keys (the registered q128 uses the broadcast path
+        # because real benchmark sets are small)
+        "eval_decontamination": lambda: _decontaminate(data),
     }
     if op == "training_shards":
         # real write path (not a noop sink): one-shot shard write of the
