@@ -21,7 +21,7 @@ DataSketches binaries are not reproducible in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LG_K = 12  # 4096 registers, ~1.6% relative standard error
@@ -258,4 +258,344 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
                 / F.col("sketch_sum").cast("double")
             ).alias("hll_estimate"),
         )
+    )
+
+
+# --- Portable Bloom filter (cross-engine hash-exact) -------------------------
+# Same contract as the portable HLL above: membership-sketch math kept
+# entirely in md5/integer/bit operators both engines reproduce, so the
+# oracle gate can hash-check the BITMAP and the probe verdicts
+# (q136). The 100 TB use is semi-join pruning: a fact scan probes a
+# broadcast bitmap (couple of KB .. MB) instead of shuffling against a
+# large key set; false positives only cost wasted downstream work,
+# never correctness. Words are 62-bit (bit index <= 61) so the
+# 1 << bit mask never touches the sign bit — DuckDB raises on BIGINT
+# shift overflow where the JVM wraps, so the sign bit is the one spot
+# the engines disagree.
+
+BLOOM_BITS = 1 << 16  # m; with k=3 and ~6k keys -> fp ~ 0.1%
+BLOOM_K = 3
+_BLOOM_WORD_BITS = 62
+
+
+def bloom_positions(
+    key, salt: str = "bf", m_bits: int = BLOOM_BITS
+) -> list[F.Column]:
+    """k md5-derived bit positions in [0, m) for a key column."""
+    k = F.col(key) if isinstance(key, str) else key
+    out = []
+    for i in range(BLOOM_K):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{i}:"), k.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out.append((h % F.lit(m_bits)).alias(f"pos{i}"))
+    return out
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = BLOOM_BITS
+) -> DataFrame:
+    """(word_idx, bitmap) Bloom bitmap over a key column — ~1086 words
+    of 62 bits for m=2^16; one small shuffle at word grain. The bitmap
+    table is the broadcastable artifact a 100 TB plan ships to every
+    scan task."""
+    pos = (
+        keys.select(
+            F.explode(
+                F.array(*bloom_positions(key_col, m_bits=m_bits))
+            ).alias("pos")
+        )
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(f"shiftleft(1L, pos % {_BLOOM_WORD_BITS})").alias("mask"),
+        )
+        # explicit, so a downstream join's implicit isnotnull(word_idx)
+        # can't make that consumer's copy of this subplan differ from a
+        # stats/agg consumer's — canonical equality is what ReuseExchange
+        # keys on (the q122 discipline)
+        .filter(F.col("word_idx").isNotNull())
+    )
+    return pos.groupBy("word_idx").agg(
+        F.bit_or("mask").alias("bitmap")
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Probe verdicts: input rows + ``bloom_pass`` (all k bits set).
+    The bitmap join is BROADCAST; a missing word row means no key ever
+    touched that word (bit unset)."""
+    pos = probes.select(key_col, *bloom_positions(key_col, m_bits=m_bits))
+    stacked = pos.select(
+        key_col,
+        F.explode(
+            F.array(*[F.col(f"pos{i}") for i in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        key_col,
+        F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, pos % {_BLOOM_WORD_BITS})").alias("mask"),
+    )
+    hits = stacked.join(F.broadcast(bitmap), "word_idx", "left").select(
+        key_col,
+        (
+            F.coalesce(F.col("bitmap"), F.lit(0).cast("long"))
+            .bitwiseAND(F.col("mask"))
+            != 0
+        ).alias("bit_set"),
+    )
+    return hits.groupBy(key_col).agg(
+        F.min("bit_set").alias("bloom_pass")
+    )
+
+
+# --- Portable log-linear quantile histogram (cross-engine hash-exact) --------
+# DDSketch/HDR-histogram shape (Masson et al. 2019 use relative-error
+# log buckets; HDR uses log-linear): bucket a positive BIGINT value by
+# its bit_length (log tier) plus the top 5 mantissa bits (32 linear
+# sub-buckets per tier) -> <= ~3.1% relative error, counts mergeable by
+# plain addition, quantile = lower bound of the first bucket whose
+# cumulative count reaches ceil(q*n). Every step is integer arithmetic
+# (length(bin(v)), shifts, divs) that DuckDB reproduces exactly, so
+# estimates sit under the hash gate (q137). Values < 64 are exact
+# (bucket == value).
+
+_QH_SUB_BITS = 5  # 32 linear sub-buckets per power-of-two tier
+_QH_EXACT_BELOW = 1 << (_QH_SUB_BITS + 1)  # 64
+
+
+def qhist_bucket(v) -> F.Column:
+    """Log-linear bucket id of a positive BIGINT column; monotonic in
+    v, invertible to the bucket's lower bound via qhist_lower."""
+    vv = F.col(v) if isinstance(v, str) else v
+    high = F.length(F.bin(vv))
+    shift = high - F.lit(_QH_SUB_BITS + 1)
+    return (
+        F.when(vv < _QH_EXACT_BELOW, vv)
+        .otherwise(
+            shift * F.lit(1 << _QH_SUB_BITS)
+            + F.expr(
+                f"shiftright({_col_sql(vv)}, "
+                f"length(bin({_col_sql(vv)})) - {_QH_SUB_BITS + 1})"
+            )
+        )
+        .cast("long")
+    )
+
+
+def _col_sql(col: F.Column) -> str:
+    # F.expr needs the column's SQL text; restrict helper usage to
+    # simple named columns to keep that well-defined
+    name = col._jc.toString()
+    return name
+
+
+def qhist_lower(b) -> F.Column:
+    """Lower bound of a bucket id (exact inverse of qhist_bucket's
+    truncation): b < 64 -> b; else tier = b div 32 - 1,
+    mantissa = b - tier*32, bound = mantissa << tier."""
+    bb = F.col(b) if isinstance(b, str) else b
+    name = _col_sql(bb)
+    return (
+        F.when(bb < _QH_EXACT_BELOW, bb)
+        .otherwise(
+            F.expr(
+                f"shiftleft({name} - (({name} div 32) - 1) * 32, "
+                f"({name} div 32) - 1)"
+            )
+        )
+        .cast("long")
+    )
+
+
+def qhist_build(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group histogram (group..., bucket, n) — the persistable,
+    merge-by-addition sketch state; one shuffle at (group, bucket)
+    grain with map-side partial counts."""
+    return (
+        df.select(*group_cols, qhist_bucket(value_col).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def qhist_merge(hists: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histograms to a coarser grouping: counts add."""
+    return hists.groupBy(*group_cols, "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def qhist_quantiles(
+    hists: DataFrame, group_cols: list[str], qs: list[int]
+) -> DataFrame:
+    """Quantile estimates (bucket lower bounds) per group for integer
+    percentiles ``qs``: cumulative count over bucket order, estimate =
+    lower bound of the first bucket with cum >= ceil(q*n/100). All
+    integer; group-partitioned window only."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = hists.select(
+        *group_cols,
+        "bucket",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wg).alias("total"),
+    )
+    aggs = []
+    for q in qs:
+        target = F.expr(f"(total * {q} + 99) div 100")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= target, F.col("bucket"))
+            ).alias(f"b{q}")
+        )
+    out = cum.groupBy(*group_cols).agg(
+        F.max("total").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("int").alias("n_buckets_hit"),
+        *aggs,
+    )
+    sel = [*group_cols, "n_values", "n_buckets_hit"]
+    for q in qs:
+        sel.append(qhist_lower(f"b{q}").alias(f"p{q}_est"))
+    return out.select(*sel)
+
+
+# --- Portable count-min frequency sketch (cross-engine hash-exact) -----------
+# Cormode & Muthukrishnan 2005: d independent hash rows of w counters;
+# point estimate = min over rows -> never underestimates, overshoot
+# bounded by eps*N with prob 1-delta (w = ceil(e/eps), d = ceil(ln
+# 1/delta)). Same portability contract as the HLL/Bloom/qhist family:
+# md5-derived positions and BIGINT counter sums both engines reproduce,
+# so the STATE and the ESTIMATES sit under the hash gate (q138). State
+# is d*w cells regardless of key cardinality; partials merge by plain
+# addition — the 100 TB shape is per-partition/per-day builds rolled up
+# by sum, with the merged table small enough to broadcast to probes.
+
+CM_W = 1024
+CM_D = 4
+
+
+def cm_position(key, row: int, w: int = CM_W) -> F.Column:
+    """md5-derived counter index in [0, w) for hash row ``row``."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cm{row}:"), k.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(w)
+
+
+def cm_build(
+    weighted: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    w: int = CM_W,
+    d: int = CM_D,
+) -> DataFrame:
+    """(group..., cm_row, cm_pos, c) sketch state from pre-weighted
+    rows (one row per key per group with its count/weight — build on
+    the AGGREGATED key grain so the explode is cardinality-, not
+    row-, proportional). One shuffle at (group, row, pos) grain with
+    map-side partial sums."""
+    cells = weighted.select(
+        *group_cols,
+        F.col(weight_col).alias("_w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("cm_row"),
+                        cm_position(key_col, i, w).alias("cm_pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return cells.groupBy(*group_cols, "cell.cm_row", "cell.cm_pos").agg(
+        F.sum("_w").cast("long").alias("c")
+    )
+
+
+def cm_merge(states: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketch states to a coarser grouping: counters add."""
+    return states.groupBy(*group_cols, "cm_row", "cm_pos").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def cm_estimate(
+    probes: DataFrame,
+    key_col: str,
+    state: DataFrame,
+    w: int = CM_W,
+    d: int = CM_D,
+) -> DataFrame:
+    """Probe rows + ``cm_est`` = min over rows of the counter. The
+    state join is BROADCAST (d*w cells); a missing cell means no key
+    ever hashed there (counter 0)."""
+    ppos = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("cm_row"),
+                        cm_position(key_col, i, w).alias("cm_pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", "cell.cm_row", "cell.cm_pos").drop("cell")
+    joined = ppos.join(F.broadcast(state), ["cm_row", "cm_pos"], "left")
+    keep = [c for c in probes.columns]
+    return joined.groupBy(*keep).agg(
+        F.min(F.coalesce("c", F.lit(0).cast("long")))
+        .cast("long")
+        .alias("cm_est")
+    )
+
+
+def hll_estimate_corrected(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """hll_estimate + Flajolet's small-range correction: when empty
+    registers exist and the raw estimate is below 2.5*m, switch to
+    linear counting ``m * ln(m / empty)`` — the raw harmonic formula
+    overestimates badly at cardinalities << m (raw ~191 for a true 15
+    at m=256). Uses a float log, so this variant is for the
+    TEST-PINNED paths (sketch_store panel rollups); q132's oracle twin
+    stays on the log-free raw formula, which both engines reproduce
+    bit-for-bit."""
+    est = hll_estimate(regs, group_cols)
+    empty = (F.lit(_HLL_M) - F.col("n_registers_hit")).cast("double")
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / empty)
+    return est.withColumn(
+        "hll_estimate",
+        F.when(
+            (F.col("n_registers_hit") < _HLL_M)
+            & (F.col("hll_estimate") <= 2.5 * _HLL_M),
+            lc,
+        ).otherwise(F.col("hll_estimate")),
     )

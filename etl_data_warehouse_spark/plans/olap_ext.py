@@ -585,9 +585,364 @@ ORDER BY grain
 """
 
 
+# --- q136: portable Bloom-filter semi-join prune (hash-exact) ---------------
+
+
+_Q136_M_BITS = 4096  # small m on purpose: surfaces false positives at test SF
+
+
+def q136_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prune with the BITMAP and the probe
+    verdicts under the hash gate: build a k=3, m=4096 bit bitmap over
+    the 'BUILDING'-segment customer keys, probe every distinct orders
+    customer, and report the (bloom_pass, is_member) confusion matrix
+    plus bitmap occupancy. m is deliberately small so false positives
+    appear at test SF — the gate then pins the exact FP count, which
+    proves the bit math end-to-end (a correct-members-only check would
+    pass even with broken hashing).
+
+    100 TB role: runtime semi-join pruning. The bitmap is a ~KB-scale
+    broadcastable artifact (word_idx, 62-bit word) a fact scan probes
+    per-task instead of shuffling 100 TB of probe keys against the
+    member set; the zero-false-negative contract (pinned in
+    TestPortableBloom and implied by the hashed matrix) makes it safe
+    as a pre-filter ahead of an exact join. Words cap at bit 61 so
+    shiftleft never touches the BIGINT sign bit (DuckDB raises where
+    the JVM wraps).
+
+    Reference scope: the reference prunes with plain WHERE IN
+    (reference: warehouse/analytics_queries.sql); this is the
+    scale substitute for member sets too big to inline.
+    """
+    from ..operators import sketches
+
+    customer = load_table(
+        spark, "customer", sf_dir, columns=["c_custkey", "c_mktsegment"]
+    )
+    members = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        # explicit, so the is_member join's implicit isnotnull doesn't
+        # split this subplan from the bitmap-build consumer's copy; the
+        # repartition Exchange is then ONE shared materialization of the
+        # member list for both consumers (ReuseExchange)
+        .filter(F.col("c_custkey").isNotNull())
+        .repartition("c_custkey")
+    )
+    bitmap = sketches.bloom_build(members, "c_custkey", m_bits=_Q136_M_BITS)
+    probes = (
+        load_table(spark, "orders", sf_dir, columns=["o_custkey"])
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    verdict = sketches.bloom_probe(
+        probes, "custkey", bitmap, m_bits=_Q136_M_BITS
+    )
+    flagged = verdict.join(
+        F.broadcast(
+            members.select(
+                F.col("c_custkey").alias("custkey"),
+                F.lit(1).alias("is_member"),
+            )
+        ),
+        "custkey",
+        "left",
+    ).select(
+        F.col("bloom_pass").cast("int").alias("bloom_pass"),
+        F.coalesce("is_member", F.lit(0)).cast("int").alias("is_member"),
+    )
+    matrix = flagged.groupBy("bloom_pass", "is_member").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    stats = bitmap.agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum(F.bit_count("bitmap")).cast("long").alias("n_bits_set"),
+    )
+    return (
+        matrix.crossJoin(F.broadcast(stats))
+        .select(
+            "bloom_pass", "is_member", "n_keys", "n_words", "n_bits_set"
+        )
+        .orderBy("bloom_pass", "is_member")
+    )
+
+
+Q136_ORACLE = f"""
+WITH members AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+mpos AS (
+    SELECT (('0x' || substring(
+                md5('bf' || i::VARCHAR || ':' || c_custkey::VARCHAR),
+                1, 8))::BIGINT % {_Q136_M_BITS}) AS pos
+    FROM members, (SELECT unnest([0, 1, 2]) AS i)
+),
+words AS (
+    SELECT pos // 62 AS word_idx,
+           bit_or(1::BIGINT << (pos % 62)::INT) AS bitmap
+    FROM mpos GROUP BY 1
+),
+stats AS (
+    SELECT COUNT(*)::INT AS n_words,
+           SUM(bit_count(bitmap))::BIGINT AS n_bits_set
+    FROM words
+),
+probes AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+ppos AS (
+    SELECT custkey,
+           (('0x' || substring(
+                md5('bf' || i::VARCHAR || ':' || custkey::VARCHAR),
+                1, 8))::BIGINT % {_Q136_M_BITS}) AS pos
+    FROM probes, (SELECT unnest([0, 1, 2]) AS i)
+),
+verdict AS (
+    SELECT custkey,
+           (CASE WHEN bool_and(
+                (COALESCE(w.bitmap, 0) & (1::BIGINT << (pos % 62)::INT)) <> 0
+            ) THEN 1 ELSE 0 END)::INT AS bloom_pass
+    FROM ppos p LEFT JOIN words w ON p.pos // 62 = w.word_idx
+    GROUP BY custkey
+),
+flagged AS (
+    SELECT v.bloom_pass,
+           (CASE WHEN m.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::INT
+               AS is_member
+    FROM verdict v LEFT JOIN members m ON v.custkey = m.c_custkey
+)
+SELECT bloom_pass, is_member, COUNT(*)::BIGINT AS n_keys,
+       (SELECT n_words FROM stats) AS n_words,
+       (SELECT n_bits_set FROM stats) AS n_bits_set
+FROM flagged
+GROUP BY bloom_pass, is_member
+ORDER BY bloom_pass, is_member
+"""
+
+
+# --- q137: portable log-linear quantile histogram (hash-exact) ---------------
+
+
+def q137_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram sketch per order priority with the
+    ESTIMATES under the hash gate: order values in cents are bucketed
+    log-linearly (power-of-two tier + top-5 mantissa bits, <=3.2%
+    relative error — the DDSketch/HDR-histogram shape, Masson et al.
+    2019), built at (priority, month) grain, MERGED by plain count
+    addition to priority grain (the rollup a 100 TB deployment does
+    instead of re-scanning), and p50/p90/p99 read off as the lower
+    bound of the first bucket whose cumulative count reaches
+    ceil(q*n/100). Every step is integer arithmetic both engines
+    reproduce bit-for-bit — unlike approx_percentile/percentile_disc,
+    whose internal sketches are engine-specific.
+
+    q53 is the exact-selection twin (value at rank ceil(q*n) via a
+    per-group sort); this is the fixed-state substitute: state is
+    <=~64 buckets/group regardless of row count, partials add, and the
+    build is one map-side-combinable shuffle at (group, bucket) grain
+    — no per-group sort anywhere.
+
+    Reference scope: the reference has no quantile surface at all;
+    q53/q137 are the exact/approximate pair replacing it at scale."""
+    from ..operators import sketches
+
+    orders = load_table(
+        spark,
+        "orders",
+        sf_dir,
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    cents = orders.select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    built = sketches.qhist_build(
+        cents, "cents", ["o_orderpriority", "order_month"]
+    )
+    merged = sketches.qhist_merge(built, ["o_orderpriority"])
+    return sketches.qhist_quantiles(
+        merged, ["o_orderpriority"], [50, 90, 99]
+    ).orderBy("o_orderpriority")
+
+
+Q137_ORACLE = """
+WITH cents_t AS (
+    SELECT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           (o_totalprice * 100)::BIGINT AS cents
+    FROM orders
+),
+bucketed AS (
+    SELECT o_orderpriority, order_month,
+           (CASE WHEN cents < 64 THEN cents
+                 ELSE (length(bin(cents)) - 6) * 32
+                      + (cents >> (length(bin(cents)) - 6)) END)::BIGINT
+               AS bucket
+    FROM cents_t
+),
+built AS (
+    SELECT o_orderpriority, order_month, bucket, COUNT(*)::BIGINT AS n
+    FROM bucketed GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT o_orderpriority, bucket, SUM(n)::BIGINT AS n
+    FROM built GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, bucket,
+           SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket)
+               AS cum,
+           SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+    FROM merged
+),
+picks AS (
+    SELECT o_orderpriority,
+           MAX(total)::BIGINT AS n_values,
+           COUNT(*)::INT AS n_buckets_hit,
+           MIN(CASE WHEN cum >= ((total * 50 + 99) // 100)
+                    THEN bucket END) AS b50,
+           MIN(CASE WHEN cum >= ((total * 90 + 99) // 100)
+                    THEN bucket END) AS b90,
+           MIN(CASE WHEN cum >= ((total * 99 + 99) // 100)
+                    THEN bucket END) AS b99
+    FROM cum GROUP BY 1
+)
+SELECT o_orderpriority, n_values, n_buckets_hit,
+       (CASE WHEN b50 < 64 THEN b50
+             ELSE (b50 - ((b50 // 32) - 1) * 32) << ((b50 // 32) - 1)
+        END)::BIGINT AS p50_est,
+       (CASE WHEN b90 < 64 THEN b90
+             ELSE (b90 - ((b90 // 32) - 1) * 32) << ((b90 // 32) - 1)
+        END)::BIGINT AS p90_est,
+       (CASE WHEN b99 < 64 THEN b99
+             ELSE (b99 - ((b99 // 32) - 1) * 32) << ((b99 // 32) - 1)
+        END)::BIGINT AS p99_est
+FROM picks
+ORDER BY o_orderpriority
+"""
+
+
+# --- q138: portable count-min frequency sketch (hash-exact) -----------------
+
+
+_Q138_W = 64  # small w on purpose: collisions (overcounts) appear at test SF
+_Q138_D = 4
+
+
+def q138_countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) with
+    the STATE MERGE and the ESTIMATES under the hash gate: per-user
+    event counts are sketched into d=4 md5 hash rows of w=64 BIGINT
+    counters, built at per-event_type grain and MERGED by plain
+    counter addition to a global sketch IN-PLAN (the 100 TB rollup —
+    per-partition builds summed, never a rescan), then the top-20
+    users by exact count are probed and the min-over-rows estimate is
+    reported next to the exact count. w is deliberately small so hash
+    collisions produce nonzero overcounts at test SF — the gate pins
+    the exact overcount of every probe, proving position math,
+    counter sums, and the never-underestimate guarantee end-to-end.
+
+    Build is key-cardinality-proportional (explode AFTER the per-key
+    pre-aggregate, never per raw event); the merged state is d*w
+    cells, broadcast to the probe side. exact_n is carried for
+    accuracy visibility at test SF — at scale it is the expensive
+    side the sketch replaces.
+
+    Completes the portable-sketch family: q132 HLL (distinct), q136
+    Bloom (membership), q137 qhist (quantiles), q138 count-min
+    (frequency). Reference scope: the reference counts exactly
+    (reference: warehouse/analytics_queries.sql); this is the bounded-
+    state substitute."""
+    from ..operators import sketches
+
+    events = load_table(
+        spark, "events", sf_dir, columns=["user_id", "event_type"]
+    )
+    per_key = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_type_state = sketches.cm_build(
+        per_key, "user_id", "n", ["event_type"], w=_Q138_W, d=_Q138_D
+    )
+    state = sketches.cm_merge(per_type_state.drop("event_type"), [])
+    exact = per_key.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("exact_n")
+    )
+    # TakeOrdered bounds the global window's input to 20 rows — the
+    # single-partition row_number below is by construction tiny
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("user_id")).limit(20)
+    wnd = Window.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+    probes = top.select(
+        F.row_number().over(wnd).cast("int").alias("rnk"),
+        "user_id",
+        "exact_n",
+    )
+    est = sketches.cm_estimate(
+        probes, "user_id", state, w=_Q138_W, d=_Q138_D
+    )
+    return est.select(
+        "rnk",
+        "user_id",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    ).orderBy("rnk")
+
+
+Q138_ORACLE = f"""
+WITH per_key AS (
+    SELECT event_type, user_id, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+),
+cells AS (
+    SELECT event_type, i AS cm_row,
+           (('0x' || substring(
+                md5('cm' || i::VARCHAR || ':' || user_id::VARCHAR),
+                1, 8))::BIGINT % {_Q138_W}) AS cm_pos,
+           n
+    FROM per_key, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+state_t AS (
+    SELECT event_type, cm_row, cm_pos, SUM(n)::BIGINT AS c
+    FROM cells GROUP BY 1, 2, 3
+),
+state_g AS (
+    SELECT cm_row, cm_pos, SUM(c)::BIGINT AS c
+    FROM state_t GROUP BY 1, 2
+),
+exact AS (
+    SELECT user_id, SUM(n)::BIGINT AS exact_n FROM per_key GROUP BY 1
+),
+probes AS (
+    SELECT user_id, exact_n,
+           row_number() OVER (ORDER BY exact_n DESC, user_id)::INT AS rnk
+    FROM exact
+    QUALIFY rnk <= 20
+),
+ppos AS (
+    SELECT rnk, user_id, exact_n, i AS cm_row,
+           (('0x' || substring(
+                md5('cm' || i::VARCHAR || ':' || user_id::VARCHAR),
+                1, 8))::BIGINT % {_Q138_W}) AS cm_pos
+    FROM probes, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+est AS (
+    SELECT rnk, user_id, exact_n,
+           MIN(COALESCE(s.c, 0))::BIGINT AS cm_est
+    FROM ppos p LEFT JOIN state_g s USING (cm_row, cm_pos)
+    GROUP BY 1, 2, 3
+)
+SELECT rnk, user_id, exact_n, cm_est,
+       (cm_est - exact_n)::BIGINT AS overcount
+FROM est ORDER BY rnk
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q132_hll_register_sketch": q132_hll_register_sketch,
+    "q136_bloom_prune": q136_bloom_prune,
+    "q137_quantile_histogram": q137_quantile_histogram,
+    "q138_countmin_heavy_users": q138_countmin_heavy_users,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -606,4 +961,7 @@ ORACLES = {
     "q86_key_skew_report": Q86_ORACLE,
     "q89_value_histogram": Q89_ORACLE,
     "q132_hll_register_sketch": Q132_ORACLE,
+    "q136_bloom_prune": Q136_ORACLE,
+    "q137_quantile_histogram": Q137_ORACLE,
+    "q138_countmin_heavy_users": Q138_ORACLE,
 }

@@ -93,6 +93,9 @@ _WINDOW_FIRST = [
     "q133_quality_classifier",
     "q134_preference_pairs",
     "q135_bpe_encode",
+    "q136_bloom_prune",
+    "q137_quantile_histogram",
+    "q138_countmin_heavy_users",
     # r5-stale (ceded their slots in round 7), insertion order
     "q24_minhash_lsh_dedup",
     "q25_simhash_pairs",
@@ -134,9 +137,7 @@ _WINDOW_FIRST = [
     "q64_tpch_q5_local_supplier_volume",
     "q65_tpch_q6_forecast_revenue",
     "q66_tpch_q10_returned_items",
-    "q67_native_session_window",
-    "q68_tpch_q4_priority_check",
-    "q69_tpch_q7_volume_shipping",
+    # q67/q68/q69 (r6-green) ceded their slots to q136-q138; next rotation
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

@@ -175,3 +175,226 @@ class TestPortableHll:
             w = h >> 8
             exp_rho = 53 if w == 0 else 53 - w.bit_length()
             assert got[k] == (h & 255, exp_rho), k
+
+class TestPortableBloom:
+    """Cross-engine Bloom bitmap (bloom_build/bloom_probe): the
+    zero-false-negative contract, bit-exactness vs a pure-Python md5
+    reference, and the sign-bit safety margin of the 62-bit words."""
+
+    def test_members_never_fail(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        keys = spark.range(500).select(F.col("id").alias("k"))
+        bm = bloom_build(keys, "k", m_bits=1024)
+        got = bloom_probe(keys, "k", bm, m_bits=1024).collect()
+        assert all(r["bloom_pass"] for r in got)
+
+    def test_false_positive_rate_sane(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = spark.range(300).select(F.col("id").alias("k"))
+        bm = bloom_build(members, "k", m_bits=4096)
+        outsiders = spark.range(10_000, 12_000).select(
+            F.col("id").alias("k")
+        )
+        fp = (
+            bloom_probe(outsiders, "k", bm, m_bits=4096)
+            .filter("bloom_pass")
+            .count()
+        )
+        # theory: (1 - exp(-3*300/4096))^3 ~ 0.8%; 5% is a wide margin
+        assert fp / 2000 < 0.05, fp
+
+    def test_bitmap_matches_python_reference(self, spark):
+        import hashlib
+
+        from etl_data_warehouse_spark.operators.sketches import (
+            bloom_build,
+        )
+
+        keys = list(range(50))
+        df = spark.range(50).select(F.col("id").alias("k"))
+        got = {
+            r["word_idx"]: r["bitmap"]
+            for r in bloom_build(df, "k", m_bits=1024).collect()
+        }
+        exp: dict[int, int] = {}
+        for k in keys:
+            for i in range(3):
+                h = int(
+                    hashlib.md5(f"bf{i}:{k}".encode()).hexdigest()[:8],
+                    16,
+                )
+                pos = h % 1024
+                exp[pos // 62] = exp.get(pos // 62, 0) | (
+                    1 << (pos % 62)
+                )
+        assert got == exp
+        # 62-bit words: no mask ever reaches the BIGINT sign bit
+        assert all(0 <= v < (1 << 62) for v in got.values())
+
+    def test_probe_plan_broadcasts_bitmap(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        keys = spark.range(100).select(F.col("id").alias("k"))
+        out = bloom_probe(keys, "k", bloom_build(keys, "k"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestQuantileHistogram:
+    """Log-linear quantile histogram (qhist_* family): bucket/lower
+    inverse contract, relative-error bound vs exact quantiles, and
+    merge-by-addition consistency."""
+
+    def test_bucket_lower_inverse_and_error_bound(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            qhist_bucket,
+            qhist_lower,
+        )
+
+        # values spanning the exact region, tier boundaries, and big ints
+        vals = (
+            list(range(1, 70))
+            + [127, 128, 129, 1000, 4095, 4096, 10**6, 10**9, 10**12]
+        )
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v long"
+        ).select("v", qhist_bucket("v").alias("b"))
+        rows = df.select(
+            "v", "b", qhist_lower("b").alias("lo")
+        ).collect()
+        for r in rows:
+            assert r["lo"] <= r["v"], r
+            # relative error of the lower-bound estimate <= 1/32
+            assert (r["v"] - r["lo"]) / r["v"] <= 1 / 32 + 1e-12, r
+        # bucket is monotonic in v
+        bs = [r["b"] for r in sorted(rows, key=lambda r: r["v"])]
+        assert bs == sorted(bs)
+
+    def test_quantiles_close_to_exact(self, spark):
+        import numpy as np
+
+        from etl_data_warehouse_spark.operators.sketches import (
+            qhist_build,
+            qhist_quantiles,
+        )
+
+        rng = np.random.default_rng(7)
+        vals = (rng.lognormal(8, 1.5, 20_000) * 100).astype("int64") + 1
+        df = spark.createDataFrame(
+            [(int(v),) for v in vals], "v long"
+        ).withColumn("g", F.lit("all"))
+        est = qhist_quantiles(
+            qhist_build(df, "v", ["g"]), ["g"], [50, 90, 99]
+        ).first()
+        for q in (50, 90, 99):
+            exact = float(np.quantile(vals, q / 100))
+            got = est[f"p{q}_est"]
+            assert abs(got - exact) / exact < 0.05, (q, got, exact)
+
+    def test_merge_equals_direct_build(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            qhist_build,
+            qhist_merge,
+        )
+
+        df = spark.range(5000).select(
+            (F.col("id") % 7).alias("sub"),
+            (F.col("id") * 37 % 100_000 + 1).alias("v"),
+        ).withColumn("g", F.lit("all"))
+        fine = qhist_build(df, "v", ["g", "sub"])
+        merged = qhist_merge(fine.drop("sub"), ["g"])
+        direct = qhist_build(df, "v", ["g"])
+        m = {r["bucket"]: r["n"] for r in merged.collect()}
+        d = {r["bucket"]: r["n"] for r in direct.collect()}
+        assert m == d
+
+
+class TestCountMin:
+    """Portable count-min sketch (cm_* family): never-underestimate
+    guarantee, merge-by-addition consistency, and bit-exactness of the
+    position math vs a pure-Python md5 reference."""
+
+    def test_never_underestimates_and_usually_tight(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            cm_build,
+            cm_estimate,
+        )
+
+        df = (
+            spark.range(2000)
+            .select((F.col("id") % 97).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("g", F.lit("all"))
+        )
+        state = cm_build(df, "k", "n", ["g"], w=256, d=4).drop("g")
+        probes = df.select("k", F.col("n").alias("exact_n"))
+        got = cm_estimate(probes, "k", state, w=256, d=4).collect()
+        assert all(r["cm_est"] >= r["exact_n"] for r in got)
+        # w=256 >> 97 keys: most estimates exact
+        exact_frac = sum(
+            r["cm_est"] == r["exact_n"] for r in got
+        ) / len(got)
+        assert exact_frac > 0.8, exact_frac
+
+    def test_merge_equals_direct_build(self, spark):
+        from etl_data_warehouse_spark.operators.sketches import (
+            cm_build,
+            cm_merge,
+        )
+
+        df = (
+            spark.range(3000)
+            .select(
+                (F.col("id") % 5).alias("part"),
+                (F.col("id") % 131).alias("k"),
+            )
+            .groupBy("part", "k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        fine = cm_build(df, "k", "n", ["part"], w=64, d=4)
+        merged = cm_merge(fine.drop("part"), [])
+        direct = cm_build(
+            df.groupBy("k").agg(F.sum("n").cast("long").alias("n")),
+            "k",
+            "n",
+            [],
+            w=64,
+            d=4,
+        )
+        m = {(r["cm_row"], r["cm_pos"]): r["c"] for r in merged.collect()}
+        d_ = {(r["cm_row"], r["cm_pos"]): r["c"] for r in direct.collect()}
+        assert m == d_
+
+    def test_positions_match_python_reference(self, spark):
+        import hashlib
+
+        from etl_data_warehouse_spark.operators.sketches import (
+            cm_position,
+        )
+
+        df = spark.range(40).select(F.col("id").alias("k"))
+        for row in range(4):
+            got = {
+                r["k"]: r["p"]
+                for r in df.select(
+                    "k", cm_position("k", row, w=64).alias("p")
+                ).collect()
+            }
+            for k in range(40):
+                h = int(
+                    hashlib.md5(f"cm{row}:{k}".encode()).hexdigest()[:8],
+                    16,
+                )
+                assert got[k] == h % 64, (row, k)
