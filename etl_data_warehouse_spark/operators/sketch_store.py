@@ -185,3 +185,54 @@ def panel_quantiles(
         [grain],
     )
     return qhist_quantiles(hists, [grain], qs).orderBy(grain)
+
+
+def panel_rolling_distinct(
+    spark: SparkSession, store_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Trailing-N-day rolling distinct-user estimate per day, answered
+    ENTIRELY from the persisted day-grain registers (q139's in-plan
+    shape pointed at state): dense (day x 256) grid, register-wise MAX
+    over a rangeBetween day window partitioned by register, small-range
+    -corrected estimate. The fact is never rescanned — each window
+    placement is algebra on days*256 rows, vs the exact path's
+    per-placement re-shuffle of every distinct user."""
+    from pyspark.sql import Window
+
+    regs = load_panel(spark, store_dir)["hll"]
+    days = regs.select("day").distinct()
+    grid = days.select(
+        "day",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(255))
+        ).alias("hll_idx"),
+    )
+    w = (
+        Window.partitionBy("hll_idx")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    rolled = (
+        grid.join(regs, ["day", "hll_idx"], "left")
+        .select("day", "hll_idx", F.max("m_j").over(w).alias("m_j"))
+        .filter(F.col("m_j").isNotNull())
+    )
+    est = hll_estimate_corrected(rolled, ["day"])
+    wd = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(
+        -(window_days - 1), 0
+    )
+    daysn = days.select(
+        "day",
+        F.count(F.lit(1)).over(wd).cast("int").alias("n_days_present"),
+    )
+    return (
+        est.join(daysn, "day")
+        .select(
+            "day",
+            "n_days_present",
+            "n_registers_hit",
+            "sketch_sum",
+            "hll_estimate",
+        )
+        .orderBy("day")
+    )

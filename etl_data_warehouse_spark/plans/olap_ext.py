@@ -937,12 +937,143 @@ FROM est ORDER BY rnk
 """
 
 
+# --- q139: 7-day rolling distinct-users from HLL registers only -------------
+
+
+def q139_rolling_distinct_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT) answered entirely from sketch
+    state, hash-exact in both engines: per-day HLL registers (q132's
+    portable md5/bit math) are merged register-wise-MAX over a 7-day
+    trailing window on a dense (day x 256-register) grid, and each
+    day's rolling distinct-user estimate is read off with the exact
+    BIGINT harmonic denominator. The raw fact contributes ONE day-grain
+    register build; every window placement after that is algebra on
+    days*256 rows — the 100 TB shape for "rolling 7-day uniques",
+    where the exact answer would re-shuffle every distinct user once
+    PER WINDOW PLACEMENT (7x the data motion, unboundedly worse as the
+    window widens). The register window is partitioned by hll_idx
+    (256-way); the only unpartitioned window is the day-count frame
+    over the ~30-row distinct-days table.
+
+    Day bucketing never touches the session timezone
+    (date_from_unix_date of the epoch-millis day quotient — the
+    CLAUDE.md vanilla-session rule); the DuckDB twin derives the same
+    day from epoch_ms and replays the window as a range join.
+
+    Reference scope: the reference has daily exact rollups only
+    (reference: warehouse/analytics_queries.sql); sliding distinct is
+    the scale-hostile variant it never attempts."""
+    from ..operators import sketches
+
+    events = load_table(spark, "events", sf_dir)
+    regs = sketches.hll_registers(
+        events.select(
+            sketches._utc_day("ts").alias("day"), "user_id"
+        )
+        # explicit, so the grid join's implicit isnotnull(day/hll_idx)
+        # can't split the two consumers' copies of the register agg
+        # (days-distinct branch vs join branch) — ReuseExchange keys on
+        # canonical equality (the q122/q136 discipline)
+        .filter(F.col("day").isNotNull()),
+        "user_id",
+        ["day"],
+    ).filter(F.col("hll_idx").isNotNull())
+    # the filter is a tautology (rho >= 1) whose only job is to make
+    # this branch REFERENCE m_j: otherwise column pruning drops the
+    # max(m_j) aggregate from this copy of the register build and the
+    # two consumers' subplans no longer canonicalize — the third
+    # splitter class after pushed filters and implicit null-filters
+    days = regs.filter(F.col("m_j") >= 0).select("day").distinct()
+    grid = days.select(
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("hll_idx"),
+    )
+    day_regs = grid.join(regs, ["day", "hll_idx"], "left")
+    w = (
+        Window.partitionBy("hll_idx")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    rolled = day_regs.select(
+        "day", "hll_idx", F.max("m_j").over(w).alias("m_j")
+    ).filter(F.col("m_j").isNotNull())
+    est = sketches.hll_estimate(rolled, ["day"])
+    wd = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    daysn = days.select(
+        "day",
+        F.count(F.lit(1)).over(wd).cast("int").alias("n_days_present"),
+    )
+    return (
+        est.join(daysn, "day")
+        .select(
+            "day",
+            "n_days_present",
+            "n_registers_hit",
+            "sketch_sum",
+            "hll_estimate",
+        )
+        .orderBy("day")
+    )
+
+
+Q139_ORACLE = f"""
+WITH ev AS (
+    SELECT DATE '1970-01-01' + (epoch_ms(ts) // 86400000)::INT AS day,
+           user_id
+    FROM events
+),
+hashed AS (
+    SELECT day,
+           ('0x' || substring(md5('hll' || user_id::VARCHAR), 1, 15))::BIGINT
+               AS h
+    FROM ev
+),
+regs AS (
+    SELECT day, (h & 255)::INT AS hll_idx,
+           MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                    ELSE 53 - length(bin(h >> 8)) END)::INT AS m_j
+    FROM hashed GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM regs),
+grid AS (
+    SELECT d.day, i.hll_idx
+    FROM days d, (SELECT unnest(generate_series(0, 255)) AS hll_idx) i
+),
+rolled AS (
+    SELECT g.day, g.hll_idx, MAX(r.m_j) AS m_j
+    FROM grid g LEFT JOIN regs r
+      ON r.hll_idx = g.hll_idx AND r.day BETWEEN g.day - 6 AND g.day
+    GROUP BY 1, 2
+),
+present AS (SELECT day, m_j FROM rolled WHERE m_j IS NOT NULL),
+daysn AS (
+    SELECT d.day, COUNT(*)::INT AS n_days_present
+    FROM days d JOIN days d2 ON d2.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+),
+est AS (
+    SELECT day, COUNT(*)::INT AS n_registers_hit,
+           (SUM(1::BIGINT << (53 - m_j))
+            + (256 - COUNT(*)) * 9007199254740992)::BIGINT AS sketch_sum
+    FROM present GROUP BY 1
+)
+SELECT e.day, dn.n_days_present, e.n_registers_hit, e.sketch_sum,
+       {sketches_mod.HLL_EST_NUMERATOR!r} / e.sketch_sum::DOUBLE
+           AS hll_estimate
+FROM est e JOIN daysn dn USING (day)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q132_hll_register_sketch": q132_hll_register_sketch,
     "q136_bloom_prune": q136_bloom_prune,
     "q137_quantile_histogram": q137_quantile_histogram,
     "q138_countmin_heavy_users": q138_countmin_heavy_users,
+    "q139_rolling_distinct_sketch": q139_rolling_distinct_sketch,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -964,4 +1095,5 @@ ORACLES = {
     "q136_bloom_prune": Q136_ORACLE,
     "q137_quantile_histogram": Q137_ORACLE,
     "q138_countmin_heavy_users": Q138_ORACLE,
+    "q139_rolling_distinct_sketch": Q139_ORACLE,
 }

@@ -76,7 +76,8 @@ ORACLES.update(tpch3.ORACLES)
 # manifest closers — registered against their global twins' oracles,
 # so their hash rows double as the sharded==global proof — q131
 # BPE trainer, q132 portable HLL, q133/q134 scored curation, q135
-# tokenizer application), then the 27 entries whose latest driver row
+# tokenizer application, q136-q138 portable Bloom/qhist/count-min,
+# q139 rolling distinct from registers), then the 27 entries whose latest driver row
 # is r5 (they ceded slots to q117-q127 last round), then the oldest
 # r6 entries to fill the 50-slot budget. Entries outside the window
 # remain proven every round by tests/test_oracle_parity.py's
@@ -96,6 +97,7 @@ _WINDOW_FIRST = [
     "q136_bloom_prune",
     "q137_quantile_histogram",
     "q138_countmin_heavy_users",
+    "q139_rolling_distinct_sketch",
     # r5-stale (ceded their slots in round 7), insertion order
     "q24_minhash_lsh_dedup",
     "q25_simhash_pairs",
@@ -136,8 +138,7 @@ _WINDOW_FIRST = [
     "q63_tpch_q3_shipping_priority",
     "q64_tpch_q5_local_supplier_volume",
     "q65_tpch_q6_forecast_revenue",
-    "q66_tpch_q10_returned_items",
-    # q67/q68/q69 (r6-green) ceded their slots to q136-q138; next rotation
+    # q66..q69 (r6-green) ceded their slots to q136-q139; next rotation
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

@@ -179,3 +179,45 @@ class TestSketchStore:
             # lower-bound estimate: within one sub-bucket below exact
             assert est <= exact
             assert (exact - est) / exact < 0.04, (q, est, exact)
+
+    def test_panel_rolling_distinct_matches_exact(
+        self, spark, sf_dir, tmp_path
+    ):
+        events = load_table(spark, "events", sf_dir)
+        a, b = _split(events)
+        store = str(tmp_path / "s")
+        build_sketch_store(a, store)
+        append_sketch_batch(b, store, batch_id=1)
+        from etl_data_warehouse_spark.operators.sketch_store import (
+            panel_rolling_distinct,
+        )
+
+        got = {
+            r["day"]: (r["n_days_present"], r["hll_estimate"])
+            for r in panel_rolling_distinct(spark, store, 7).collect()
+        }
+        # exact trailing-7-day distinct via a day-range self-join
+        daily = events.select(
+            _utc_day("ts").alias("day"), "user_id"
+        ).distinct()
+        days = daily.select("day").distinct()
+        exact = {
+            r["day"]: r["n"]
+            for r in days.alias("d")
+            .join(
+                daily.alias("u"),
+                (F.col("u.day") <= F.col("d.day"))
+                & (
+                    F.col("u.day")
+                    >= F.date_sub(F.col("d.day"), 6)
+                ),
+            )
+            .groupBy("d.day")
+            .agg(F.countDistinct("u.user_id").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for day, (ndays, est) in got.items():
+            n = exact[day]
+            assert 1 <= ndays <= 7
+            assert abs(est - n) / n < 0.25, (day, est, n)
