@@ -1067,6 +1067,145 @@ ORDER BY day
 """
 
 
+# --- q140: join-size estimation from count-min inner products ----------------
+
+
+_Q140_W = 64
+_Q140_D = 4
+
+
+def q140_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-size estimation WITHOUT executing the join,
+    hash-exact: |orders ⋈ customer| per market segment is
+    Σ_k f_orders(k)·f_customer(k), and the count-min inner product
+    min_d Σ_pos A_d[pos]·B_d[pos] (Cormode & Muthukrishnan 2005, §4.2)
+    upper-bounds it using only the two d×w counter tables. The oracle
+    recomputes sketch cells and products token-for-token, and the
+    exact join size is carried per segment so the gate pins the exact
+    overcount of every estimate (w=64 keeps collisions nonzero at test
+    SF — same policy as q138).
+
+    The 100 TB role is planning: deciding broadcast-vs-shuffle, skew
+    salting, or AQE hints for a petabyte join from two KB-scale
+    sketches that the sketch panel (sketch_store) already maintains —
+    never underestimates, so capacity decisions made on it are safe.
+
+    Plan shape: each side is ONE scan into a cardinality-proportional
+    cm build; products join cell-on-cell ((d·w)-row frames); the exact
+    side is a broadcast fact×dim join carried for gate visibility (at
+    scale it is the thing the sketch replaces)."""
+    from ..operators import sketches
+
+    orders = load_table(spark, "orders", sf_dir, columns=["o_custkey"])
+    per_key_a = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    state_a = sketches.cm_build(
+        per_key_a, "o_custkey", "n", [], w=_Q140_W, d=_Q140_D
+    )
+    customer = load_table(
+        spark, "customer", sf_dir, columns=["c_custkey", "c_mktsegment"]
+    )
+    per_key_b = customer.select(
+        "c_mktsegment", "c_custkey", F.lit(1).cast("long").alias("n")
+    )
+    state_b = sketches.cm_build(
+        per_key_b, "c_custkey", "n", ["c_mktsegment"], w=_Q140_W, d=_Q140_D
+    )
+    prod = (
+        state_b.withColumnRenamed("c", "cb")
+        .join(
+            F.broadcast(state_a.withColumnRenamed("c", "ca")),
+            ["cm_row", "cm_pos"],
+            "left",
+        )
+        .groupBy("c_mktsegment", "cm_row")
+        .agg(
+            F.sum(
+                F.col("cb") * F.coalesce("ca", F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("dot")
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.min("dot").cast("long").alias("cm_est"))
+    )
+    exact = (
+        orders.join(
+            F.broadcast(
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return (
+        prod.join(exact, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "exact_join_size",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_join_size"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q140_ORACLE = f"""
+WITH per_key_a AS (
+    SELECT o_custkey, COUNT(*)::BIGINT AS n FROM orders GROUP BY 1
+),
+cells_a AS (
+    SELECT i AS cm_row,
+           (('0x' || substring(
+                md5('cm' || i::VARCHAR || ':' || o_custkey::VARCHAR),
+                1, 8))::BIGINT % {_Q140_W}) AS cm_pos,
+           n
+    FROM per_key_a, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+state_a AS (
+    SELECT cm_row, cm_pos, SUM(n)::BIGINT AS ca
+    FROM cells_a GROUP BY 1, 2
+),
+cells_b AS (
+    SELECT c_mktsegment, i AS cm_row,
+           (('0x' || substring(
+                md5('cm' || i::VARCHAR || ':' || c_custkey::VARCHAR),
+                1, 8))::BIGINT % {_Q140_W}) AS cm_pos,
+           1::BIGINT AS n
+    FROM customer, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+state_b AS (
+    SELECT c_mktsegment, cm_row, cm_pos, SUM(n)::BIGINT AS cb
+    FROM cells_b GROUP BY 1, 2, 3
+),
+dots AS (
+    SELECT b.c_mktsegment, b.cm_row,
+           SUM(b.cb * COALESCE(a.ca, 0))::BIGINT AS dot
+    FROM state_b b LEFT JOIN state_a a USING (cm_row, cm_pos)
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT c_mktsegment, MIN(dot)::BIGINT AS cm_est
+    FROM dots GROUP BY 1
+),
+exact AS (
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS exact_join_size
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT e.c_mktsegment, x.exact_join_size, e.cm_est,
+       (e.cm_est - x.exact_join_size)::BIGINT AS overcount
+FROM est e JOIN exact x USING (c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q132_hll_register_sketch": q132_hll_register_sketch,
@@ -1074,6 +1213,7 @@ QUERIES = {
     "q137_quantile_histogram": q137_quantile_histogram,
     "q138_countmin_heavy_users": q138_countmin_heavy_users,
     "q139_rolling_distinct_sketch": q139_rolling_distinct_sketch,
+    "q140_join_size_sketch": q140_join_size_sketch,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -1096,4 +1236,5 @@ ORACLES = {
     "q137_quantile_histogram": Q137_ORACLE,
     "q138_countmin_heavy_users": Q138_ORACLE,
     "q139_rolling_distinct_sketch": Q139_ORACLE,
+    "q140_join_size_sketch": Q140_ORACLE,
 }
