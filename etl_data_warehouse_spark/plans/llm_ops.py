@@ -3154,3 +3154,106 @@ ORDER BY user_id
 
 QUERIES["q127_behavior_sequences"] = q127_behavior_sequences
 ORACLES["q127_behavior_sequences"] = Q127_ORACLE
+
+
+# --- q141: SFT chat-template rendering with loss-mask boundaries -------------
+
+
+def q141_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning (SFT) example formatting — the step between
+    corpus curation and the trainer that every chat model needs:
+    each document is split at a deterministic md5-derived point into
+    (prompt, response), rendered into a chat template
+    ``<|system|> ... <|user|> prompt <|assistant|> response <|end|>``,
+    and the LOSS-MASK boundary is emitted in token units — tokens
+    before ``mask_upto_token`` get label -100 (system+user+template),
+    the ``n_loss_tokens`` after it (response + <|end|>) train. The
+    rendered string is fingerprinted (md5 + octet_length) so the gate
+    sees the whole render (the q123 scalarization policy); the mask
+    arithmetic is pinned exactly: mask_upto = 7 template tokens +
+    prompt + 1 assistant mark; loss = response + end mark.
+
+    Completes the trainer-facing family: q45 packing, q123 FIM, q125
+    span corruption, q127 behavior sequences, q134 preference pairs —
+    this is the supervised-pairs formatter. Scale shape: zero-shuffle
+    projection over the corpus (the q105/q123 ideal); cosmetic final
+    orderBy only.
+
+    Reference scope: the reference has no training-data surface;
+    brief extension (SFT formatting a la Alpaca/Vicuna templates)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        toks.alias("tok"),
+        F.size(toks).cast("int").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 2)
+    cut = (
+        F.lit(1) + _md5_long("sft", "doc_id") % (F.col("n_tokens") - 1)
+    ).cast("int")
+    with_cut = base.withColumn("cut", cut)
+    rendered = F.concat(
+        F.lit("<|system|> You are a helpful assistant. <|user|> "),
+        F.array_join(F.slice("tok", F.lit(1), F.col("cut")), " "),
+        F.lit(" <|assistant|> "),
+        F.array_join(
+            F.slice(
+                "tok", F.col("cut") + 1, F.col("n_tokens") - F.col("cut")
+            ),
+            " ",
+        ),
+        F.lit(" <|end|>"),
+    )
+    return (
+        with_cut.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cut").alias("prompt_tokens"),
+            (F.col("n_tokens") - F.col("cut"))
+            .cast("int")
+            .alias("response_tokens"),
+            (F.col("cut") + 8).cast("int").alias("mask_upto_token"),
+            (F.col("n_tokens") - F.col("cut") + 1)
+            .cast("int")
+            .alias("n_loss_tokens"),
+            F.octet_length(rendered).cast("long").alias("rendered_bytes"),
+            F.md5(rendered).alias("rendered_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q141_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS tok,
+           len(string_split_regex(trim(text), ' +'))::INT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT *,
+           (1 + ('0x' || substring(md5('sft' || doc_id), 1, 8))::BIGINT
+                % (n_tokens - 1))::INT AS cut
+    FROM t WHERE n_tokens >= 2
+),
+r AS (
+    SELECT doc_id, n_tokens, cut,
+           '<|system|> You are a helpful assistant. <|user|> '
+           || array_to_string(list_slice(tok, 1, cut), ' ')
+           || ' <|assistant|> '
+           || array_to_string(list_slice(tok, cut + 1, n_tokens), ' ')
+           || ' <|end|>' AS rendered
+    FROM c
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       cut AS prompt_tokens,
+       (n_tokens - cut)::INT AS response_tokens,
+       (cut + 8)::INT AS mask_upto_token,
+       (n_tokens - cut + 1)::INT AS n_loss_tokens,
+       octet_length(encode(rendered))::BIGINT AS rendered_bytes,
+       md5(rendered) AS rendered_md5
+FROM r
+ORDER BY doc_id
+"""
+
+QUERIES["q141_sft_format"] = q141_sft_format
+ORACLES["q141_sft_format"] = Q141_ORACLE

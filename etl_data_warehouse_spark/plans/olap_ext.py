@@ -1206,6 +1206,218 @@ ORDER BY c_mktsegment
 """
 
 
+
+# --- q142: KMV audience overlap (sketch set intersection) --------------------
+
+
+_KMV_K = 16  # tiny on purpose for test SFs; ~1024 at production scale
+
+
+def q142_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation between event types from K-minimum-
+    values sketches (Beyer et al. 2007) — the set-INTERSECTION algebra
+    HLL registers cannot do, hash-exact cross-engine: per event type
+    keep the k smallest md5-derived 60-bit hashes of its distinct
+    users (a deterministic integer set, unlike HLL's lossy registers);
+    for each type pair, the k smallest of the union give the union-
+    cardinality estimate ((k-1)*2^60 / kth-min — one portable
+    literal/BIGINT-derived divide), the signature values common to
+    both sides and <= that kth min give the Jaccard estimate
+    (matches/k), and their product estimates the distinct-user
+    overlap. Exact overlap is carried per pair so the gate pins every
+    estimate's error (the q138/q140 visibility policy).
+
+    All pairwise state is signature-sized (T*k rows); the type-pair
+    frame is C(T,2) rows built with a broadcast non-equi join (BNLJ on
+    a <=T-row frame, never a CartesianProduct). The fact contributes
+    ONE distinct-(type,user) shuffle; at 100 TB the signatures would
+    live in the sketch panel and this query would never touch the
+    fact.
+
+    Reference scope: the reference computes overlaps exactly with
+    self-joins (reference: warehouse/analytics_queries.sql); this is
+    the bounded-state substitute."""
+    events = load_table(
+        spark, "events", sf_dir, columns=["event_type", "user_id"]
+    )
+    # explicit null filters at entry: the exact branch's self-join
+    # implies isnotnull(user_id) on its two copies only — without
+    # these, the three consumers of the distinct (sig build + both
+    # exact sides) stop canonicalizing identically and the fact is
+    # re-scanned per consumer (q122/q136/q139 splitter discipline)
+    users = (
+        events.filter(F.col("user_id").isNotNull())
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+        # barrier: without it the sig branch's distinct-(type,hash)
+        # collapses INTO this distinct and re-scans the fact on its
+        # own; the repartition Exchange is the single shared
+        # materialization of the (type,user) set for the sig build and
+        # both exact self-join sides (1 fact scan, plan-audited)
+        .repartition("event_type", "user_id")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = users.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sig = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    types = sig.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        F.broadcast(types.select(F.col("event_type").alias("type_b"))),
+        F.col("type_a") < F.col("type_b"),
+    )
+    both_sigs = pairs.join(
+        sig.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha")),
+        "type_a",
+    ).join(
+        F.broadcast(
+            sig.select(
+                F.col("event_type").alias("type_b"), F.col("h").alias("hb")
+            )
+        ),
+        "type_b",
+    )
+    # union signature: k smallest distinct values of ha  U  hb per pair
+    uni = (
+        both_sigs.select("type_a", "type_b", F.col("ha").alias("h"))
+        .union(both_sigs.select("type_a", "type_b", F.col("hb").alias("h")))
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    wall = Window.partitionBy("type_a", "type_b")
+    # small-signature regime (Beyer et al. 2007): if the union has
+    # fewer than k values the signature IS the full set and every
+    # estimate below becomes exact — take the m-th value, m=min(k,n)
+    kth = (
+        uni.withColumn("rn", F.row_number().over(wu))
+        .withColumn("n_uni", F.count(F.lit(1)).over(wall).cast("int"))
+        .filter(
+            F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_uni"))
+        )
+        .select("type_a", "type_b", F.col("h").alias("kth_min"), "n_uni")
+    )
+    # signature values present in BOTH sides, at or below the kth min
+    matches = (
+        both_sigs.filter(F.col("ha") == F.col("hb"))
+        .join(F.broadcast(kth), ["type_a", "type_b"])
+        .filter(F.col("ha") <= F.col("kth_min"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matches"))
+    )
+    exact = (
+        users.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            users.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    d_union = F.when(
+        F.col("n_uni") < _KMV_K, F.col("n_uni").cast("double")
+    ).otherwise(
+        F.lit(float((_KMV_K - 1) * (1 << 60)))
+        / F.col("kth_min").cast("double")
+    )
+    j_est = F.col("n_matches").cast("double") / F.least(
+        F.lit(_KMV_K), F.col("n_uni")
+    ).cast("double")
+    return (
+        kth.join(matches, ["type_a", "type_b"], "left")
+        .na.fill({"n_matches": 0})
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "kth_min",
+            "n_uni",
+            "n_matches",
+            "exact_overlap",
+            (j_est * d_union).alias("overlap_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q142_ORACLE = f"""
+WITH users AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substring(md5('kmv' || user_id::VARCHAR), 1, 15))::BIGINT
+               AS h
+    FROM users
+),
+sig AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+    QUALIFY rn <= {_KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM sig),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+uni AS (
+    SELECT DISTINCT p.type_a, p.type_b, s.h
+    FROM pairs p JOIN sig s
+      ON s.event_type = p.type_a OR s.event_type = p.type_b
+),
+kth AS (
+    SELECT type_a, type_b, h AS kth_min, n_uni
+    FROM (
+        SELECT type_a, type_b, h,
+               row_number() OVER (PARTITION BY type_a, type_b ORDER BY h)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY type_a, type_b)::INT AS n_uni
+        FROM uni
+    ) WHERE rn = least({_KMV_K}, n_uni)
+),
+matches AS (
+    SELECT p.type_a, p.type_b, COUNT(*)::INT AS n_matches
+    FROM pairs p
+    JOIN sig sa ON sa.event_type = p.type_a
+    JOIN sig sb ON sb.event_type = p.type_b AND sb.h = sa.h
+    JOIN kth k ON k.type_a = p.type_a AND k.type_b = p.type_b
+               AND sa.h <= k.kth_min
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*)::BIGINT AS exact_overlap
+    FROM users a JOIN users b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT k.type_a, k.type_b, k.kth_min, k.n_uni,
+       COALESCE(m.n_matches, 0)::INT AS n_matches,
+       x.exact_overlap,
+       (COALESCE(m.n_matches, 0)::DOUBLE
+        / least({_KMV_K}, k.n_uni)::DOUBLE)
+       * (CASE WHEN k.n_uni < {_KMV_K} THEN k.n_uni::DOUBLE
+               ELSE {float((_KMV_K - 1) * (1 << 60))!r} / k.kth_min::DOUBLE
+          END) AS overlap_est
+FROM kth k
+LEFT JOIN matches m ON m.type_a = k.type_a AND m.type_b = k.type_b
+JOIN exact x ON x.type_a = k.type_a AND x.type_b = k.type_b
+ORDER BY k.type_a, k.type_b
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q132_hll_register_sketch": q132_hll_register_sketch,
@@ -1214,6 +1426,7 @@ QUERIES = {
     "q138_countmin_heavy_users": q138_countmin_heavy_users,
     "q139_rolling_distinct_sketch": q139_rolling_distinct_sketch,
     "q140_join_size_sketch": q140_join_size_sketch,
+    "q142_kmv_audience_overlap": q142_kmv_audience_overlap,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -1237,4 +1450,5 @@ ORACLES = {
     "q138_countmin_heavy_users": Q138_ORACLE,
     "q139_rolling_distinct_sketch": Q139_ORACLE,
     "q140_join_size_sketch": Q140_ORACLE,
+    "q142_kmv_audience_overlap": Q142_ORACLE,
 }

@@ -77,7 +77,8 @@ ORACLES.update(tpch3.ORACLES)
 # so their hash rows double as the sharded==global proof — q131
 # BPE trainer, q132 portable HLL, q133/q134 scored curation, q135
 # tokenizer application, q136-q138 portable Bloom/qhist/count-min,
-# q139 rolling distinct, q140 join-size estimation), then the 27 entries whose latest driver row
+# q139 rolling distinct, q140 join-size estimation, q141 SFT format,
+# q142 KMV overlap), then the 27 entries whose latest driver row
 # is r5 (they ceded slots to q117-q127 last round), then the oldest
 # r6 entries to fill the 50-slot budget. Entries outside the window
 # remain proven every round by tests/test_oracle_parity.py's
@@ -99,6 +100,8 @@ _WINDOW_FIRST = [
     "q138_countmin_heavy_users",
     "q139_rolling_distinct_sketch",
     "q140_join_size_sketch",
+    "q141_sft_format",
+    "q142_kmv_audience_overlap",
     # r5-stale (ceded their slots in round 7), insertion order
     "q24_minhash_lsh_dedup",
     "q25_simhash_pairs",
@@ -136,9 +139,7 @@ _WINDOW_FIRST = [
     "q60_grouping_sets",
     "q61_distribution_windows",
     "q62_tpch_q1_pricing_summary",
-    "q63_tpch_q3_shipping_priority",
-    "q64_tpch_q5_local_supplier_volume",
-    # q65..q69 (r6-green) ceded their slots to q136-q140; next rotation
+    # q63..q69 (r6-green) ceded their slots to q136-q142; next rotation
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
