@@ -183,3 +183,52 @@ def pagerank_fixed(
         F.col("p").alias("rank_fixed"),
         (F.col("p").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over undirected ``(src, dst)`` edges, a fixed number of
+    rounds, fully deterministic: every node starts labeled with its own
+    id; each round a node adopts the label MOST FREQUENT among its
+    neighbors, ties broken by the SMALLEST label — argmax via
+    row_number over (count DESC, label ASC), so the update is pure
+    integer/ordering logic both engines replay exactly (the async/
+    random-order variants of LPA are not reproducible; synchronous +
+    total-order tiebreak is the q106 fixed-point discipline applied to
+    community detection).
+
+    Returns (node, label) after the final round. Scale posture:
+    per round ONE shuffle-join of edges against the node-sized label
+    frame and one (dst, label) count-agg; label frames are node-sized.
+    Feed symmetrized edges (both directions) so neighborhoods are
+    complete; lazy localCheckpoints truncate per-round lineage exactly
+    as in pagerank_fixed.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -3257,3 +3257,131 @@ ORDER BY doc_id
 
 QUERIES["q141_sft_format"] = q141_sft_format
 ORACLES["q141_sft_format"] = Q141_ORACLE
+
+
+# --- q143: label-propagation communities over the trade graph ----------------
+
+
+def q143_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over q106's bipartite customer<->supplier trade graph
+    — the third graph-iteration operator next to connected components
+    (q59) and fixed-point PageRank (q106), and like them hash-exact:
+    the mode-update is argmax by (neighbor-label count DESC, label
+    ASC) — pure integer/ordering logic — so the DuckDB oracle unrolls
+    the 3 synchronous rounds as CTEs and replays every adoption
+    decision bit-for-bit (async/randomized LPA variants could never
+    cross-engine match).
+
+    Output is community grain: final label, member count, min/max
+    member node. Scale posture: per round one edges-vs-labels
+    shuffle-join + one (node, label) count-agg; state is node-sized
+    (operators/graph.py label_propagation, lazy per-round
+    localCheckpoints)."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(
+        spark, "lineitem", sf_dir, columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = load_table(
+        spark, "orders", sf_dir, columns=["o_orderkey", "o_custkey"]
+    )
+    cust = load_table(
+        spark, "customer", sf_dir, columns=["c_custkey", "c_nationkey"]
+    )
+    supp = load_table(
+        spark, "supplier", sf_dir, columns=["s_suppkey", "s_nationkey"]
+    )
+    # same-nation trades only: the full bipartite graph is so dense
+    # that 3 LPA rounds collapse it to ~2 communities; the nation cut
+    # yields ~25 disconnected subgraphs — the regime LPA is for
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = label_propagation(edges, iterations=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("community")
+    )
+
+
+Q143_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS a, li.l_suppkey * 2 + 1 AS b
+    FROM lineitem li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey = s.s_nationkey
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+),
+l0 AS (
+    SELECT DISTINCT src AS node, src AS label FROM edges
+),
+v1 AS (
+    SELECT e.src AS node, l.label, COUNT(*)::BIGINT AS n
+    FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2
+),
+l1 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+        FROM v1
+    ) WHERE rn = 1
+),
+v2 AS (
+    SELECT e.src AS node, l.label, COUNT(*)::BIGINT AS n
+    FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2
+),
+l2 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+        FROM v2
+    ) WHERE rn = 1
+),
+v3 AS (
+    SELECT e.src AS node, l.label, COUNT(*)::BIGINT AS n
+    FROM edges e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2
+),
+l3 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+        FROM v3
+    ) WHERE rn = 1
+)
+SELECT label AS community,
+       COUNT(*)::BIGINT AS n_members,
+       MIN(node) AS min_node,
+       MAX(node) AS max_node
+FROM l3
+GROUP BY 1
+ORDER BY community
+"""
+
+QUERIES["q143_label_propagation"] = q143_label_propagation
+ORACLES["q143_label_propagation"] = Q143_ORACLE

@@ -61,3 +61,48 @@ class TestDedupClusters:
         assignment = {r["doc_id"]: r["cluster_id"] for r in rows}
         for p in pairs.collect():
             assert assignment[p["doc_a"]] == assignment[p["doc_b"]]
+
+
+class TestLabelPropagation:
+    def test_matches_python_sync_reference(self, spark):
+        from collections import Counter
+
+        from etl_data_warehouse_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # two triangles joined by one bridge edge
+        und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        sym = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(sym, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=3).collect()
+        }
+
+        nbrs: dict[int, list[int]] = {}
+        for a, b in sym:
+            nbrs.setdefault(a, []).append(b)
+        labels = {n: n for n in nbrs}
+        for _ in range(3):
+            nxt = {}
+            for n in nbrs:
+                c = Counter(labels[m] for m in nbrs[n])
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            labels = nxt
+        assert got == labels
+
+    def test_disconnected_components_stay_separate(self, spark):
+        from etl_data_warehouse_spark.operators.graph import (
+            label_propagation,
+        )
+
+        und = [(0, 1), (1, 2), (10, 11), (11, 12)]
+        sym = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(sym, "src long, dst long")
+        rows = label_propagation(edges, iterations=3).collect()
+        lab = {r["node"]: r["label"] for r in rows}
+        assert {lab[0], lab[1], lab[2]}.isdisjoint(
+            {lab[10], lab[11], lab[12]}
+        )
