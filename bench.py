@@ -101,6 +101,15 @@ BENCH_QUERIES = [
     "q119_bm25_topk",
     "q122_dsir_weights",
     "q123_fim_transform",
+    # round 8 additions (linear scale paths: the decontamination
+    # transform, one BPE trainer step family rep, the portable-sketch
+    # family's event-table members, SFT formatting)
+    "q128_eval_decontamination",
+    "q131_bpe_train_steps",
+    "q132_hll_register_sketch",
+    "q137_quantile_histogram",
+    "q139_rolling_distinct_sketch",
+    "q141_sft_format",
 ]
 
 
