@@ -9,7 +9,7 @@ arithmetic, window sums, and count aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus, sampling
@@ -205,7 +205,158 @@ SELECT * FROM (
 """
 
 
+
+# --- q144: stratified sample with largest-remainder apportionment ------------
+
+
+def q144_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling with EXACT integer
+    apportionment (largest-remainder / Hamilton method) and
+    deterministic within-stratum selection — how eval/calibration sets
+    are cut from a corpus so every stratum is represented in exact
+    proportion with a reproducible member list:
+
+    - global target n = N div 10; stratum quota = n*N_h; base =
+      quota div N; the n - Σbase leftover units go to the largest
+      remainders (ties -> priority asc) — pure BIGINT arithmetic, so
+      Σ alloc == n EXACTLY (float-proportional rounding can be off by
+      several units and differs across engines);
+    - within a stratum the sample is the alloc_n smallest md5 ranks
+      ((hash, key) total order) — the q43/q88 seeded-hash policy, so
+      membership is stable under re-runs and engine changes.
+
+    The apportionment happens on the STRATUM-GRAIN frame (5 rows; the
+    global sums fold in as all-rows window sums, never a second agg of
+    the fact — the q122 totals rule); the fact contributes one count
+    agg and one per-stratum rank window. Sample membership is
+    fingerprinted per stratum (sum/min/max of selected keys) so the
+    gate pins the exact member set without a row-per-member result.
+
+    Reference scope: the reference has no sampling surface at all
+    (reference: transformers/data_transformer.py is cleaning/derivation
+    only); brief extension — deterministic stratified eval/calibration
+    set construction for the training-data pipeline."""
+    orders = load_table(
+        spark, "orders", sf_dir, columns=["o_orderkey", "o_orderpriority"]
+    )
+    wall = Window.partitionBy()
+    strata = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("stratum_n"))
+        .withColumn("total_n", F.sum("stratum_n").over(wall).cast("long"))
+        .withColumn("target_n", F.expr("total_n div 10").cast("long"))
+        .withColumn(
+            "base_n",
+            F.expr("(target_n * stratum_n) div total_n").cast("long"),
+        )
+        .withColumn(
+            "rem",
+            F.expr("(target_n * stratum_n) % total_n").cast("long"),
+        )
+        .withColumn(
+            "leftover",
+            (F.col("target_n") - F.sum("base_n").over(wall)).cast("long"),
+        )
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("rem").desc(), F.col("o_orderpriority").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "alloc_n",
+            (
+                F.col("base_n")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1)
+                .otherwise(0)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.concat(F.lit("ssamp"), F.col("o_orderkey").cast("string"))),
+        F.col("o_orderkey"),
+    )
+    picked = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .join(
+            F.broadcast(strata.select("o_orderpriority", "alloc_n")),
+            "o_orderpriority",
+        )
+        .filter(F.col("rn") <= F.col("alloc_n"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("picked_n"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+    return (
+        strata.select("o_orderpriority", "stratum_n", "alloc_n")
+        .join(picked, "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )
+
+
+Q144_ORACLE = """
+WITH strata0 AS (
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS stratum_n FROM orders
+    GROUP BY 1
+),
+strata1 AS (
+    SELECT *,
+           SUM(stratum_n) OVER ()::BIGINT AS total_n
+    FROM strata0
+),
+strata2 AS (
+    SELECT *,
+           (total_n // 10)::BIGINT AS target_n,
+           (((total_n // 10) * stratum_n) // total_n)::BIGINT AS base_n,
+           (((total_n // 10) * stratum_n) % total_n)::BIGINT AS rem
+    FROM strata1
+),
+strata3 AS (
+    SELECT *,
+           (target_n - SUM(base_n) OVER ())::BIGINT AS leftover,
+           row_number() OVER (
+               ORDER BY rem DESC, o_orderpriority ASC) AS rem_rank
+    FROM strata2
+),
+alloc AS (
+    SELECT o_orderpriority, stratum_n,
+           (base_n + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END)
+               ::BIGINT AS alloc_n
+    FROM strata3
+),
+ranked AS (
+    SELECT o_orderpriority, o_orderkey,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5('ssamp' || o_orderkey::VARCHAR), o_orderkey
+           ) AS rn
+    FROM orders
+),
+picked AS (
+    SELECT r.o_orderpriority,
+           COUNT(*)::BIGINT AS picked_n,
+           SUM(r.o_orderkey)::BIGINT AS sum_keys,
+           MIN(r.o_orderkey) AS min_key,
+           MAX(r.o_orderkey) AS max_key
+    FROM ranked r JOIN alloc a USING (o_orderpriority)
+    WHERE r.rn <= a.alloc_n
+    GROUP BY 1
+)
+SELECT a.o_orderpriority, a.stratum_n, a.alloc_n,
+       p.picked_n, p.sum_keys, p.min_key, p.max_key
+FROM alloc a JOIN picked p USING (o_orderpriority)
+ORDER BY a.o_orderpriority
+"""
+
+
 QUERIES = {
+    "q144_stratified_sample": q144_stratified_sample,
     "q43_train_test_split": q43_train_test_split,
     "q44_vocab_topk": q44_vocab_topk,
     "q45_sequence_packing": q45_sequence_packing,
@@ -214,6 +365,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q144_stratified_sample": Q144_ORACLE,
     "q43_train_test_split": Q43_ORACLE,
     "q44_vocab_topk": Q44_ORACLE,
     "q45_sequence_packing": Q45_ORACLE,
