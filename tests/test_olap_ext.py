@@ -133,3 +133,61 @@ class TestSketchQuantiles:
             for q, got in zip([0.25, 0.5, 0.75, 0.9], approx[m]):
                 rank = bisect.bisect_left(vals, got)
                 assert abs(rank - q * n) <= max(2, 0.01 * n), (m, q)
+
+
+class TestSketchPlanReuse:
+    """The round-8 ReuseExchange discipline, pinned as regression
+    tests: multi-consumer subplans in the sketch queries must share
+    ONE materialization (final-executed-plan scan counts), per the
+    three splitter classes documented in CLAUDE.md / the q136/q139
+    docstrings. collect() first — .write spawns its own
+    QueryExecution (the q122 audit rule)."""
+
+    @staticmethod
+    def _final_plan(df):
+        df.collect()
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+
+    def test_q136_two_scans_shared_bitmap(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.olap_ext import (
+            q136_bloom_prune,
+        )
+
+        plan = self._final_plan(q136_bloom_prune(spark, sf_dir))
+        # orders once + customer once; bitmap build and member list
+        # each reused, never recomputed
+        assert plan.count("FileScan parquet") == 2, plan.count(
+            "FileScan parquet"
+        )
+        assert (
+            plan.count("ReusedExchange") + plan.count("ReusedQueryStage")
+            >= 2
+        )
+
+    def test_q139_single_events_scan(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.olap_ext import (
+            q139_rolling_distinct_sketch,
+        )
+
+        plan = self._final_plan(q139_rolling_distinct_sketch(spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, plan.count(
+            "FileScan parquet"
+        )
+
+    def test_q142_single_events_scan(self, spark, sf_dir):
+        from etl_data_warehouse_spark.plans.olap_ext import (
+            q142_kmv_audience_overlap,
+        )
+
+        plan = self._final_plan(
+            q142_kmv_audience_overlap(spark, sf_dir)
+        )
+        assert plan.count("FileScan parquet") == 1, plan.count(
+            "FileScan parquet"
+        )
+        assert "CartesianProduct" not in plan
