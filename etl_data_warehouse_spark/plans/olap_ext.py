@@ -1418,6 +1418,112 @@ ORDER BY k.type_a, k.type_b
 """
 
 
+# --- q145: sketch-assisted percentile pre-filter ------------------------------
+
+
+def q145_sketch_threshold_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail-of-distribution selection WITHOUT a per-group sort: the
+    qhist sketch (q137) yields each month's approximate-p90 order
+    value as a BUCKET LOWER BOUND (all-integer, hash-exact); the
+    thresholds broadcast back and a single filter pass selects the
+    tail, aggregated with the exact decimal money policy. This is the
+    sketch-as-pushdown pattern: q53's exact selection needs a full
+    per-month sort of the fact (rank window), this needs one
+    (month, bucket)-grain agg + one broadcast-filtered scan — the
+    threshold table is months x 1 rows, and because the estimate is a
+    bucket LOWER bound the filter is guaranteed to RETAIN the true
+    >= p90 tail (never drops a qualifying row; it admits at most one
+    sub-bucket, <= 3.2 pct, of extras — the safe direction for a
+    pre-filter, exactly like q136's zero-false-negative Bloom).
+
+    Reference scope: the reference's tail reports re-sort the fact
+    per question (reference: warehouse/analytics_queries.sql); this
+    is the bounded-state substitute."""
+    from ..operators import sketches
+
+    orders = load_table(
+        spark,
+        "orders",
+        sf_dir,
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    cents = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_totalprice",
+    )
+    hist = sketches.qhist_build(cents, "cents", ["order_month"])
+    thresholds = sketches.qhist_quantiles(
+        hist, ["order_month"], [90]
+    ).select(
+        "order_month", F.col("p90_est").alias("threshold_cents")
+    )
+    return (
+        cents.join(F.broadcast(thresholds), "order_month")
+        .filter(F.col("cents") >= F.col("threshold_cents"))
+        .groupBy("order_month")
+        .agg(
+            F.max("threshold_cents").cast("long").alias("threshold_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_above"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_above"),
+        )
+        .orderBy("order_month")
+    )
+
+
+Q145_ORACLE = """
+WITH cents_t AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           (o_totalprice * 100)::BIGINT AS cents,
+           o_totalprice
+    FROM orders
+),
+bucketed AS (
+    SELECT order_month,
+           (CASE WHEN cents < 64 THEN cents
+                 ELSE (length(bin(cents)) - 6) * 32
+                      + (cents >> (length(bin(cents)) - 6)) END)::BIGINT
+               AS bucket
+    FROM cents_t
+),
+hist AS (
+    SELECT order_month, bucket, COUNT(*)::BIGINT AS n
+    FROM bucketed GROUP BY 1, 2
+),
+cum AS (
+    SELECT order_month, bucket,
+           SUM(n) OVER (PARTITION BY order_month ORDER BY bucket) AS cum,
+           SUM(n) OVER (PARTITION BY order_month) AS total
+    FROM hist
+),
+picks AS (
+    SELECT order_month,
+           MIN(CASE WHEN cum >= ((total * 90 + 99) // 100)
+                    THEN bucket END) AS b90
+    FROM cum GROUP BY 1
+),
+thresholds AS (
+    SELECT order_month,
+           (CASE WHEN b90 < 64 THEN b90
+                 ELSE (b90 - ((b90 // 32) - 1) * 32) << ((b90 // 32) - 1)
+            END)::BIGINT AS threshold_cents
+    FROM picks
+)
+SELECT c.order_month,
+       MAX(t.threshold_cents)::BIGINT AS threshold_cents,
+       COUNT(*)::BIGINT AS n_above,
+       CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_above
+FROM cents_t c JOIN thresholds t USING (order_month)
+WHERE c.cents >= t.threshold_cents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q132_hll_register_sketch": q132_hll_register_sketch,
@@ -1427,6 +1533,7 @@ QUERIES = {
     "q139_rolling_distinct_sketch": q139_rolling_distinct_sketch,
     "q140_join_size_sketch": q140_join_size_sketch,
     "q142_kmv_audience_overlap": q142_kmv_audience_overlap,
+    "q145_sketch_threshold_filter": q145_sketch_threshold_filter,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -1451,4 +1558,5 @@ ORACLES = {
     "q139_rolling_distinct_sketch": Q139_ORACLE,
     "q140_join_size_sketch": Q140_ORACLE,
     "q142_kmv_audience_overlap": Q142_ORACLE,
+    "q145_sketch_threshold_filter": Q145_ORACLE,
 }

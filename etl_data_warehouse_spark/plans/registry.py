@@ -78,7 +78,8 @@ ORACLES.update(tpch3.ORACLES)
 # BPE trainer, q132 portable HLL, q133/q134 scored curation, q135
 # tokenizer application, q136-q138 portable Bloom/qhist/count-min,
 # q139 rolling distinct, q140 join-size estimation, q141 SFT format,
-# q142 KMV overlap, q143 label propagation, q144 stratified sample),
+# q142 KMV overlap, q143 label propagation, q144 stratified sample,
+# q145 sketch-threshold filter),
 # then the 27 entries whose latest driver row
 # is r5 (they ceded slots to q117-q127 last round), then the oldest
 # r6 entries to fill the 50-slot budget. Entries outside the window
@@ -105,6 +106,7 @@ _WINDOW_FIRST = [
     "q142_kmv_audience_overlap",
     "q143_label_propagation",
     "q144_stratified_sample",
+    "q145_sketch_threshold_filter",
     # r5-stale (ceded their slots in round 7), insertion order
     "q24_minhash_lsh_dedup",
     "q25_simhash_pairs",
@@ -139,8 +141,7 @@ _WINDOW_FIRST = [
     "q53_order_value_quantiles",
     "q57_status_pivot",
     "q58_status_unpivot",
-    "q60_grouping_sets",
-    # q61..q69 (r6-green) ceded their slots to q136-q144; next rotation
+    # q60..q69 (r6-green) ceded their slots to q136-q145; next rotation
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
