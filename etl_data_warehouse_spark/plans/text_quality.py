@@ -23,6 +23,7 @@ from ..functions.text import (
     PII_PATTERNS,
     pii_count,
     redact_pii,
+    token_count,
     tokens,
     word_ngrams,
 )
@@ -1205,3 +1206,89 @@ Q135_ORACLE = _bpe_encode_oracle(_BPE_TRAIN_STEPS)
 
 QUERIES["q135_bpe_encode"] = q135_bpe_encode
 ORACLES["q135_bpe_encode"] = Q135_ORACLE
+
+
+# --- q146: readability scoring in fixed-point --------------------------------
+
+
+def q146_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring in BIGINT milli-units — the classic
+    corpus-quality signal (easy text up-weighted for early curriculum,
+    q121's natural companion), engine-portable by the q106 fixed-point
+    rule: flesch_milli = 206835 - (1015*words) div sentences -
+    (84600*syllables) div words, all counts from regex/token
+    primitives both engines share (sentences = '[.!?]+' group count,
+    syllables approximated as '[aeiouy]+' vowel-group count over the
+    lowercased text — the standard cheap approximation; Flesch
+    variants differ on syllabification anyway, so the CONTRACT is the
+    pinned integer formula, not a dictionary syllabifier). Truncating
+    integer division is identical both engines on positive counts.
+
+    Zero-shuffle doc-grain projection (no lambda higher-order
+    functions — the syllable count is ONE regex over the text, not a
+    per-word fold); banding at 60/30 gives the curriculum tiers.
+
+    Reference scope: extends the reference's length/null text checks
+    (reference: transformers/data_transformer.py) with the readability
+    axis; brief extension (quality scoring)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_words = token_count("text").cast("long")
+    n_sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count("text", F.lit(r"[.!?]+")).cast("long"),
+    )
+    n_syllables = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("long"),
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    flesch = (
+        F.lit(206835).cast("long")
+        - F.expr("(1015 * n_words) div n_sentences")
+        - F.expr("(84600 * n_syllables) div n_words")
+    ).cast("long")
+    return (
+        base.withColumn("flesch_milli", flesch)
+        .withColumn(
+            "band",
+            F.when(F.col("flesch_milli") >= 60000, "easy")
+            .when(F.col("flesch_milli") >= 30000, "medium")
+            .otherwise("hard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q146_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_words,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS n_sentences,
+           greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+               ::BIGINT AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (206835 - ((1015 * n_words) // n_sentences)
+               - ((84600 * n_syllables) // n_words))::BIGINT
+           AS flesch_milli,
+       CASE WHEN (206835 - ((1015 * n_words) // n_sentences)
+                         - ((84600 * n_syllables) // n_words)) >= 60000
+            THEN 'easy'
+            WHEN (206835 - ((1015 * n_words) // n_sentences)
+                         - ((84600 * n_syllables) // n_words)) >= 30000
+            THEN 'medium'
+            ELSE 'hard' END AS band
+FROM base
+WHERE n_words >= 1
+ORDER BY doc_id
+"""
+
+QUERIES["q146_readability"] = q146_readability
+ORACLES["q146_readability"] = Q146_ORACLE
