@@ -1524,6 +1524,180 @@ ORDER BY 1
 """
 
 
+# --- q147: one-scan column-statistics profiler (ANALYZE TABLE twin) ----------
+
+_Q147_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q147_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics for every orders column from ONE scan,
+    with the NDV sketch under the hash gate: the row is stacked to
+    (column, value-as-string) pairs (one Generate, 6x fan-out), rolled
+    to the (column, value) distinct grain, and ONE two-level agg chain
+    (the q132 shape) produces per column: row/null counts, exact NDV,
+    the portable-HLL register NDV estimate (md5/bit math — the
+    statistic a CBO keeps when exact NDV is too expensive), and
+    min/max. This is the stats collector that feeds q140-style join
+    planning: at 100 TB you run THIS once per partition-batch and
+    keep registers (mergeable by MAX) instead of re-profiling.
+
+    Column values stringify deterministically in both engines for
+    every type used here (BIGINT/VARCHAR/DATE/DECIMAL(18,2)/INT —
+    decimal keeps its scale in both; no DOUBLE column is profiled,
+    float-to-string is the one formatting the engines disagree on).
+
+    Reference scope: the reference's quality checks count nulls one
+    column at a time with separate queries (reference:
+    warehouse/quality_checks.sql); this is the one-pass superset."""
+    from ..operators import sketches
+
+    orders = load_table(spark, "orders", sf_dir, columns=list(_Q147_COLS))
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _Q147_COLS
+    )
+    stacked = orders.select(
+        F.expr(
+            f"stack({len(_Q147_COLS)}, {stack_args}) AS (col_name, val)"
+        )
+    )
+    grouped = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val")
+    )
+    idx, rho = sketches.hll_register_cols("val")
+    level1 = (
+        grouped.select(
+            "col_name",
+            "val",
+            "n_val",
+            F.coalesce(idx, F.lit(0)).alias("hll_idx"),
+            rho,
+        )
+        .groupBy("col_name", "hll_idx")
+        .agg(
+            F.max("hll_rho").alias("m_j"),
+            F.sum("n_val").cast("long").alias("n_rows_part"),
+            F.sum(F.when(F.col("val").isNull(), F.col("n_val")).otherwise(0))
+            .cast("long")
+            .alias("n_nulls_part"),
+            F.count(F.col("val")).cast("long").alias("ndv_part"),
+            F.min("val").alias("min_part"),
+            F.max("val").alias("max_part"),
+        )
+    )
+    # the register estimate folds into the SAME level-2 agg (count and
+    # sum skip null m_j rows natively) — a separate hll_estimate branch
+    # would filter m_j in one consumer only and re-run level1's whole
+    # lineage (splitter class 1); one agg chain keeps it ONE scan
+    totals = level1.groupBy("col_name").agg(
+        F.sum("n_rows_part").cast("long").alias("n_rows"),
+        F.sum("n_nulls_part").cast("long").alias("n_nulls"),
+        F.sum("ndv_part").cast("long").alias("exact_ndv"),
+        F.count("m_j").cast("int").alias("n_registers_hit"),
+        F.sum(F.expr("shiftleft(1L, 53 - m_j)")).alias("s_present"),
+        F.min("min_part").alias("min_val"),
+        F.max("max_part").alias("max_val"),
+    )
+    sketch_sum = (
+        F.col("s_present")
+        + (F.lit(256) - F.col("n_registers_hit")).cast("long")
+        * F.lit(1 << 53).cast("long")
+    ).alias("sketch_sum")
+    return (
+        totals.select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "exact_ndv",
+            "n_registers_hit",
+            sketch_sum,
+            "min_val",
+            "max_val",
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "exact_ndv",
+            "n_registers_hit",
+            "sketch_sum",
+            (
+                F.lit(sketches.HLL_EST_NUMERATOR)
+                / F.col("sketch_sum").cast("double")
+            ).alias("hll_estimate"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("col_name")
+    )
+
+
+_Q147_STACK_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, {c}::VARCHAR AS val FROM orders"
+    for c in _Q147_COLS
+)
+
+Q147_ORACLE = f"""
+WITH stacked AS ({_Q147_STACK_SQL}),
+grouped AS (
+    SELECT col_name, val, COUNT(*)::BIGINT AS n_val
+    FROM stacked GROUP BY 1, 2
+),
+hashed AS (
+    SELECT col_name, val, n_val,
+           CASE WHEN val IS NULL THEN NULL
+                ELSE ('0x' || substring(md5('hll' || val), 1, 15))::BIGINT
+           END AS h
+    FROM grouped
+),
+rowsx AS (
+    SELECT col_name, val, n_val,
+           COALESCE((h & 255)::INT, 0) AS hll_idx,
+           CASE WHEN h IS NULL THEN NULL
+                WHEN (h >> 8) = 0 THEN 53
+                ELSE 53 - length(bin(h >> 8)) END AS rho
+    FROM hashed
+),
+level1 AS (
+    SELECT col_name, hll_idx,
+           MAX(rho)::INT AS m_j,
+           SUM(n_val)::BIGINT AS n_rows_part,
+           SUM(CASE WHEN val IS NULL THEN n_val ELSE 0 END)::BIGINT
+               AS n_nulls_part,
+           COUNT(val)::BIGINT AS ndv_part,
+           MIN(val) AS min_part,
+           MAX(val) AS max_part
+    FROM rowsx GROUP BY 1, 2
+),
+totals AS (
+    SELECT col_name,
+           SUM(n_rows_part)::BIGINT AS n_rows,
+           SUM(n_nulls_part)::BIGINT AS n_nulls,
+           SUM(ndv_part)::BIGINT AS exact_ndv,
+           COUNT(m_j)::INT AS n_registers_hit,
+           (SUM(CASE WHEN m_j IS NOT NULL
+                     THEN 1::BIGINT << (53 - m_j) END)
+            + (256 - COUNT(m_j)) * 9007199254740992)::BIGINT AS sketch_sum,
+           MIN(min_part) AS min_val,
+           MAX(max_part) AS max_val
+    FROM level1 GROUP BY 1
+)
+SELECT col_name, n_rows, n_nulls, exact_ndv,
+       n_registers_hit, sketch_sum,
+       {sketches_mod.HLL_EST_NUMERATOR!r} / sketch_sum::DOUBLE
+           AS hll_estimate,
+       min_val, max_val
+FROM totals
+ORDER BY col_name
+"""
+
+
 QUERIES = {
     "q53_order_value_quantiles": q53_order_value_quantiles,
     "q132_hll_register_sketch": q132_hll_register_sketch,
@@ -1534,6 +1708,7 @@ QUERIES = {
     "q140_join_size_sketch": q140_join_size_sketch,
     "q142_kmv_audience_overlap": q142_kmv_audience_overlap,
     "q145_sketch_threshold_filter": q145_sketch_threshold_filter,
+    "q147_column_stats": q147_column_stats,
     "q57_status_pivot": q57_status_pivot,
     "q58_status_unpivot": q58_status_unpivot,
     "q60_grouping_sets": q60_grouping_sets,
@@ -1559,4 +1734,5 @@ ORACLES = {
     "q140_join_size_sketch": Q140_ORACLE,
     "q142_kmv_audience_overlap": Q142_ORACLE,
     "q145_sketch_threshold_filter": Q145_ORACLE,
+    "q147_column_stats": Q147_ORACLE,
 }

@@ -79,7 +79,7 @@ ORACLES.update(tpch3.ORACLES)
 # tokenizer application, q136-q138 portable Bloom/qhist/count-min,
 # q139 rolling distinct, q140 join-size estimation, q141 SFT format,
 # q142 KMV overlap, q143 label propagation, q144 stratified sample,
-# q145 sketch-threshold filter, q146 readability),
+# q145 sketch-threshold filter, q146 readability, q147 column stats),
 # then the 27 entries whose latest driver row
 # is r5 (they ceded slots to q117-q127 last round), then the oldest
 # r6 entries to fill the 50-slot budget. Entries outside the window
@@ -108,6 +108,7 @@ _WINDOW_FIRST = [
     "q144_stratified_sample",
     "q145_sketch_threshold_filter",
     "q146_readability",
+    "q147_column_stats",
     # r5-stale (ceded their slots in round 7), insertion order
     "q24_minhash_lsh_dedup",
     "q25_simhash_pairs",
@@ -140,8 +141,7 @@ _WINDOW_FIRST = [
     "q30_sessionization",
     "q52_corpus_funnel",
     "q53_order_value_quantiles",
-    "q57_status_pivot",
-    # q58/q60..q69 (r6-green) ceded their slots to q136-q146; next rotation
+    # q57/q58/q60..q69 (r6-green) ceded their slots to q136-q147; next rotation
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
