@@ -1536,6 +1536,52 @@ _Q147_COLS = [
 ]
 
 
+
+def column_stats_parts(df, cols: list[str]) -> DataFrame:
+    """(col_name, hll_idx)-grain partial statistics for a batch of
+    rows — q147's level-1 state, exposed so incremental maintenance is
+    a pinned contract (TestColumnStatsMerge): partials from disjoint
+    row slices MERGE exactly (register m_j by MAX; row/null/NDV-part
+    counts by SUM over the re-grouped value grain; min/max by
+    MIN/MAX), so at 100 TB re-profiling after an append is
+    O(batch) + a panel-sized merge, never a full rescan. NDV partials
+    are only additive at the (col, value) grain, so cross-batch NDV
+    merging goes through the register estimate (values seen in two
+    batches would double-count in exact_ndv — the estimate, not the
+    exact count, is the mergeable statistic; same tradeoff as every
+    sketch in the panel)."""
+    from ..operators import sketches
+
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
+    )
+    grouped = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val")
+    )
+    idx, rho = sketches.hll_register_cols("val")
+    return (
+        grouped.select(
+            "col_name",
+            "val",
+            "n_val",
+            F.coalesce(idx, F.lit(0)).alias("hll_idx"),
+            rho,
+        )
+        .groupBy("col_name", "hll_idx")
+        .agg(
+            F.max("hll_rho").alias("m_j"),
+            F.sum("n_val").cast("long").alias("n_rows_part"),
+            F.sum(F.when(F.col("val").isNull(), F.col("n_val")).otherwise(0))
+            .cast("long")
+            .alias("n_nulls_part"),
+            F.count(F.col("val")).cast("long").alias("ndv_part"),
+            F.min("val").alias("min_part"),
+            F.max("val").alias("max_part"),
+        )
+    )
+
+
 def q147_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-TABLE statistics for every orders column from ONE scan,
     with the NDV sketch under the hash gate: the row is stacked to
@@ -1559,38 +1605,7 @@ def q147_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketches
 
     orders = load_table(spark, "orders", sf_dir, columns=list(_Q147_COLS))
-    stack_args = ", ".join(
-        f"'{c}', CAST({c} AS STRING)" for c in _Q147_COLS
-    )
-    stacked = orders.select(
-        F.expr(
-            f"stack({len(_Q147_COLS)}, {stack_args}) AS (col_name, val)"
-        )
-    )
-    grouped = stacked.groupBy("col_name", "val").agg(
-        F.count(F.lit(1)).cast("long").alias("n_val")
-    )
-    idx, rho = sketches.hll_register_cols("val")
-    level1 = (
-        grouped.select(
-            "col_name",
-            "val",
-            "n_val",
-            F.coalesce(idx, F.lit(0)).alias("hll_idx"),
-            rho,
-        )
-        .groupBy("col_name", "hll_idx")
-        .agg(
-            F.max("hll_rho").alias("m_j"),
-            F.sum("n_val").cast("long").alias("n_rows_part"),
-            F.sum(F.when(F.col("val").isNull(), F.col("n_val")).otherwise(0))
-            .cast("long")
-            .alias("n_nulls_part"),
-            F.count(F.col("val")).cast("long").alias("ndv_part"),
-            F.min("val").alias("min_part"),
-            F.max("val").alias("max_part"),
-        )
-    )
+    level1 = column_stats_parts(orders, _Q147_COLS)
     # the register estimate folds into the SAME level-2 agg (count and
     # sum skip null m_j rows natively) — a separate hll_estimate branch
     # would filter m_j in one consumer only and re-run level1's whole

@@ -191,3 +191,52 @@ class TestSketchPlanReuse:
             "FileScan parquet"
         )
         assert "CartesianProduct" not in plan
+
+
+class TestColumnStatsMerge:
+    """q147's level-1 partials must merge exactly across disjoint row
+    slices — the incremental re-profiling contract: register m_j by
+    MAX, counts by SUM, min/max by MIN/MAX equal a one-shot profile
+    of the union (exact-NDV partials are value-grain and NOT in this
+    contract — the register estimate is the mergeable NDV)."""
+
+    def test_merged_partials_equal_full_profile(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_data_warehouse_spark.plans.olap_ext import (
+            _Q147_COLS,
+            column_stats_parts,
+        )
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        orders = load_table(
+            spark, "orders", sf_dir, columns=list(_Q147_COLS)
+        )
+        a = orders.filter(F.col("o_orderkey") % 2 == 0)
+        b = orders.filter(F.col("o_orderkey") % 2 == 1)
+        merged = (
+            column_stats_parts(a, _Q147_COLS)
+            .unionByName(column_stats_parts(b, _Q147_COLS))
+            .groupBy("col_name", "hll_idx")
+            .agg(
+                F.max("m_j").alias("m_j"),
+                F.sum("n_rows_part").cast("long").alias("n_rows_part"),
+                F.sum("n_nulls_part").cast("long").alias("n_nulls_part"),
+                F.min("min_part").alias("min_part"),
+                F.max("max_part").alias("max_part"),
+            )
+        )
+        full = column_stats_parts(orders, _Q147_COLS)
+
+        def key(rows, fields):
+            return {
+                (r["col_name"], r["hll_idx"]): tuple(
+                    r[f] for f in fields
+                )
+                for r in rows
+            }
+
+        fields = ["m_j", "n_rows_part", "n_nulls_part", "min_part", "max_part"]
+        assert key(merged.collect(), fields) == key(
+            full.collect(), fields
+        )
