@@ -952,9 +952,10 @@ def main() -> None:
     if xl is not None:
         detail["scale_xl"] = xl
         # XL runs are opt-in; record them in their own committed file so
-        # a later non-XL bench run can't erase the 1M evidence.
-        with open(os.path.join(here, "BENCH_XL.json"), "w") as fh:
-            json.dump(xl, fh, indent=1)
+        # a later non-XL bench run can't erase the 1M evidence. Merge
+        # over the existing document (doc.update) so sections written by
+        # other producers (tools/xl_sketch.py's 'sketch_panel') survive.
+        _merge_bench_xl(here, xl)
     else:
         # surface the last recorded XL run in the detail file
         xl_path = os.path.join(here, "BENCH_XL.json")
@@ -975,6 +976,24 @@ def main() -> None:
     print(line)
 
 
+def _merge_bench_xl(here: str, xl: dict) -> None:
+    """Update BENCH_XL.json in place instead of overwriting it: keys the
+    current run did not produce (e.g. tools/xl_sketch.py's
+    'sketch_panel', tools/xl_registry.py's 'registry_at_n') persist, so
+    no later run can erase earlier 1M evidence."""
+    path = os.path.join(here, "BENCH_XL.json")
+    doc: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            doc = {}
+    doc.update(xl)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+
+
 def xl_only_main(n_docs: int) -> None:
     """Fresh-session XL run (`python bench.py --xl-only [n_docs]`):
     the CLAUDE.md drift rule applied to the 1M record — a dedicated
@@ -987,8 +1006,7 @@ def xl_only_main(n_docs: int) -> None:
     xl = _xl_section(spark, n_docs)
     xl["method"] = "fresh_session_single_run"
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_XL.json"), "w") as fh:
-        json.dump(xl, fh, indent=1)
+    _merge_bench_xl(here, xl)
     print(json.dumps({
         "metric": "xl_fresh_session",
         "n_docs": n_docs,

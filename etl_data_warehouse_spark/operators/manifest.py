@@ -23,7 +23,7 @@ the rest ``N div k`` — so decile assignment needs no global window
 either, only the same keyed rank.
 
 No reference twin: the reference's pandas pipeline sorts in memory
-(reference: transformers/sales_transformer.py sorts a single frame);
+(reference: transformers/data_transformer.py sorts a single frame);
 this operator exists for the corpus scale the reference never reaches.
 """
 
@@ -48,6 +48,13 @@ def keyed_global_rank(
     descending with ``key_desc=True``): x.key < y.key must imply x
     precedes y (resp. follows). ``order_cols`` complete the order
     within a key and must form a total order there.
+
+    REQUIRES ``key`` to be NON-NULL on every row: the numbering join
+    back to the broadcast offsets frame is an equi-join, so NULL-keyed
+    rows would silently vanish from the manifest (the counts groupBy
+    keeps a null group but the equi-join never matches it). Callers
+    with nullable keys must filter or coalesce them first; derived
+    keys (bucket ids, md5 ranks) are non-null by construction.
 
     Cost shape: df is consumed TWICE (per-key counts + the numbering
     join) — the stat pass + data pass of a histogram sort, which is

@@ -332,7 +332,11 @@ def bloom_probe(
     bitmap: DataFrame,
     m_bits: int = BLOOM_BITS,
 ) -> DataFrame:
-    """Probe verdicts: input rows + ``bloom_pass`` (all k bits set).
+    """Probe verdicts per DISTINCT key: ``(key_col, bloom_pass)`` with
+    one row per distinct probe key (all k bits set). NOT row-preserving:
+    non-key columns are projected away and duplicate keys collapse in
+    the final groupBy — callers holding enriched/duplicated probe
+    frames should probe the distinct keys and join the verdict back.
     The bitmap join is BROADCAST; a missing word row means no key ever
     touched that word (bit unset)."""
     pos = probes.select(key_col, *bloom_positions(key_col, m_bits=m_bits))
@@ -374,10 +378,25 @@ _QH_SUB_BITS = 5  # 32 linear sub-buckets per power-of-two tier
 _QH_EXACT_BELOW = 1 << (_QH_SUB_BITS + 1)  # 64
 
 
-def qhist_bucket(v) -> F.Column:
-    """Log-linear bucket id of a positive BIGINT column; monotonic in
-    v, invertible to the bucket's lower bound via qhist_lower."""
-    vv = F.col(v) if isinstance(v, str) else v
+def _col_name(col) -> str:
+    """These helpers splice the column into F.expr text, so they take
+    plain column NAMES only — reflecting SQL text out of a computed
+    Column (Column._jc) breaks under Spark Connect and can silently
+    build unparseable SQL. Alias computed expressions first."""
+    if not isinstance(col, str):
+        raise TypeError(
+            "qhist_bucket/qhist_lower take a column NAME (str); alias "
+            f"computed expressions first (got {type(col).__name__})"
+        )
+    return col
+
+
+def qhist_bucket(v: str) -> F.Column:
+    """Log-linear bucket id of a positive BIGINT column (by NAME);
+    monotonic in v, invertible to the bucket's lower bound via
+    qhist_lower."""
+    name = _col_name(v)
+    vv = F.col(name)
     high = F.length(F.bin(vv))
     shift = high - F.lit(_QH_SUB_BITS + 1)
     return (
@@ -385,27 +404,20 @@ def qhist_bucket(v) -> F.Column:
         .otherwise(
             shift * F.lit(1 << _QH_SUB_BITS)
             + F.expr(
-                f"shiftright({_col_sql(vv)}, "
-                f"length(bin({_col_sql(vv)})) - {_QH_SUB_BITS + 1})"
+                f"shiftright({name}, "
+                f"length(bin({name})) - {_QH_SUB_BITS + 1})"
             )
         )
         .cast("long")
     )
 
 
-def _col_sql(col: F.Column) -> str:
-    # F.expr needs the column's SQL text; restrict helper usage to
-    # simple named columns to keep that well-defined
-    name = col._jc.toString()
-    return name
-
-
-def qhist_lower(b) -> F.Column:
-    """Lower bound of a bucket id (exact inverse of qhist_bucket's
-    truncation): b < 64 -> b; else tier = b div 32 - 1,
+def qhist_lower(b: str) -> F.Column:
+    """Lower bound of a bucket id column (by NAME; exact inverse of
+    qhist_bucket's truncation): b < 64 -> b; else tier = b div 32 - 1,
     mantissa = b - tier*32, bound = mantissa << tier."""
-    bb = F.col(b) if isinstance(b, str) else b
-    name = _col_sql(bb)
+    name = _col_name(b)
+    bb = F.col(name)
     return (
         F.when(bb < _QH_EXACT_BELOW, bb)
         .otherwise(
@@ -551,9 +563,12 @@ def cm_estimate(
     w: int = CM_W,
     d: int = CM_D,
 ) -> DataFrame:
-    """Probe rows + ``cm_est`` = min over rows of the counter. The
-    state join is BROADCAST (d*w cells); a missing cell means no key
-    ever hashed there (counter 0)."""
+    """DISTINCT probe rows + ``cm_est`` = min over the d counter rows.
+    NOT row-preserving: the final groupBy is over ALL probe columns, so
+    duplicate probe rows collapse to one verdict row — callers holding
+    duplicated probe frames should probe distinct rows and join back.
+    The state join is BROADCAST (d*w cells); a missing cell means no
+    key ever hashed there (counter 0)."""
     ppos = probes.select(
         "*",
         F.explode(

@@ -1601,7 +1601,8 @@ def q147_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference scope: the reference's quality checks count nulls one
     column at a time with separate queries (reference:
-    warehouse/quality_checks.sql); this is the one-pass superset."""
+    airflow/dags/data_quality_check.py); this is the one-pass
+    superset."""
     from ..operators import sketches
 
     orders = load_table(spark, "orders", sf_dir, columns=list(_Q147_COLS))

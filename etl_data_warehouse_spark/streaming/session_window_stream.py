@@ -8,7 +8,7 @@ event-time watermark passes ``session_end + gap`` (append mode).
 
 Parity with the reference (SURVEY.md §2.9): the reference has no
 streaming engine at all — its sessionization is a batch pandas groupby
-(reference: transformers/event_transformer.py) — so this is the
+(reference: transformers/data_transformer.py) — so this is the
 Spark-first superset: identical session semantics, incremental
 execution, bounded state.
 
