@@ -126,3 +126,53 @@ def rolling_hash(col_name: str, max_chars: int = 256) -> Column:
         f"i -> ascii(substring({s}, i, 1))), 0L, "
         f"(acc, x) -> (acc * 31 + x) % 1000000007)"
     )
+
+
+# --- HTML / boilerplate stripping (web-corpus curation) -----------------------
+# The standard first stage of a CommonCrawl-style text pipeline: drop
+# script/style blocks, drop markup tags, decode the common entities,
+# collapse whitespace. Pure Catalyst regexp/replace chain (codegen'd,
+# no UDF); the DuckDB twin below runs the IDENTICAL pattern sequence so
+# cleaned text hashes bit-for-bit in both engines. Patterns stay inside
+# the RE2 ∩ Java-regex common subset ((?s) inline flag, non-greedy .*?,
+# ASCII \s) — Spark regexp_replace is replace-all by default, DuckDB
+# needs the 'g' flag.
+
+# decode &amp; LAST (standard order — decoding it first would
+# double-decode strings like '&amp;lt;').
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+_SCRIPT_STYLE_RE = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+_TAG_RE = r"<[^>]+>"
+_WS_RE = r"\s+"
+
+
+def strip_html(col: Column | str) -> Column:
+    """Cleaned visible text of an HTML document column.
+
+    Order matters: script/style bodies go first (their CONTENT must
+    vanish, not just their tags), then remaining tags become spaces
+    (so '</p><p>' never glues words), then entity decode, then
+    whitespace collapse + trim.
+    """
+    out = F.regexp_replace(_c(col), _SCRIPT_STYLE_RE, " ")
+    out = F.regexp_replace(out, _TAG_RE, " ")
+    for entity, plain in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(plain))
+    return F.trim(F.regexp_replace(out, _WS_RE, " "))
+
+
+def strip_html_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_html` (same pattern sequence; RE2
+    accepts the identical regex text; 'g' = replace-all)."""
+    out = f"regexp_replace({expr}, '{_SCRIPT_STYLE_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_TAG_RE}', ' ', 'g')"
+    for entity, plain in _HTML_ENTITIES:
+        lit = plain.replace("'", "''")
+        out = f"replace({out}, '{entity}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

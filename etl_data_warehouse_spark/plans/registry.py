@@ -25,6 +25,7 @@ from . import (
     tpch2,
     tpch3,
     warehouse,
+    web_curation,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -67,6 +68,8 @@ QUERIES.update(tpch2.QUERIES)
 ORACLES.update(tpch2.ORACLES)
 QUERIES.update(tpch3.QUERIES)
 ORACLES.update(tpch3.ORACLES)
+QUERIES.update(web_curation.QUERIES)
+ORACLES.update(web_curation.ORACLES)
 
 # --- Driver correctness window rotation (round 8) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of

@@ -1,0 +1,110 @@
+"""Web-corpus curation (q148-q150): planted-boilerplate strip proof,
+blocklist/cap semantics, and URL-parse parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_warehouse_spark.functions.text import strip_html
+from etl_data_warehouse_spark.plans import web_curation as wc
+
+
+PLANTED = [
+    # (raw html, exact expected visible text)
+    (
+        '<html><head><script>var x = "a < b";\nnav();</script>'
+        "<style>p{margin:0}</style></head><body><p>body text here</p>"
+        "</body></html>",
+        "body text here",
+    ),
+    # entity decode order: '&amp;lt;' must become the literal '&lt;'
+    # (single decode), never '<' (double decode)
+    ("<p>tricky &amp;lt; entity</p>", "tricky &lt; entity"),
+    # adjacent block tags must not glue words together
+    ("<p>one</p><p>two</p>", "one two"),
+    # nbsp + quote + amp decode and whitespace collapse
+    ("<div>a&nbsp;&nbsp;b &quot;c&quot; &amp; d\n\n e</div>", 'a b "c" & d e'),
+    # uppercase/attribute-heavy script tag variants
+    (
+        '<SCRIPT type="text/javascript">menu()</SCRIPT>visible'
+        "<style media=\"all\">.x{}</style>",
+        "visible",
+    ),
+]
+
+
+def test_strip_html_planted(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(PLANTED)], "i int, raw string"
+    )
+    got = {
+        r.i: r.clean
+        for r in df.select(
+            "i", strip_html("raw").alias("clean")
+        ).collect()
+    }
+    for i, (_, expected) in enumerate(PLANTED):
+        assert got[i] == expected, f"case {i}: {got[i]!r} != {expected!r}"
+
+
+def test_strip_html_uppercase_script_body_removed(spark):
+    # (?is): uppercase <SCRIPT> bodies are removed like lowercase ones,
+    # including content with raw '<' inside
+    raw = "<SCRIPT>a < b; junk()</SCRIPT>rest"
+    got = (
+        spark.createDataFrame([(raw,)], "raw string")
+        .select(strip_html("raw").alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert got == "rest"
+
+
+def test_domain_cap_and_blocklist(spark):
+    sf = "/root/testdata/sf0.01"
+    kept = wc.q149_domain_cap_filter(spark, sf)
+    rows = kept.collect()
+    assert rows, "cap filter returned nothing"
+    per_host: dict[str, int] = {}
+    for r in rows:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+        assert r.dom_rank <= wc._DOMAIN_CAP
+    assert max(per_host.values()) <= wc._DOMAIN_CAP
+
+    report = wc.q148_domain_curation_report(spark, sf).collect()
+    blocked = {r.host for r in report if r.is_blocked}
+    assert blocked, "blocklist rule selected no hosts at sf0.01"
+    assert not (blocked & set(per_host)), "blocked host survived the anti-join"
+    # the cap must actually bind somewhere: some unblocked host has
+    # more docs than the cap and exactly cap survivors
+    capped = [
+        r.host
+        for r in report
+        if not r.is_blocked and r.n_docs > wc._DOMAIN_CAP
+    ]
+    assert capped and all(per_host[h] == wc._DOMAIN_CAP for h in capped)
+
+
+def test_parse_url_host_parity(spark):
+    # parse_url(HOST) must recover exactly the host doc_url() embedded,
+    # and every tld is from the fixed pool
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = (
+        docs.select("doc_id", "source")
+        .withColumn("url", wc.doc_url())
+        .withColumn("parsed", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("split", F.split_part(F.col("url"), F.lit("/"), F.lit(3)))
+    )
+    bad = df.filter(
+        (F.col("parsed") != F.col("split"))
+        | ~F.substring_index("parsed", ".", -1).isin(*wc._TLDS)
+    ).count()
+    assert bad == 0
+
+
+def test_curation_determinism(spark):
+    # md5 rank, not rand: two runs keep the SAME docs
+    sf = "/root/testdata/sf0.001"
+    a = sorted(r.doc_id for r in wc.q149_domain_cap_filter(spark, sf).collect())
+    b = sorted(r.doc_id for r in wc.q149_domain_cap_filter(spark, sf).collect())
+    assert a == b
