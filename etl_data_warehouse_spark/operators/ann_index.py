@@ -34,7 +34,7 @@ the brief's training-data extension, composed from public methods
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .pq import (
@@ -219,4 +219,156 @@ def query_ivf_pq_index(
         refine_factor=refine_factor,
         vec_col=vec_col,
         assign_arrow=assign_arrow,
+    )
+
+
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    new_vectors: DataFrame,
+    index_dir: str,
+    threshold: float = 0.95,
+    shortlist: int | None = None,
+    assign_arrow: bool = False,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """O(batch) semantic-dedup VERDICT for a new batch against the
+    standing corpus — the embedding twin of dedup_index.incremental_dedup:
+    the persisted IVF-PQ index supplies frozen centroids and the
+    corpus's cell assignment, so the daily cost is
+    O(batch · cell_occupancy), never O(corpus).
+
+    Semantics are EXACTLY SemDeDup restricted to the batch
+    (similarity.semantic_dedup with the index's frozen centroids): a
+    new vector is dropped iff some same-cell vector with a SMALLER
+    vec_id — indexed or earlier in this batch — has exact cosine >=
+    threshold; ``dup_of`` is the smallest such id. Verdicts therefore
+    decompose: full-corpus verdicts restricted to batch rows == batch
+    verdicts (pinned by tests/test_semantic_dedup_incremental.py),
+    because a SemDeDup verdict depends only on EARLIER same-cell
+    members, never on whether those members were themselves kept.
+
+    Stages: coarse-assign the batch under the frozen centroids →
+    same-cell candidates vs the index's ``assigned`` table and the
+    batch itself → (optional) ADC shortlist → exact cosine refine
+    against raw vectors of touched candidates only (semi-join pruned
+    scan of ``corpus``) → min-earlier-id verdict.
+
+    ``shortlist=R`` prunes INDEX-side candidates per new vector to the
+    R highest ADC cosines (computed from the index's packed codes +
+    codebooks — compressed-domain, m lookup rows per pair) before the
+    exact refine: the knob for mega-cells, exact when R >= cell
+    occupancy, recall-traded below. Within-batch candidates are never
+    pruned (the batch is the small side by construction).
+
+    Re-running the verdict is idempotent, INCLUDING after the batch was
+    appended to the index (append_to_ivf_index): the batch's own rows
+    enter ``assigned`` but `earlier < vec_id` excludes self-pairs and
+    the min-aggregate dedups the doubled batch-side candidates, so the
+    earlier-id set — and the verdict — is unchanged.
+
+    Output: (vec_id, cell_id, kept, dup_of) for batch rows only.
+    """
+    from .pq import _dot, _subvectors, _vec_dim
+    from .similarity import with_norm
+
+    spark = new_vectors.sparkSession
+    idx = load_ivf_pq_index(spark, index_dir)
+    assigned_new = _assign_cells(
+        new_vectors, idx["centroids"], assign_arrow, vec_col
+    ).localCheckpoint()  # batch-sized: reused by 3 consumers
+
+    n = assigned_new.select("vec_id", "cell_id")
+    cand_idx = (
+        n.join(idx["assigned"].select(
+            F.col("vec_id").alias("earlier_id"), "cell_id"), "cell_id")
+        .filter(F.col("earlier_id") < F.col("vec_id"))
+        .select("vec_id", "cell_id", "earlier_id")
+    )
+    if shortlist is not None:
+        mm = idx["codebooks"].select(F.max("subspace")).first()[0] + 1
+        dim = _vec_dim(new_vectors, vec_col)
+        qsub = _subvectors(
+            new_vectors.select("vec_id", vec_col), mm, dim, vec_col
+        )
+        scored = (
+            cand_idx.join(
+                idx["packed"].select(
+                    F.col("vec_id").alias("earlier_id"),
+                    "code_ids",
+                    "rnorm2",
+                ),
+                "earlier_id",
+            )
+            .select(
+                "vec_id",
+                "cell_id",
+                "earlier_id",
+                "rnorm2",
+                F.posexplode("code_ids").alias("subspace", "code_id"),
+            )
+            .join(qsub, ["vec_id", "subspace"])
+            .join(F.broadcast(idx["codebooks"].select(
+                "subspace", "code_id", "cv")), ["subspace", "code_id"])
+            .groupBy("vec_id", "cell_id", "earlier_id", "rnorm2")
+            .agg(F.sum(_dot("sv", "cv")).alias("adc_dot"))
+            .withColumn(
+                "adc_cos", F.col("adc_dot") / F.sqrt(F.col("rnorm2"))
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("adc_cos").desc(), F.col("earlier_id").asc()
+        )
+        cand_idx = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= shortlist)
+            .select("vec_id", "cell_id", "earlier_id")
+        )
+    cand_new = (
+        n.join(
+            n.select(F.col("vec_id").alias("earlier_id"), "cell_id"),
+            "cell_id",
+        )
+        .filter(F.col("earlier_id") < F.col("vec_id"))
+        .select("vec_id", "cell_id", "earlier_id")
+    )
+    candidates = cand_idx.unionByName(cand_new)
+
+    # exact refine: raw vectors of TOUCHED earlier ids only (semi-join
+    # prune — the 100 TB corpus is read where candidates point, with
+    # vec_id pushed to the scan), plus the batch's own raw rows
+    touched = candidates.select(
+        F.col("earlier_id").alias("vec_id")
+    ).distinct()
+    earlier_raw = (
+        corpus.select("vec_id", vec_col)
+        .join(touched, "vec_id", "left_semi")
+        .unionByName(new_vectors.select("vec_id", vec_col))
+    )
+    ev = with_norm(earlier_raw, vec_col).select(
+        F.col("vec_id").alias("earlier_id"),
+        F.col("_v").alias("av"),
+        F.col("_norm").alias("an"),
+    )
+    nv = with_norm(new_vectors, vec_col).select(
+        "vec_id", F.col("_v").alias("bv"), F.col("_norm").alias("bn")
+    )
+    dups = (
+        candidates.join(ev, "earlier_id")
+        .join(nv, "vec_id")
+        .filter(
+            _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+            >= threshold
+        )
+        .groupBy("vec_id")
+        .agg(F.min("earlier_id").alias("dup_of"))
+    )
+    return (
+        assigned_new.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
     )
