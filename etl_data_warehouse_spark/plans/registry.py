@@ -71,80 +71,70 @@ ORACLES.update(tpch3.ORACLES)
 QUERIES.update(web_curation.QUERIES)
 ORACLES.update(web_curation.ORACLES)
 
-# --- Driver correctness window rotation (round 8) ------------------------
+# --- Driver correctness window rotation (round 9) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 7's window proved the fixed q109, the new q114-q127,
-# and 35 r4/r5-stale entries (all green). Round 8's window leads with
-# this round's NEW queries (q128 decontamination, q129/q130 sharded
-# manifest closers — registered against their global twins' oracles,
-# so their hash rows double as the sharded==global proof — q131
-# BPE trainer, q132 portable HLL, q133/q134 scored curation, q135
-# tokenizer application, q136-q138 portable Bloom/qhist/count-min,
-# q139 rolling distinct, q140 join-size estimation, q141 SFT format,
-# q142 KMV overlap, q143 label propagation, q144 stratified sample,
-# q145 sketch-threshold filter, q146 readability, q147 column stats),
-# then the 27 entries whose latest driver row
-# is r5 (they ceded slots to q117-q127 last round), then the oldest
-# r6 entries to fill the 50-slot budget. Entries outside the window
-# remain proven every round by tests/test_oracle_parity.py's
+# QUERIES. Round 9's window leads with this round's NEW entries (the
+# q148-q150 web-curation family, plus q81 — rows-only through r8,
+# now under the full hash gate via the frozen trained-quantizer
+# artifact, see llm_ops.Q81_ORACLE), then ALL 46 entries whose latest
+# driver row is r6 (q57-q80 windows/TPC-H, q82-q91 quality/CDC,
+# q99-q113 TPC-H tail + LLM-ops) — after this rotation no registry
+# entry's latest driver row is older than r7. Entries outside the
+# window remain proven every round by tests/test_oracle_parity.py's
 # full-registry sf0.001 sweep; only driver-row freshness rotates.
-# q81 stays rows-only by declared design (q94 carries the
-# composition's hash evidence — see its docstring).
 _WINDOW_FIRST = [
-    # new in round 8 — first driver rows
-    "q128_eval_decontamination",
-    "q129_sharded_curriculum",
-    "q130_sharded_dsir_manifest",
-    "q131_bpe_train_steps",
-    "q132_hll_register_sketch",
-    "q133_quality_classifier",
-    "q134_preference_pairs",
-    "q135_bpe_encode",
-    "q136_bloom_prune",
-    "q137_quantile_histogram",
-    "q138_countmin_heavy_users",
-    "q139_rolling_distinct_sketch",
-    "q140_join_size_sketch",
-    "q141_sft_format",
-    "q142_kmv_audience_overlap",
-    "q143_label_propagation",
-    "q144_stratified_sample",
-    "q145_sketch_threshold_filter",
-    "q146_readability",
-    "q147_column_stats",
-    # r5-stale (ceded their slots in round 7), insertion order
-    "q24_minhash_lsh_dedup",
-    "q25_simhash_pairs",
-    "q26_embedding_topk",
-    "q27_embedding_neardup",
-    "q28_ivf_topk",
-    "q29_doc_fingerprint",
-    "q31_event_rollup",
-    "q32_event_props_extract",
-    "q33_multimodal_features",
-    "q36_event_funnel",
-    "q37_asof_join",
-    "q38_range_join",
-    "q41_hyperplane_lsh_neardup",
-    "q43_train_test_split",
-    "q44_vocab_topk",
-    "q45_sequence_packing",
-    "q46_contamination",
-    "q55_embedding_stats",
-    "q59_dedup_clusters",
-    "q88_weighted_sample",
-    "q92_topk_sketch_rollup",
-    "q93_frame_sample",
-    "q94_ivfadc_exact",
-    "q95_dup_span_removal",
-    "q96_snapshot_diff",
-    "q97_dedup_keep_longest",
-    "q98_json_flatten",
-    # oldest r6 entries
-    "q30_sessionization",
-    "q52_corpus_funnel",
-    "q53_order_value_quantiles",
-    # q57/q58/q60..q69 (r6-green) ceded their slots to q136-q147; next rotation
+    # new in round 9 — first driver rows
+    "q148_domain_curation_report",
+    "q149_domain_cap_filter",
+    "q150_boilerplate_strip",
+    "q81_ivfadc_topk",
+    # the 46 r6-stale entries, insertion order
+    "q57_status_pivot",
+    "q58_status_unpivot",
+    "q60_grouping_sets",
+    "q61_distribution_windows",
+    "q62_tpch_q1_pricing_summary",
+    "q63_tpch_q3_shipping_priority",
+    "q64_tpch_q5_local_supplier_volume",
+    "q65_tpch_q6_forecast_revenue",
+    "q66_tpch_q10_returned_items",
+    "q67_native_session_window",
+    "q68_tpch_q4_priority_check",
+    "q69_tpch_q7_volume_shipping",
+    "q70_tpch_q8_market_share",
+    "q71_tpch_q9_product_profit",
+    "q72_tpch_q13_order_counts",
+    "q73_tpch_q14_promo_revenue",
+    "q74_tpch_q15_top_supplier",
+    "q75_tpch_q17_small_qty_revenue",
+    "q76_tpch_q18_large_orders",
+    "q77_tpch_q19_disjunctive_revenue",
+    "q78_tpch_q21_waiting_supplier",
+    "q79_tpch_q22_lapsed_customers",
+    "q80_sliding_window_activity",
+    "q82_semantic_dedup",
+    "q83_quality_rules",
+    "q84_ngram_repetition",
+    "q85_crossdoc_ngram_dup",
+    "q86_key_skew_report",
+    "q87_cdc_apply",
+    "q89_value_histogram",
+    "q90_last_touch_attribution",
+    "q91_running_balance",
+    "q99_tpch_q2_min_cost_supplier",
+    "q100_tpch_q11_important_stock",
+    "q101_tpch_q12_shipping_priority_buckets",
+    "q102_tpch_q16_supplier_count",
+    "q103_tpch_q20_dominant_supplier",
+    "q104_lm_perplexity",
+    "q105_doc_chunking",
+    "q106_entity_pagerank",
+    "q107_token_budget_plan",
+    "q108_retrieval_context",
+    "q110_embedding_outliers",
+    "q111_source_dup_profile",
+    "q112_cross_source_overlap",
+    "q113_apply_mixture_sample",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
