@@ -53,7 +53,7 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def brute_force_topk(
-    vectors: DataFrame, queries: DataFrame, k: int = 5
+    vectors: DataFrame, queries: DataFrame, k: int = 5, sort: bool = True
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every query vector.
 
@@ -63,7 +63,11 @@ def brute_force_topk(
     Scale shape: the QUERY side is broadcast (queries ≪ corpus in the
     brute-force regime), so the corpus is scanned once in place with no
     shuffle of the N×Q sims — the rank<=k filter becomes a partial
-    WindowGroupLimit, shuffling only ≤ Q·k survivors per partition."""
+    WindowGroupLimit, shuffling only ≤ Q·k survivors per partition.
+
+    ``sort=False`` skips the presentation-order global sort (one
+    rangepartitioning Exchange): pass it when the result feeds further
+    aggregation (q120's fusion) rather than a user."""
     q = with_norm(queries).select(
         F.col("vec_id").alias("src_id"),
         F.col("_v").alias("qv"),
@@ -89,11 +93,10 @@ def brute_force_topk(
     w = Window.partitionBy("src_id").orderBy(
         F.desc("cosine_sim"), F.col("neighbor_id")
     )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .orderBy("src_id", "rank")
+    out = sims.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
     )
+    return out.orderBy("src_id", "rank") if sort else out
 
 
 def cosine_neardup_pairs(

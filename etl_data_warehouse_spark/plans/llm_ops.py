@@ -2581,22 +2581,32 @@ def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     additions in a fixed order — bit-exact cross-engine without any
     rounding policy.
 
-    Plan shape (the r7 PLAN_AUDIT diet — was 6 scans / 4 explodes /
-    10 exchanges): the corpus is tokenized ONCE; per-doc distinct-token
-    counts ride the token rows as a doc-partitioned window sum (q119's
-    `dl` trick) instead of a separate corpus-sized `ntok` frame, and
-    the query side is a pruned 10-doc scan broadcast into the posting
-    join, carrying its own `qn`. Both Jaccard denominator inputs are
-    then AGG OUTPUTS of the one pair aggregation, so the two
-    corpus-sized enrichment joins of the first cut disappear — one full
-    corpus scan per arm is the 100 TB plan."""
+    Plan shape (r7 cut 6 scans/10 exchanges to 4/8; r9 to 4/6): the
+    corpus is tokenized ONCE; per-doc distinct-token counts ride the
+    token rows as a doc-partitioned window sum (q119's `dl` trick)
+    instead of a separate corpus-sized `ntok` frame; the dense arm
+    skips brute_force_topk's presentation sort (sort=False — the
+    fusion re-aggregates anyway); and ONE qid repartition serves both
+    the fusion aggregate (hashpartitioning(qid) satisfies the agg's
+    (qid, doc_id) clustering by the subset rule) and the fused-rank
+    window. Both Jaccard denominator inputs are AGG OUTPUTS of the one
+    pair aggregation, so no corpus-sized enrichment joins remain.
+
+    Why the audit still counts 4 FileScans: each table is scanned
+    fully ONCE (corpus arm) plus once PRUNED TO THE QUERY BATCH
+    (`vec_id < NQ` / `doc_id < NQ` reach the parquet scan as pushed
+    filters — an O(|Q|) read). Deriving the query side from the corpus
+    arm's Exchange instead would replace that O(|Q|) pruned read with
+    an O(corpus) shuffle re-read on the broadcast build path — worse
+    at 100 TB, so the two pruned scans are the plan you want; no
+    corpus-sized scan runs twice."""
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
     docs = load_table(spark, "documents", sf_dir)
 
     dense = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < _RRF_NQ), k=_RRF_POOL
+        emb, emb.filter(F.col("vec_id") < _RRF_NQ), k=_RRF_POOL, sort=False
     ).select(
         F.col("src_id").alias("qid"),
         F.col("neighbor_id").alias("doc_id"),
@@ -2664,6 +2674,12 @@ def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lex_rank",
             )
         )
+        # ONE qid Exchange serves both the pair aggregation and the
+        # fused-rank window below it: hashpartitioning(qid) satisfies
+        # the agg's ClusteredDistribution(qid, doc_id) (subset rule),
+        # so the explicit repartition replaces the planner's separate
+        # (qid, doc_id) and (qid) Exchanges
+        .repartition("qid")
         .groupBy("qid", "doc_id")
         .agg(
             F.max("dense_rank").alias("dense_rank"),
