@@ -1267,53 +1267,60 @@ def q142_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     hashed = users.select("event_type", h.alias("h")).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
+    # signatures RE-PACKED AS SORTED ARRAYS (the dedup.verify_pairs
+    # discipline): one T-row frame carries each type's whole signature,
+    # so union/kth/match below are per-row ARRAY EXPRESSIONS on the
+    # C(T,2) pair frame — r8's row-form derived them through separate
+    # windows/distincts and re-exchanged the KB-sized frames 17 times.
+    # The groupBy reuses the sig window's event_type partitioning (no
+    # new Exchange); array lambdas are interpreted, but the frame is
+    # C(T,2) rows of <= 2k values — never a hot path at any corpus
+    # size (the fact contributes only the one distinct shuffle above).
     sig = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("sig"))
     )
-    types = sig.select("event_type").distinct()
-    pairs = types.select(F.col("event_type").alias("type_a")).join(
-        F.broadcast(types.select(F.col("event_type").alias("type_b"))),
-        F.col("type_a") < F.col("type_b"),
-    )
-    both_sigs = pairs.join(
-        sig.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha")),
-        "type_a",
+    pairs = sig.select(
+        F.col("event_type").alias("type_a"), F.col("sig").alias("sa")
     ).join(
         F.broadcast(
             sig.select(
-                F.col("event_type").alias("type_b"), F.col("h").alias("hb")
+                F.col("event_type").alias("type_b"), F.col("sig").alias("sb")
             )
         ),
-        "type_b",
+        F.col("type_a") < F.col("type_b"),
     )
-    # union signature: k smallest distinct values of ha  U  hb per pair
-    uni = (
-        both_sigs.select("type_a", "type_b", F.col("ha").alias("h"))
-        .union(both_sigs.select("type_a", "type_b", F.col("hb").alias("h")))
-        .distinct()
-    )
-    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
-    wall = Window.partitionBy("type_a", "type_b")
     # small-signature regime (Beyer et al. 2007): if the union has
     # fewer than k values the signature IS the full set and every
-    # estimate below becomes exact — take the m-th value, m=min(k,n)
+    # estimate below becomes exact — take the m-th value, m=min(k,n);
+    # matches = signature values present in BOTH sides, <= the kth min
     kth = (
-        uni.withColumn("rn", F.row_number().over(wu))
-        .withColumn("n_uni", F.count(F.lit(1)).over(wall).cast("int"))
-        .filter(
-            F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_uni"))
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.array_sort(F.array_union("sa", "sb")).alias("uni"),
+            F.array_intersect("sa", "sb").alias("common"),
         )
-        .select("type_a", "type_b", F.col("h").alias("kth_min"), "n_uni")
-    )
-    # signature values present in BOTH sides, at or below the kth min
-    matches = (
-        both_sigs.filter(F.col("ha") == F.col("hb"))
-        .join(F.broadcast(kth), ["type_a", "type_b"])
-        .filter(F.col("ha") <= F.col("kth_min"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_matches"))
+        .select(
+            "type_a",
+            "type_b",
+            F.element_at(
+                "uni", F.least(F.lit(_KMV_K), F.size("uni"))
+            ).alias("kth_min"),
+            F.size("uni").cast("int").alias("n_uni"),
+            "common",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "kth_min",
+            "n_uni",
+            F.size(F.filter("common", lambda x: x <= F.col("kth_min")))
+            .cast("int")
+            .alias("n_matches"),
+        )
     )
     exact = (
         users.select(F.col("event_type").alias("type_a"), "user_id")
@@ -1335,9 +1342,7 @@ def q142_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_KMV_K), F.col("n_uni")
     ).cast("double")
     return (
-        kth.join(matches, ["type_a", "type_b"], "left")
-        .na.fill({"n_matches": 0})
-        .join(exact, ["type_a", "type_b"])
+        kth.join(exact, ["type_a", "type_b"])
         .select(
             "type_a",
             "type_b",
