@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "q137_quantile_histogram",
     "q139_rolling_distinct_sketch",
     "q141_sft_format",
+    # round 9 additions (web-curation family: host-grain report, ONE-
+    # scan blocklist+cap filter, zero-shuffle boilerplate strip — all
+    # linear scale paths)
+    "q148_domain_curation_report",
+    "q149_domain_cap_filter",
+    "q150_boilerplate_strip",
 ]
 
 
