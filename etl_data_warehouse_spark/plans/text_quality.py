@@ -283,10 +283,15 @@ def q84_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2021 §A1.1; RefinedWeb carries the same family): 1 − distinct/
     total over word 2-grams and 3-grams — the standard boilerplate /
     template-spam signal a pretraining filter thresholds on. Pure
-    per-row projection (zero shuffles): the n-gram arrays are built and
-    reduced inside one expression, never exploded."""
+    per-row projection: the n-gram arrays are built and reduced inside
+    one expression, never exploded. Repartitioned at entry — the
+    testdata parquet is a single row group and the interpreted gram
+    lambdas are CPU-heavy, so without it ONE task runs the whole
+    corpus (9.8s -> ~1s at sf0.001; a real multi-file corpus scan
+    parallelizes by itself)."""
     docs = load_table(spark, "documents", sf_dir)
-    out = docs.select("doc_id", "text")
+    para = spark.sparkContext.defaultParallelism
+    out = docs.select("doc_id", "text").repartition(para)
     for n in (2, 3):
         grams = word_ngrams("text", n)
         total = F.size(grams).cast("long")
