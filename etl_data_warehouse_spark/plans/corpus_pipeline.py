@@ -44,13 +44,27 @@ def run_corpus_pipeline(
     out_dir: str,
     pack_budget: int = 512,
     contamination_threshold: float = 0.5,
+    curate: bool = False,
+    domain_cap: int | None = None,
 ) -> dict:
     """Run the corpus pipeline into ``out_dir``; returns the audit
-    summary. Idempotent: re-running changes nothing."""
+    summary. Idempotent: re-running changes nothing.
+
+    ``curate=True`` prepends the URL/domain curation stage (q148/q149
+    semantics, plans/web_curation.curate_documents): blocklisted hosts
+    dropped and, with ``domain_cap``, at most that many docs kept per
+    host — the position URL filtering holds in a real crawl pipeline.
+    The audit then carries ``curation_dropped``."""
     os.makedirs(out_dir, exist_ok=True)
     started = datetime.datetime.now()
     docs = load_table(spark, "documents", sf_dir)
     n_ingested = docs.count()
+    curation_dropped = 0
+    if curate:
+        from .web_curation import curate_documents
+
+        docs = curate_documents(docs, domain_cap=domain_cap).drop("host")
+        curation_dropped = n_ingested - docs.count()
 
     # --- gate + canonical dedup into the clean-corpus sink -------------
     cleaned = clean_document_stream(docs)  # stateless: batch == stream
@@ -135,6 +149,7 @@ def run_corpus_pipeline(
         "started": started.isoformat(),
         "finished": datetime.datetime.now().isoformat(),
         "records_ingested": n_ingested,
+        "curation_dropped": curation_dropped,
         "new_clean_docs": n_new,
         "clean_corpus_size": n_clean,
         "split_counts": split_counts,

@@ -342,6 +342,42 @@ ORDER BY doc_id
 """
 
 
+# --- reusable curation transform (corpus-pipeline entry stage) ---------------
+
+
+def curate_documents(
+    docs: DataFrame, domain_cap: int | None = _DOMAIN_CAP
+) -> DataFrame:
+    """q148/q149 as a REUSABLE transform for pipeline composition
+    (plans/corpus_pipeline.py runs it as the ingest-side stage, the
+    position URL filtering holds in a real crawl pipeline): derive
+    url/host, drop blocklisted hosts, cap docs per host by the
+    deterministic md5 rank. Input: any frame with (doc_id, source,
+    ...); output: input columns + host, minus blocklisted/over-cap
+    rows. Same plan shape as q149 (one host-keyed Exchange shared by
+    the rank window; blocklist rule applied as a direct filter here —
+    no derivation pass needed when the rule, not a frame, is the
+    source of truth)."""
+    hosted = docs.withColumn("url", doc_url()).withColumn(
+        "host", F.split_part(F.col("url"), F.lit("/"), F.lit(3))
+    )
+    kept = hosted.filter(~blocklisted("host")).drop("url")
+    if domain_cap is None:
+        return kept
+    rank = F.row_number().over(
+        Window.partitionBy("host").orderBy(
+            hash_bucket("doc_id", "domcap", 1_000_000).asc(),
+            F.col("doc_id").asc(),
+        )
+    )
+    return (
+        kept.repartition("host")
+        .withColumn("_dr", rank)
+        .filter(F.col("_dr") <= domain_cap)
+        .drop("_dr")
+    )
+
+
 QUERIES = {
     "q148_domain_curation_report": q148_domain_curation_report,
     "q149_domain_cap_filter": q149_domain_cap_filter,

@@ -108,3 +108,40 @@ def test_curation_determinism(spark):
     a = sorted(r.doc_id for r in wc.q149_domain_cap_filter(spark, sf).collect())
     b = sorted(r.doc_id for r in wc.q149_domain_cap_filter(spark, sf).collect())
     assert a == b
+
+
+def test_curate_documents_matches_q149(spark):
+    # the reusable transform keeps EXACTLY the q149 verdict set at the
+    # same cap (the query derives the blocklist as a frame; the
+    # transform applies the rule directly — same rule, same survivors)
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        r.doc_id
+        for r in wc.curate_documents(docs, domain_cap=wc._DOMAIN_CAP)
+        .select("doc_id")
+        .collect()
+    )
+    want = sorted(
+        r.doc_id for r in wc.q149_domain_cap_filter(spark, sf).collect()
+    )
+    assert got == want
+
+
+def test_corpus_pipeline_with_curation(spark, tmp_path):
+    from etl_data_warehouse_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    audit = run_corpus_pipeline(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path / "corpus_curated"),
+        curate=True,
+        domain_cap=wc._DOMAIN_CAP,
+    )
+    assert audit["status"] == "SUCCESS"
+    assert audit["curation_dropped"] > 0
+    docs = spark.read.parquet(f"/root/testdata/sf0.001/documents.parquet")
+    expected_kept = wc.curate_documents(docs, domain_cap=wc._DOMAIN_CAP).count()
+    assert audit["curation_dropped"] == audit["records_ingested"] - expected_kept
