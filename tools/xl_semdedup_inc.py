@@ -72,22 +72,27 @@ def main() -> int:
     build_sec = round(time.time() - t0, 3)
     print("build_sec", build_sec)
 
-    runs = []
+    runs: dict[str, list] = {"fold": [], "arrow": []}
     counts = None
-    for _ in range(2):
+    for mode in ("fold", "arrow", "fold", "arrow"):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         verdicts = incremental_semantic_dedup(
-            corpus, batch, idx, threshold=0.95, assign_arrow=True
+            corpus,
+            batch,
+            idx,
+            threshold=0.95,
+            assign_arrow=True,
+            refine_arrow=(mode == "arrow"),
         )
         agg = verdicts.agg(
             F.count("*").alias("n"),
             F.sum(F.col("kept").cast("long")).alias("kept"),
         ).first()
-        runs.append(round(time.time() - t0, 3))
+        runs[mode].append(round(time.time() - t0, 3))
         counts = {"n_verdicts": agg["n"], "kept": agg["kept"]}
-        print("verdict_sec", runs[-1], counts)
+        print(mode, "verdict_sec", runs[mode][-1], counts)
 
     doc_path = "/root/repo/BENCH_XL.json"
     try:
@@ -100,7 +105,8 @@ def main() -> int:
         "n_batch": n_batch,
         "method": "fresh_session_min_of_2",
         "index_build_sec": build_sec,
-        "verdict_sec": min(runs),
+        "verdict_sec": min(runs["fold"]),
+        "verdict_arrow_sec": min(runs["arrow"]),
         **counts,
     }
     with open(doc_path, "w") as fh:
