@@ -1048,3 +1048,105 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+# --- Fixed-point embedding Gramian (covariance/PCA prep) ----------------------
+
+GRAMIAN_SCALE = 1000  # 3 fractional digits survive the quantization
+
+
+def _gram_quantized(df: DataFrame, vec_col: str) -> DataFrame:
+    """(vec_id, qv): embedding quantized to BIGINT fixed-point
+    (floor(x * SCALE) — floor, not round, so both engines truncate
+    ties identically)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * GRAMIAN_SCALE).cast("long"),
+    )
+    return df.select("vec_id", q.alias("qv"))
+
+
+def gramian_fixed_point(
+    vectors: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle Gram matrix G[i,j] = Σ_v qv_i · qv_j over BIGINT
+    fixed-point components — the covariance/PCA/whitening input for an
+    embedding table, exactly mergeable and ORDER-INDEPENDENT (integer
+    sums commute), so it hash-matches any engine and any partitioning;
+    a float Gramian never could (the q106 fixed-point rule).
+
+    Oracle-grade shape: one explode of the d(d+1)/2-element product
+    array per vector + one (i, j)-grain sum — linear in corpus size,
+    output is d(d+1)/2 rows. The qv array is materialized BEFORE a
+    repartition Exchange (CollapseProject would otherwise inline it
+    into every element_at and re-evaluate O(d^2) per row — the
+    hashed_shingles rule; the Exchange also parallelizes the
+    single-row-group testdata scan). For the hot path use
+    :func:`gramian_arrow` (same result, numpy V^T V per Arrow batch).
+    """
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    qdf = _gram_quantized(vectors, vec_col).repartition(para)
+    pair_products = F.expr(
+        f"""flatten(transform(sequence(0, {dim - 1}), i ->
+            transform(sequence(i, {dim - 1}), j ->
+                struct(i, j,
+                       element_at(qv, i + 1) * element_at(qv, j + 1) AS p
+                ))))"""
+    )
+    return (
+        qdf.select(F.explode(pair_products).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "g",
+        )
+        .orderBy("i", "j")
+    )
+
+
+def gramian_arrow(
+    vectors: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Scale path of :func:`gramian_fixed_point`: one int64 numpy
+    V^T V partial per Arrow batch (mapInPandas), then a d(d+1)/2-row
+    final sum — the map-side-combine shape a 100 TB Gramian needs
+    (per-batch partials are d^2-sized regardless of row count).
+    BIT-IDENTICAL to the fold path, not ulp-close: both sum the same
+    integers, and integer addition is order-free (int64 overflow needs
+    |x|<2^63 / N·SCALE^2 headroom — at SCALE=1000, unit-norm-ish
+    embeddings stay safe past 10^12 rows)."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(dim)
+
+    def partials(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            Q = np.floor(V * GRAMIAN_SCALE).astype(np.int64)
+            acc += Q.T @ Q
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"),
+                 "p": acc[iu, ju]}
+            )
+
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    return (
+        vectors.select(vec_col)
+        .repartition(para)
+        .mapInPandas(partials, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g"))
+        .orderBy("i", "j")
+    )

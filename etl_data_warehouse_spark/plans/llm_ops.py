@@ -3551,3 +3551,45 @@ ORDER BY community
 
 QUERIES["q143_label_propagation"] = q143_label_propagation
 ORACLES["q143_label_propagation"] = Q143_ORACLE
+
+
+# --- q151: fixed-point embedding Gramian (covariance/PCA prep) ----------------
+
+_Q151_DIM = 64
+
+
+def q151_embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding table in BIGINT
+    fixed-point (operators/similarity.gramian_fixed_point) — the input
+    to covariance/PCA/whitening of an embedding space, which a 100 TB
+    pipeline computes as d(d+1)/2 mergeable integer sums (map-side
+    combine; partials are d^2-sized regardless of row count). Integer
+    sums commute, so the result is order-independent and hash-exact —
+    a float Gramian never is (the q106 fixed-point rule). The
+    bit-identical numpy scale path (gramian_arrow, V^T V per Arrow
+    batch) is pinned equal in TestGramian and benched in BENCH_XL."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.gramian_fixed_point(emb, dim=_Q151_DIM)
+
+
+Q151_ORACLE = f"""
+WITH q AS (
+    SELECT list_transform(embedding,
+                          x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+    FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(0, {_Q151_DIM - 1})) AS v),
+pairs AS (
+    SELECT a.v::INT AS i, b.v::INT AS j,
+           (q.qv[a.v + 1] * q.qv[b.v + 1])::BIGINT AS p
+    FROM q, idx a, idx b
+    WHERE b.v >= a.v
+)
+SELECT i, j, SUM(p)::BIGINT AS g
+FROM pairs
+GROUP BY i, j
+ORDER BY i, j
+"""
+
+QUERIES["q151_embedding_gramian"] = q151_embedding_gramian
+ORACLES["q151_embedding_gramian"] = Q151_ORACLE

@@ -82,6 +82,9 @@ ORACLES.update(web_curation.ORACLES)
 # entry's latest driver row is older than r7. Entries outside the
 # window remain proven every round by tests/test_oracle_parity.py's
 # full-registry sf0.001 sweep; only driver-row freshness rotates.
+# q151 (added late in r9, hash-green in the local full-registry runs)
+# deliberately sits OUTSIDE this window — the 50 slots are exactly
+# spoken for by the 4 new entries + all 46 stale ones; it leads r10's.
 _WINDOW_FIRST = [
     # new in round 9 — first driver rows
     "q148_domain_curation_report",
