@@ -3567,9 +3567,15 @@ def q151_embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums commute, so the result is order-independent and hash-exact —
     a float Gramian never is (the q106 fixed-point rule). The
     bit-identical numpy scale path (gramian_arrow, V^T V per Arrow
-    batch) is pinned equal in TestGramian and benched in BENCH_XL."""
+    batch) is pinned equal in TestGramian and benched in BENCH_XL.
+
+    dim is probed from the data (one-row collect) so the same entry
+    runs on the 64-dim driver testdata and the 16-dim generated XL
+    corpus; the static oracle string pins 64 — the driver's dim."""
+    from ..operators.pq import _vec_dim
+
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.gramian_fixed_point(emb, dim=_Q151_DIM)
+    return similarity.gramian_fixed_point(emb, dim=_vec_dim(emb, "embedding"))
 
 
 Q151_ORACLE = f"""
