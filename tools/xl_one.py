@@ -11,7 +11,8 @@ that operator, alone, MIN of --runs executions.
 
 Usage:  python tools/xl_one.py semantic_dedup [--n=1000000] [--runs=2]
 Ops:    semantic_dedup | hyperplane_lsh_wide | exact_dedup |
-        simhash_blocked | lm_perplexity | doc_chunking | dup_span_removal
+        simhash_blocked | lm_perplexity | doc_chunking | dup_span_removal |
+        eval_decontamination | training_shards | gramian_arrow
 """
 
 from __future__ import annotations
@@ -68,7 +69,13 @@ def main() -> int:
     para = spark.sparkContext.defaultParallelism
 
     # identical corpora to bench._xl_section
-    if op in ("semantic_dedup", "hyperplane_lsh_wide"):
+    if op == "gramian_arrow":
+        # driver-shaped dim (64) at 1M rows: the q151 scale path
+        generate_clustered_embeddings(
+            spark, n, dim=64, n_clusters=256
+        ).repartition(para).write.parquet(f"{base}/gvecs.parquet")
+        data = spark.read.parquet(f"{base}/gvecs.parquet")
+    elif op in ("semantic_dedup", "hyperplane_lsh_wide"):
         generate_clustered_embeddings(
             spark, n, dim=16, n_clusters=max(1, n // 4), noise=0.02
         ).repartition(para).write.parquet(f"{base}/ndvecs.parquet")
@@ -102,6 +109,7 @@ def main() -> int:
         # 8-byte gram keys (the registered q128 uses the broadcast path
         # because real benchmark sets are small)
         "eval_decontamination": lambda: _decontaminate(data),
+        "gramian_arrow": lambda: similarity.gramian_arrow(data, dim=64),
     }
     if op == "training_shards":
         # real write path (not a noop sink): one-shot shard write of the
