@@ -1150,3 +1150,92 @@ def gramian_arrow(
         .agg(F.sum("p").cast("long").alias("g"))
         .orderBy("i", "j")
     )
+
+
+def pca_model(
+    vectors: DataFrame, dim: int, k: int, vec_col: str = "embedding"
+):
+    """PCA model (mean, components, eigenvalues) from ONE distributed
+    pass: the fixed-point Gramian + per-dimension sums + count are the
+    only cluster-side aggregates (all BIGINT, mergeable); the d x d
+    eigendecomposition runs on the driver — numerically trivial at
+    embedding dims (64..4096), and the standard split for petabyte PCA
+    (the Gramian is the sufficient statistic).
+
+    Returns (mean[d], components[k x d], eigenvalues[k]) as numpy
+    arrays, eigenvalues descending. Covariance is reconstructed in
+    original units from the SCALE-quantized sums — quantization noise
+    is O(1/SCALE) and affects the model, not the engine parity story
+    (PCA output is float; it is a pytest-verified operator, not an
+    oracle query — eigensolvers are not cross-engine replayable).
+    SemDeDup (Abbas et al. 2023) applies exactly this whitening before
+    cosine clustering.
+    """
+    import numpy as np
+
+    g = gramian_arrow(vectors, dim, vec_col).collect()
+    sums_row = (
+        _gram_quantized(vectors, vec_col)
+        .select(F.posexplode("qv").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    n = vectors.count()
+    s = np.zeros(dim, dtype=np.float64)
+    for r in sums_row:
+        s[r["i"]] = float(r["s"])
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for r in g:
+        G[r["i"], r["j"]] = float(r["g"])
+        G[r["j"], r["i"]] = float(r["g"])
+    scale2 = float(GRAMIAN_SCALE * GRAMIAN_SCALE)
+    mean = s / (n * GRAMIAN_SCALE)
+    cov = G / (n * scale2) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    return mean, evecs[:, order].T.copy(), evals[order].copy()
+
+
+def pca_project(
+    vectors: DataFrame,
+    mean,
+    components,
+    eigenvalues=None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed projection onto PCA components (one Arrow map pass):
+    out = (v - mean) @ W^T, optionally whitened (divide each component
+    by sqrt(eigenvalue)) when ``eigenvalues`` is given. Output:
+    (vec_id, projected array<double>)."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    whiten = (
+        np.sqrt(np.asarray(eigenvalues, dtype=np.float64))
+        if eigenvalues is not None
+        else None
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            P = (V - mu) @ W.T
+            if whiten is not None:
+                P = P / whiten
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "projected": list(P)}
+            )
+
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    return (
+        vectors.select("vec_id", vec_col)
+        .repartition(para)
+        .mapInPandas(project, "vec_id bigint, projected array<double>")
+    )

@@ -50,3 +50,58 @@ class TestGramian:
         a = _rows(gramian_arrow(emb.repartition(3), dim=DIM))
         b = _rows(gramian_arrow(emb.repartition(17, "vec_id"), dim=DIM))
         assert a == b
+
+
+class TestPca:
+    def test_model_matches_numpy_pca(self, spark, sf_dir):
+        from etl_data_warehouse_spark.operators.similarity import (
+            pca_model,
+            pca_project,
+        )
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        mean, W, evals = pca_model(emb, dim=DIM, k=8)
+        rows = emb.select("vec_id", "embedding").collect()
+        V = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+        # reference PCA on the SAME quantized data the model saw
+        Q = np.floor(V * GRAMIAN_SCALE) / GRAMIAN_SCALE
+        mu_ref = Q.mean(axis=0)
+        cov_ref = (Q - mu_ref).T @ (Q - mu_ref) / len(Q)
+        ev_ref = np.sort(np.linalg.eigvalsh(cov_ref))[::-1][:8]
+        assert np.allclose(mean, mu_ref, atol=1e-9)
+        assert np.allclose(evals, ev_ref, rtol=1e-6, atol=1e-12)
+        # components orthonormal, eigenvalues descending
+        assert np.allclose(W @ W.T, np.eye(8), atol=1e-8)
+        assert all(evals[i] >= evals[i + 1] for i in range(7))
+
+        # distributed projection == numpy projection (same mean/W)
+        proj = {
+            r["vec_id"]: np.asarray(r["projected"])
+            for r in pca_project(emb, mean, W).collect()
+        }
+        P_ref = (V - mean) @ W.T
+        for i, r in enumerate(rows):
+            assert np.allclose(proj[r["vec_id"]], P_ref[i], atol=1e-6)
+
+    def test_whitened_projection_has_unit_variance(self, spark, sf_dir):
+        from etl_data_warehouse_spark.operators.similarity import (
+            pca_model,
+            pca_project,
+        )
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        mean, W, evals = pca_model(emb, dim=DIM, k=4)
+        P = np.stack(
+            [
+                np.asarray(r["projected"])
+                for r in pca_project(
+                    emb, mean, W, eigenvalues=evals
+                ).collect()
+            ]
+        )
+        # population variance of each whitened component ~ 1 (up to
+        # the O(1/SCALE) quantization gap between model and raw data)
+        var = P.var(axis=0)
+        assert np.allclose(var, 1.0, rtol=1e-2)
