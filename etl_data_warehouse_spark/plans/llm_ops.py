@@ -3599,3 +3599,37 @@ ORDER BY i, j
 
 QUERIES["q151_embedding_gramian"] = q151_embedding_gramian
 ORACLES["q151_embedding_gramian"] = Q151_ORACLE
+
+
+def q152_gramian_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Gramian: the corpus split into 3 disjoint batches,
+    each batch's fixed-point Gramian computed independently, partials
+    merged by plain (i, j)-grain integer addition. REGISTERED AGAINST
+    q151's oracle, so the hash row is machine-checked proof that
+    merged partials == the full-corpus Gramian BIT-FOR-BIT (the
+    q129/q130 sharded==global and q147 partials-merge discipline) —
+    i.e. a 100 TB covariance/PCA model re-trains incrementally: keep
+    per-batch d(d+1)/2-row partials, add the new batch's, never rescan
+    history."""
+    from ..operators.pq import _vec_dim
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = _vec_dim(emb, "embedding")
+    parts = [
+        similarity.gramian_fixed_point(
+            emb.filter(F.col("vec_id") % 3 == r), dim=dim
+        )
+        for r in range(3)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (
+        merged.groupBy("i", "j")
+        .agg(F.sum("g").cast("long").alias("g"))
+        .orderBy("i", "j")
+    )
+
+
+QUERIES["q152_gramian_merge"] = q152_gramian_merge
+ORACLES["q152_gramian_merge"] = Q151_ORACLE
