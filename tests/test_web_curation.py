@@ -145,3 +145,55 @@ def test_corpus_pipeline_with_curation(spark, tmp_path):
     docs = spark.read.parquet(f"/root/testdata/sf0.001/documents.parquet")
     expected_kept = wc.curate_documents(docs, domain_cap=wc._DOMAIN_CAP).count()
     assert audit["curation_dropped"] == audit["records_ingested"] - expected_kept
+
+
+# --- randomized cross-engine differential for the q150 strip chain -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_frag = st.sampled_from(
+    [
+        "plain words here",
+        "<p>", "</p>", "<div class='x'>", "</div>",
+        "<script>var a = 1 < 2;</script>",
+        "<SCRIPT>junk()</SCRIPT>",
+        "<style>.a{b:c}</style>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;", "&amp;lt;",
+        "  ", "\n", "\t", "a<b", "x > y", "<br/>", "<a href='/'>l</a>",
+        "<script type=\"text/javascript\">\nmulti\nline\n</script>",
+    ]
+)
+_html_docs = st.lists(
+    st.lists(_frag, min_size=0, max_size=10).map("".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_html_docs)
+def test_strip_html_spark_equals_duckdb(spark, docs):
+    """Randomized markup through BOTH engines' strip chains — the
+    differential defense of q150's hash gate beyond the fixed corpus."""
+    import duckdb
+
+    from etl_data_warehouse_spark.functions.text import strip_html_sql
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i int, raw string"
+    )
+    got = {
+        r.i: r.c
+        for r in sdf.select("i", strip_html("raw").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, d in enumerate(docs):
+        want = con.execute(
+            f"select {strip_html_sql('?')}", [d]
+        ).fetchone()[0]
+        assert got[i] == want, f"doc {i}: {got[i]!r} != {want!r} ({d!r})"
