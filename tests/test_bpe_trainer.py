@@ -130,3 +130,26 @@ class TestTrainBpe:
         merges = bpe.train_bpe(tiny, 10)
         # "ab" -> one merge fuses it into a single symbol; no pairs left
         assert [(m["left"], m["right"]) for m in merges] == [("a", "b")]
+
+
+def test_segmentation_is_lossless(spark):
+    """BPE decode round-trip: merges only CONCATENATE adjacent symbols
+    (the initial state is the exact character split), so joining a
+    word's final symbols must reproduce the word — the tokenizer's
+    decode guarantee. Checked over the real sf0.001 corpus dictionary
+    after a 12-merge training run."""
+    from pyspark.sql import functions as F
+
+    from etl_data_warehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    words = bpe.word_freq_dictionary(docs)
+    merges = bpe.train_bpe(docs, n_merges=12)
+    seg = bpe.segment_words(words, merges)
+    bad = seg.filter(
+        F.concat_ws("", F.col("symbols")) != F.col("word")
+    ).count()
+    assert bad == 0
+    # non-trivial: some word actually merged into fewer symbols
+    merged = seg.filter(F.size("symbols") < F.length("word")).count()
+    assert merged > 0
