@@ -388,3 +388,69 @@ ORACLES = {
     "q149_domain_cap_filter": Q149_ORACLE,
     "q150_boilerplate_strip": Q150_ORACLE,
 }
+
+
+# --- q153: per-domain language mixture ----------------------------------------
+
+
+def q153_domain_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mixture at the domain grain — the report that decides
+    which hosts feed which monolingual training mixtures (ties the
+    curation family to the q21 lang-id axis). One host-grain shuffle;
+    top language chosen by (count DESC, lang ASC) — a deterministic
+    mode. share = exact BIGINT/BIGINT division at the output boundary."""
+    docs = load_table(
+        spark, "documents", sf_dir, columns=["doc_id", "source", "lang"]
+    )
+    hosted = _with_host(docs).select("host", "lang")
+    per = hosted.groupBy("host", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    wall = Window.partitionBy("host")
+    return (
+        per.withColumn("r", F.row_number().over(w))
+        .withColumn("n_docs", F.sum("n").over(wall).cast("long"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(wall).cast("long"))
+        .filter(F.col("r") == 1)
+        .select(
+            "host",
+            "n_docs",
+            "n_langs",
+            F.col("lang").alias("top_lang"),
+            (F.col("n").cast("double") / F.col("n_docs").cast("double"))
+            .alias("top_lang_share"),
+        )
+        .orderBy("host")
+    )
+
+
+Q153_ORACLE = f"""
+WITH urled AS (
+    SELECT doc_id, lang, {doc_url_sql()} AS url FROM documents
+),
+hosted AS (SELECT {_HOST_SQL} AS host, lang FROM urled),
+per AS (
+    SELECT host, lang, COUNT(*)::BIGINT AS n
+    FROM hosted GROUP BY host, lang
+),
+ranked AS (
+    SELECT host, lang, n,
+           ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY n DESC, lang ASC
+           ) AS r,
+           SUM(n) OVER (PARTITION BY host)::BIGINT AS n_docs,
+           COUNT(*) OVER (PARTITION BY host)::BIGINT AS n_langs
+    FROM per
+)
+SELECT host, n_docs, n_langs, lang AS top_lang,
+       (n::DOUBLE / n_docs::DOUBLE) AS top_lang_share
+FROM ranked
+WHERE r = 1
+ORDER BY host
+"""
+
+QUERIES["q153_domain_language_mix"] = q153_domain_language_mix
+ORACLES["q153_domain_language_mix"] = Q153_ORACLE
