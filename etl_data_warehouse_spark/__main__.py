@@ -29,6 +29,17 @@ def main(argv: list[str] | None = None) -> int:
     sc = sub.add_parser("corpus", help="run the training-corpus pipeline")
     sc.add_argument("--sf-dir", default=_DEFAULT_SF)
     sc.add_argument("--out", required=True)
+    sc.add_argument(
+        "--curate",
+        action="store_true",
+        help="prepend the URL/domain curation stage (blocklist + cap)",
+    )
+    sc.add_argument(
+        "--domain-cap",
+        type=int,
+        default=None,
+        help="max docs kept per domain when --curate is set",
+    )
 
     sq = sub.add_parser("query", help="run one registry query")
     sq.add_argument("name")
@@ -60,8 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "corpus":
         from .plans.corpus_pipeline import run_corpus_pipeline
 
-        print(json.dumps(run_corpus_pipeline(spark, args.sf_dir, args.out),
-                         default=str, indent=1))
+        print(json.dumps(
+            run_corpus_pipeline(
+                spark,
+                args.sf_dir,
+                args.out,
+                curate=args.curate,
+                domain_cap=args.domain_cap,
+            ),
+            default=str, indent=1,
+        ))
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:
