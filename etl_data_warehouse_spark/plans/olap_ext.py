@@ -1757,3 +1757,125 @@ ORACLES = {
     "q145_sketch_threshold_filter": Q145_ORACLE,
     "q147_column_stats": Q147_ORACLE,
 }
+
+
+# --- q154: calendar gap-fill + forward-fill resample --------------------------
+
+_Q154_COHORT = 40  # user_id < 40: bounded spine for the oracle check
+
+
+def q154_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample: a complete calendar spine from each
+    user's first to last active day (gap days materialized), daily
+    totals forward-filled across the gaps — the standard time-series
+    regularization every downstream window/trend op assumes, done with
+    a per-user ``sequence`` explode + one IGNORE-NULLS window (never a
+    range self-join).
+
+    Money policy: day totals are exact DECIMAL sums cast to DOUBLE at
+    the boundary (functions/numeric.dsum); the forward fill carries
+    the already-deterministic double. Day bucketing is the epoch-millis
+    quotient (vanilla-session safe, q139's rule).
+
+    Scale shape: one (user, day) aggregate shuffle + one per-user
+    window; spine size = Σ active spans ≈ users × horizon — row counts
+    grow linearly, and the explode is per-user-bounded. At 100 TB the
+    cohort filter is whatever partition of users is being regularized.
+    """
+    events = load_table(spark, "events", sf_dir)
+    from ..functions.numeric import dsum
+    from ..operators.sketches import _utc_day
+
+    # ONE events scan: `daily` feeds the spine aggregate AND the
+    # calendar join, so it sits behind a user_id repartition Exchange
+    # that BOTH consumers (plus the fill window) can reuse —
+    # hashpartitioning(user_id) satisfies every downstream clustering
+    # by the subset rule. The entry null-filters pre-empt the join's
+    # inferred isnotnull(user_id/day), which would otherwise push below
+    # one branch's copy of the Exchange only and split the reuse
+    # (q149's splitter classes 1+2).
+    daily = (
+        events.filter(F.col("user_id") < _Q154_COHORT)
+        .filter(F.col("user_id").isNotNull())
+        .filter(_utc_day("ts").isNotNull())
+        .groupBy("user_id", _utc_day("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value").alias("day_total"),
+        )
+        .repartition("user_id")
+    )
+    # the spine branch must READ the measure columns or column pruning
+    # drops them from its copy of the shared Exchange (splitter class
+    # 3, q139): carry them as agg outputs and reference both in a
+    # tautological filter (counts are >= 1; day_total is a decimal-sum
+    # double, never NaN, and >= -DBL_MAX holds for any non-null value
+    # while coalesce absorbs the all-null-value group)
+    spine = (
+        daily.groupBy("user_id")
+        .agg(
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            F.min("n_events").alias("_ne"),
+            F.min("day_total").alias("_dt"),
+        )
+        .filter(
+            (F.col("_ne") >= 0)
+            & (F.coalesce(F.col("_dt"), F.lit(0.0)) >= F.lit(-1.7e308))
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            F.col("day_total").isNull().alias("is_gap"),
+            F.last("day_total", ignorenulls=True).over(w).alias(
+                "filled_total"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+Q154_ORACLE = f"""
+WITH daily AS (
+    SELECT user_id,
+           DATE '1970-01-01' + (epoch_ms(ts) // 86400000)::INT AS day,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(value::DECIMAL(18,2))::DOUBLE AS day_total
+    FROM events
+    WHERE user_id < {_Q154_COHORT}
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT user_id,
+           unnest(generate_series(MIN(day), MAX(day),
+                                  INTERVAL 1 DAY))::DATE AS day
+    FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_events, 0)::BIGINT AS n_events,
+       (d.day_total IS NULL) AS is_gap,
+       last_value(d.day_total IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_total
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+ORDER BY user_id, day
+"""
+
+QUERIES["q154_gap_fill_forward"] = q154_gap_fill_forward
+ORACLES["q154_gap_fill_forward"] = Q154_ORACLE
