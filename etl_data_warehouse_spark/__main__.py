@@ -38,7 +38,8 @@ def main(argv: list[str] | None = None) -> int:
         "--domain-cap",
         type=int,
         default=None,
-        help="max docs kept per domain when --curate is set",
+        help="max docs kept per domain (requires --curate; omit for "
+        "blocklist-only curation)",
     )
 
     sq = sub.add_parser("query", help="run one registry query")
@@ -49,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("list", help="list registry queries")
 
     args = p.parse_args(argv)
+    if getattr(args, "domain_cap", None) is not None and not args.curate:
+        p.error("--domain-cap requires --curate")
 
     from .plans.registry import QUERIES
 

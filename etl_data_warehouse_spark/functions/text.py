@@ -149,7 +149,11 @@ _HTML_ENTITIES = [
 ]
 _SCRIPT_STYLE_RE = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
 _TAG_RE = r"<[^>]+>"
-_WS_RE = r"\s+"
+# Explicit class, NOT \s: Java's \s matches vertical tab (\x0B), RE2's
+# does not — with \s a VT in a document collapses in Spark but not in
+# the DuckDB twin and the q150 hash gate diverges (found by the r9
+# self-review; the explicit class is identical in both engines).
+_WS_RE = r"[ \t\n\x0B\f\r]+"
 
 
 def strip_html(col: Column | str) -> Column:
@@ -175,4 +179,4 @@ def strip_html_sql(expr: str) -> str:
     for entity, plain in _HTML_ENTITIES:
         lit = plain.replace("'", "''")
         out = f"replace({out}, '{entity}', '{lit}')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({out}, '{_WS_RE}', ' ', 'g'))"

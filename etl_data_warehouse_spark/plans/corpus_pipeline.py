@@ -63,7 +63,16 @@ def run_corpus_pipeline(
     if curate:
         from .web_curation import curate_documents
 
-        docs = curate_documents(docs, domain_cap=domain_cap).drop("host")
+        # stage pattern (module docstring): persist the curated corpus
+        # and read it back, so the audit count AND every downstream
+        # consumer read the materialized stage — counting the lazy
+        # frame would re-run the host-keyed curation shuffle once per
+        # consumer (r9 self-review finding)
+        curated_path = os.path.join(out_dir, "curated_documents")
+        curate_documents(docs, domain_cap=domain_cap).drop(
+            "host"
+        ).write.mode("overwrite").parquet(curated_path)
+        docs = spark.read.parquet(curated_path)
         curation_dropped = n_ingested - docs.count()
 
     # --- gate + canonical dedup into the clean-corpus sink -------------

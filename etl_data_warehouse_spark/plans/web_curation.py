@@ -345,6 +345,23 @@ ORDER BY doc_id
 # --- reusable curation transform (corpus-pipeline entry stage) ---------------
 
 
+def hosted_unblocked(docs: DataFrame) -> DataFrame:
+    """Stateless half of the curation funnel, shared by the batch
+    transform below and the streaming twin
+    (streaming/curation_stream.curated_document_stream) so the host
+    derivation and blocklist rule can never diverge between them: url +
+    split_part host columns, null-guarded, blocklisted hosts dropped."""
+    return (
+        docs.withColumn("url", doc_url())
+        .withColumn(
+            "host", F.split_part(F.col("url"), F.lit("/"), F.lit(3))
+        )
+        .filter(F.col("host").isNotNull())
+        .filter(~blocklisted("host"))
+        .drop("url")
+    )
+
+
 def curate_documents(
     docs: DataFrame, domain_cap: int | None = _DOMAIN_CAP
 ) -> DataFrame:
@@ -358,10 +375,7 @@ def curate_documents(
     the rank window; blocklist rule applied as a direct filter here —
     no derivation pass needed when the rule, not a frame, is the
     source of truth)."""
-    hosted = docs.withColumn("url", doc_url()).withColumn(
-        "host", F.split_part(F.col("url"), F.lit("/"), F.lit(3))
-    )
-    kept = hosted.filter(~blocklisted("host")).drop("url")
+    kept = hosted_unblocked(docs)
     if domain_cap is None:
         return kept
     rank = F.row_number().over(

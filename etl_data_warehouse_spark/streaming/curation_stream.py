@@ -44,21 +44,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_bucket
-from ..plans.web_curation import blocklisted, doc_url
+from ..plans.web_curation import hosted_unblocked
 
 
 def curated_document_stream(docs: DataFrame) -> DataFrame:
     """Stateless half of the curation funnel (works on a stream or a
-    batch frame): url/host derivation + blocklist filter."""
-    return (
-        docs.withColumn("url", doc_url())
-        .withColumn(
-            "host", F.split_part(F.col("url"), F.lit("/"), F.lit(3))
-        )
-        .filter(F.col("host").isNotNull())
-        .filter(~blocklisted("host"))
-        .drop("url")
-    )
+    batch frame): url/host derivation + blocklist filter — SHARED with
+    the batch transform (web_curation.hosted_unblocked) so the host
+    derivation and blocklist rule can never diverge between the
+    test-pinned batch==stream twins."""
+    return hosted_unblocked(docs)
 
 
 def _capped_batch(
@@ -71,8 +66,14 @@ def _capped_batch(
     data_dir = os.path.join(out_dir, "curated")
     # per-host budget already spent by OTHER batches (own partition
     # excluded so a replay re-decides the whole batch and the
-    # overwrite completes any partial write)
-    try:
+    # overwrite completes any partial write). First-batch detection is
+    # an explicit DIRECTORY check, not an exception swallow: a read
+    # error over EXISTING output is corruption and must raise — a
+    # zeroed budget would permanently overshoot the cap (the CLAUDE.md
+    # persisted-mutable-state rule).
+    if os.path.isdir(data_dir) and any(
+        e.startswith("batch=") for e in os.listdir(data_dir)
+    ):
         existing = (
             spark.read.option("basePath", data_dir)
             .parquet(data_dir)
@@ -80,7 +81,7 @@ def _capped_batch(
             .groupBy("host")
             .agg(F.count(F.lit(1)).cast("long").alias("n_written"))
         )
-    except Exception:  # first batch: no output yet
+    else:
         existing = None
     rank = F.row_number().over(
         Window.partitionBy("host").orderBy(

@@ -160,7 +160,8 @@ _frag = st.sampled_from(
         "<SCRIPT>junk()</SCRIPT>",
         "<style>.a{b:c}</style>",
         "&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;", "&amp;lt;",
-        "  ", "\n", "\t", "a<b", "x > y", "<br/>", "<a href='/'>l</a>",
+        "  ", "\n", "\t", "\x0b", "\x0c", "\r", "a<b", "x > y",
+        "<br/>", "<a href='/'>l</a>",
         "<script type=\"text/javascript\">\nmulti\nline\n</script>",
     ]
 )

@@ -81,13 +81,9 @@ def main() -> int:
     print("batch_update_sec", update_sec, "rows", n_rows,
           "components", n_components)
 
-    path = "/root/repo/BENCH_XL.json"
-    try:
-        with open(path) as fh:
-            doc = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        doc = {}
-    doc["cluster_maintenance"] = {
+    from bench import _merge_bench_xl  # shared read-merge-write
+
+    row = {
         "n_docs_standing": n,
         "n_batch_pairs": 3 * third,
         "method": "fresh_session_single_run",
@@ -96,9 +92,8 @@ def main() -> int:
         "mapping_rows": n_rows,
         "n_components": n_components,
     }
-    with open(path, "w") as fh:
-        json.dump(doc, fh, indent=1)
-    print(json.dumps(doc["cluster_maintenance"]))
+    _merge_bench_xl("/root/repo", {"cluster_maintenance": row})
+    print(json.dumps(row))
     return 0
 
 

@@ -94,13 +94,9 @@ def main() -> int:
         counts = {"n_verdicts": agg["n"], "kept": agg["kept"]}
         print(mode, "verdict_sec", runs[mode][-1], counts)
 
-    doc_path = "/root/repo/BENCH_XL.json"
-    try:
-        with open(doc_path) as fh:
-            doc = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        doc = {}
-    doc["semantic_dedup_incremental"] = {
+    from bench import _merge_bench_xl  # shared read-merge-write
+
+    row = {
         "n_corpus": n,
         "n_batch": n_batch,
         "method": "fresh_session_min_of_2",
@@ -109,9 +105,8 @@ def main() -> int:
         "verdict_arrow_sec": min(runs["arrow"]),
         **counts,
     }
-    with open(doc_path, "w") as fh:
-        json.dump(doc, fh, indent=1)
-    print(json.dumps(doc["semantic_dedup_incremental"]))
+    _merge_bench_xl("/root/repo", {"semantic_dedup_incremental": row})
+    print(json.dumps(row))
     return 0
 
 
