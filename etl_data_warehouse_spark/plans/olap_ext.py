@@ -1879,3 +1879,133 @@ ORDER BY user_id, day
 
 QUERIES["q154_gap_fill_forward"] = q154_gap_fill_forward
 ORACLES["q154_gap_fill_forward"] = Q154_ORACLE
+
+
+def q155_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154's spine with LINEAR INTERPOLATION across the gaps instead
+    of forward fill — the regularization trend/forecast ops want. Edge
+    gaps cannot occur (the spine spans first..last ACTIVE day, so both
+    a preceding and a following known value always exist). The
+    interpolation is deterministic double math built with the IDENTICAL
+    expression tree in both engines (prev + (next − prev) · Δ, integer
+    day counts cast to double), so it sits under the hash gate without
+    any rounding — the never-ROUND-deterministic-doubles policy.
+
+    Same ONE-scan shared-Exchange shape as q154; the two extra
+    IGNORE-NULLS windows reuse the same user_id partitioning."""
+    events = load_table(spark, "events", sf_dir)
+    from ..functions.numeric import dsum
+    from ..operators.sketches import _utc_day
+
+    daily = (
+        events.filter(F.col("user_id") < _Q154_COHORT)
+        .filter(F.col("user_id").isNotNull())
+        .filter(_utc_day("ts").isNotNull())
+        .groupBy("user_id", _utc_day("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value").alias("day_total"),
+        )
+        .repartition("user_id")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            F.min("n_events").alias("_ne"),
+            F.min("day_total").alias("_dt"),
+        )
+        .filter(
+            (F.col("_ne") >= 0)
+            & (F.coalesce(F.col("_dt"), F.lit(0.0)) >= F.lit(-1.7e308))
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("day_total").isNotNull(), F.col("day"))
+    prev_v = F.last("day_total", ignorenulls=True).over(wb)
+    prev_d = F.last(known_day, ignorenulls=True).over(wb)
+    next_v = F.first("day_total", ignorenulls=True).over(wf)
+    next_d = F.first(known_day, ignorenulls=True).over(wf)
+    frac = (
+        (F.unix_date(F.col("day")) - F.unix_date(prev_d)).cast("double")
+        / (F.unix_date(next_d) - F.unix_date(prev_d)).cast("double")
+    )
+    interp = F.when(F.col("day_total").isNotNull(), F.col("day_total")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return (
+        joined.select(
+            "user_id",
+            "day",
+            # n_events in the output keeps the join branch reading the
+            # SAME daily columns as the spine branch (q154's pruning
+            # discipline — dropping it splits the shared Exchange)
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            F.col("day_total").isNull().alias("is_gap"),
+            interp.alias("interp_total"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+Q155_ORACLE = f"""
+WITH daily AS (
+    SELECT user_id,
+           DATE '1970-01-01' + (epoch_ms(ts) // 86400000)::INT AS day,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(value::DECIMAL(18,2))::DOUBLE AS day_total
+    FROM events
+    WHERE user_id < {_Q154_COHORT}
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT user_id,
+           unnest(generate_series(MIN(day), MAX(day),
+                                  INTERVAL 1 DAY))::DATE AS day
+    FROM daily GROUP BY user_id
+),
+filled AS (
+    SELECT s.user_id, s.day, d.n_events, d.day_total,
+           last_value(d.day_total IGNORE NULLS) OVER wb AS prev_v,
+           last_value(CASE WHEN d.day_total IS NOT NULL THEN s.day END
+                      IGNORE NULLS) OVER wb AS prev_d,
+           first_value(d.day_total IGNORE NULLS) OVER wf AS next_v,
+           first_value(CASE WHEN d.day_total IS NOT NULL THEN s.day END
+                       IGNORE NULLS) OVER wf AS next_d
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    WINDOW
+      wb AS (PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wf AS (PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       COALESCE(n_events, 0)::BIGINT AS n_events,
+       (day_total IS NULL) AS is_gap,
+       CASE WHEN day_total IS NOT NULL THEN day_total
+            ELSE prev_v + (next_v - prev_v)
+                 * ((day - prev_d)::DOUBLE / (next_d - prev_d)::DOUBLE)
+       END AS interp_total
+FROM filled
+ORDER BY user_id, day
+"""
+
+QUERIES["q155_gap_fill_interpolate"] = q155_gap_fill_interpolate
+ORACLES["q155_gap_fill_interpolate"] = Q155_ORACLE
