@@ -823,8 +823,57 @@ def _streaming_scale_section(spark) -> dict:
         "attributed_pairs": n_pairs,
         "matches_batch_join": n_diff == 0,
     }
+    # --- streaming curation at volume --------------------------------
+    # 100K docs drained through the domain-cap materializer (r9): the
+    # per-batch cost is one host window + one host-grain budget probe;
+    # invariants checked post-drain (cap never exceeded across batches,
+    # no blocklisted host written).
+    from etl_data_warehouse_spark.plans.web_curation import blocklisted
+    from etl_data_warehouse_spark.streaming import curation_stream as cs
+
+    n_docs = n_events // 10 * 10 or 100_000
+    cur_base = f"{base}_curation"
+    shutil.rmtree(cur_base, ignore_errors=True)
+    cur_in = f"{cur_base}/in"
+    os.makedirs(cur_in)
+    docs_feed = generate_documents(spark, n_docs).localCheckpoint()
+    per_doc = n_docs // n_files
+    for i in range(n_files):
+        docs_feed.filter(
+            (SF.col("doc_id") >= i * per_doc)
+            & (SF.col("doc_id") < (i + 1) * per_doc)
+        ).coalesce(1).write.mode("append").parquet(cur_in)
+    cap = 100
+    t0 = time.time()
+    q = cs.run_curation_stream(
+        spark, cur_in, f"{cur_base}/out", f"{cur_base}/ckpt",
+        domain_cap=cap, max_files=1,
+    )
+    q.awaitTermination(600)
+    cur_drain = round(time.time() - t0, 3)
+    curated = spark.read.parquet(f"{cur_base}/out/curated")
+    max_per_host = (
+        curated.groupBy("host").count().agg(SF.max("count")).first()[0]
+    )
+    curation_row = {
+        "n_docs": n_docs,
+        "n_microbatch_files": n_files,
+        "domain_cap": cap,
+        "drain_sec": cur_drain,
+        "kept": curated.count(),
+        "cap_never_exceeded": bool(max_per_host <= cap),
+        "no_blocked_host_written": bool(
+            curated.filter(blocklisted("host")).count() == 0
+        ),
+    }
+    shutil.rmtree(cur_base, ignore_errors=True)
+
     shutil.rmtree(base, ignore_errors=True)
-    return {"event_dedup": dedup_row, "interval_join": join_row}
+    return {
+        "event_dedup": dedup_row,
+        "interval_join": join_row,
+        "curation": curation_row,
+    }
 
 
 def main() -> None:
