@@ -2009,3 +2009,117 @@ ORDER BY user_id, day
 
 QUERIES["q155_gap_fill_interpolate"] = q155_gap_fill_interpolate
 ORACLES["q155_gap_fill_interpolate"] = Q155_ORACLE
+
+
+# --- q156: robust anomaly stats (exact median / MAD) --------------------------
+
+
+def q156_robust_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier profile per event type — the ROBUST twin of
+    the reference's mean/stddev anomaly query (reference:
+    warehouse/analytics_queries.sql daily-anomaly CTE; mean/stddev are
+    the q05 port): median and MAD shrug off the heavy tail that drags
+    a mean-based threshold. Medians are EXACT rank selections (lower
+    median at rank (n+1) div 2, the q53 never-interpolate policy) over
+    DECIMAL(18,2)-cast values with a unique event_id tiebreak, so every
+    number is bit-stable cross-engine; the outlier rule
+    |v − med| > 3·MAD is pure decimal arithmetic.
+
+    Shape: two type-partitioned rank windows (value, then absolute
+    deviation) + two broadcast join-backs of the type-grain med/MAD
+    frames; one events scan per window pass — at 100 TB this is the
+    two-pass shape exact medians force (the one-pass substitute is the
+    q137 sketch quantile)."""
+    from ..functions.numeric import dec
+
+    events = load_table(
+        spark, "events", sf_dir, columns=["event_id", "event_type", "value"]
+    )
+    base = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select("event_id", "event_type", dec("value").alias("v"))
+
+    # lower median rank: (n + 1) div 2, all-integer
+    def _median_of(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col("event_id").asc()
+        )
+        wall = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _median_of(base, "v", "med")
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "v",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("adev"),
+    )
+    mad = _median_of(dev, "adev", "mad")
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med").cast("double").alias("median_value"),
+            F.first("mad").cast("double").alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("v") - F.col("med"))
+                    > F.lit(3) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q156_ORACLE = """
+WITH base AS (
+    SELECT event_id, event_type, value::DECIMAL(18,2) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+med AS (
+    SELECT event_type, v AS med FROM (
+        SELECT event_type, v, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY v ASC, event_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+    SELECT b.event_id, b.event_type, b.v, m.med, abs(b.v - m.med) AS adev
+    FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, adev AS mad FROM (
+        SELECT event_type, adev, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY adev ASC, event_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       COUNT(*)::BIGINT AS n,
+       (ANY_VALUE(d.med))::DOUBLE AS median_value,
+       (ANY_VALUE(x.mad))::DOUBLE AS mad,
+       SUM((abs(d.v - d.med) > 3 * x.mad)::BIGINT)::BIGINT AS n_outliers
+FROM dev d JOIN mad x USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+QUERIES["q156_robust_anomaly_stats"] = q156_robust_anomaly_stats
+ORACLES["q156_robust_anomaly_stats"] = Q156_ORACLE
