@@ -1043,7 +1043,12 @@ def _merge_bench_xl(here: str, xl: dict) -> None:
             with open(path) as fh:
                 doc = json.load(fh)
         except (OSError, ValueError):
-            doc = {}
+            # NEVER silently reset: an unparseable BENCH_XL.json would
+            # be overwritten below, erasing all prior 1M evidence — the
+            # exact loss this merge helper exists to prevent. Move the
+            # corrupt file aside so the evidence stays inspectable and
+            # start the fresh doc alongside it.
+            os.replace(path, path + ".corrupt")
     doc.update(xl)
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)

@@ -11,6 +11,8 @@ rows-only checked (recall-tested in pytest against exact baselines).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -734,26 +736,39 @@ ORDER BY doc_id
 
 # --- q81: IVFADC with TRAINED, FROZEN quantizer state (hash-checked) ---------
 # Live k-means training has no bit-exact SQL replay (fp-summation-order
-# state), which kept q81 rows-only through r8. Round 9 applies the q94
+# state), which kept q81 rows-only through r8. Round 9 applied the q94
 # trick to the TRAINED quantizer: train once offline (4 Lloyd
-# iterations on the sf0.001 embeddings, scratch/freeze_q81.py), ship
-# centroids + codebooks as literals (plans/_q81_frozen.py), and replay
+# iterations on the sf0.001 embeddings — tools/freeze_q81.py, which
+# reproduces the artifact bit-for-bit on re-run), persist centroids +
+# codebooks as a small parquet artifact
+# (etl_data_warehouse_spark/artifacts/q81_quantizer/), and replay
 # INFERENCE ONLY in both engines — the production trained-artifact
 # pattern (and exactly how the persisted IVF-PQ index's frozen
-# quantizers behave, operators/ann_index.py). Every stage is now the
-# same pure left-fold math q94 proves, so the trained path sits under
-# the full hash gate; training QUALITY stays pinned by TestIvfPq's
+# quantizers behave, operators/ann_index.py). BOTH engines load the
+# SAME parquet files (Spark scan here, DuckDB read_parquet in the
+# oracle), so the state cannot diverge; shipping it as data instead of
+# 45KB of plan literals keeps the analyzed plan small (round-9 audit
+# flagged q81 as the most expensive ANALYSIS at 9.7s — constant
+# folding over the literal trees). Every stage is the same pure
+# left-fold math q94 proves, so the trained path sits under the full
+# hash gate; training QUALITY stays pinned by TestIvfPq's
 # recall >= 0.9 contract.
 
+_Q81_ARTIFACT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "q81_quantizer",
+)
+
+
 def _q81_frozen_state(spark: SparkSession):
-    from ._q81_frozen import CENTROIDS, CODEBOOKS
     from ..operators.pq import _dot
 
-    cents = spark.createDataFrame(
-        CENTROIDS, "cell_id int, cv array<double>"
+    cents = spark.read.parquet(
+        os.path.join(_Q81_ARTIFACT_DIR, "centroids.parquet")
     )
-    books = spark.createDataFrame(
-        CODEBOOKS, "subspace int, code_id int, cv array<double>"
+    books = spark.read.parquet(
+        os.path.join(_Q81_ARTIFACT_DIR, "codebooks.parquet")
     ).withColumn("cnorm2", _dot("cv", "cv"))
     return cents, books
 
@@ -1472,27 +1487,22 @@ ORDER BY src_id, rank
 
 
 # --- Q81 oracle: the Q94 replay with the frozen TRAINED state spliced in -----
-# Identical inference pipeline; `cent`/`books` come from the
-# checked-in literals (plans/_q81_frozen.py) instead of being derived
-# from the data, and nprobe/k match q81's call (4 / 5).
+# Identical inference pipeline; `cent`/`books` come from the SAME
+# committed parquet artifact the Spark query scans
+# (artifacts/q81_quantizer/, generated + bit-verified by
+# tools/freeze_q81.py) instead of being derived from the data, and
+# nprobe/k match q81's call (4 / 5). DuckDB reads the files directly
+# (read_parquet over an absolute, module-derived path — cwd-proof), so
+# the twins share one physical source of quantizer truth.
 
-
-def _q81_literal_ctes() -> tuple[str, str]:
-    from ._q81_frozen import CENTROIDS, CODEBOOKS
-
-    cent = " UNION ALL ".join(
-        f"SELECT {cid} AS cell_id, {list(cv)}::DOUBLE[] AS cv"
-        for cid, cv in CENTROIDS
-    )
-    books = " UNION ALL ".join(
-        f"SELECT {ss} AS subspace, {code} AS code_id,"
-        f" {list(cv)}::DOUBLE[] AS cv"
-        for ss, code, cv in CODEBOOKS
-    )
-    return cent, books
-
-
-_Q81_CENT_SQL, _Q81_BOOKS_SQL = _q81_literal_ctes()
+_Q81_CENT_SQL = (
+    "SELECT cell_id, list_transform(cv, x -> x::DOUBLE) AS cv "
+    f"FROM read_parquet('{os.path.join(_Q81_ARTIFACT_DIR, 'centroids.parquet')}')"
+)
+_Q81_BOOKS_SQL = (
+    "SELECT subspace, code_id, list_transform(cv, x -> x::DOUBLE) AS cv "
+    f"FROM read_parquet('{os.path.join(_Q81_ARTIFACT_DIR, 'codebooks.parquet')}')"
+)
 _Q81_PROBE, _Q81_K = 4, 5
 
 Q81_ORACLE = f"""

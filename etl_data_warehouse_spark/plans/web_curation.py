@@ -271,8 +271,9 @@ ORDER BY doc_id
 
 # Deterministic raw-crawl synthesis: the documents table is clean text,
 # so the query FIRST wraps each doc in the kind of markup a crawler
-# sees (nav/script/style/entity boilerplate, title varying per source)
-# and THEN strips it — the strip operator (functions/text.strip_html)
+# sees (nav/script/style/entity boilerplate; the <title> slot is left
+# EMPTY and the per-source variation lands in the <h1> instead) and
+# THEN strips it — the strip operator (functions/text.strip_html)
 # is the product; the wrap just manufactures its input identically in
 # both engines. tests/test_web_curation.py proves the strip recovers
 # planted body text exactly.

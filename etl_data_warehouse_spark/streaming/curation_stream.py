@@ -56,6 +56,27 @@ def curated_document_stream(docs: DataFrame) -> DataFrame:
     return hosted_unblocked(docs)
 
 
+def _has_committed_batches(data_dir: str) -> bool:
+    """True iff ``data_dir`` holds at least one ``batch=N`` partition
+    with a COMMITTED data file (non-hidden ``*.parquet``). A crashed
+    first batch leaves ``batch=N/`` with only hidden markers (or
+    nothing) — that is EMPTY state, not corruption."""
+    if not os.path.isdir(data_dir):
+        return False
+    for entry in os.listdir(data_dir):
+        if not entry.startswith("batch="):
+            continue
+        part_dir = os.path.join(data_dir, entry)
+        if not os.path.isdir(part_dir):
+            continue
+        for fname in os.listdir(part_dir):
+            if fname.endswith(".parquet") and not fname.startswith(
+                ("_", ".")
+            ):
+                return True
+    return False
+
+
 def _capped_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -67,13 +88,15 @@ def _capped_batch(
     # per-host budget already spent by OTHER batches (own partition
     # excluded so a replay re-decides the whole batch and the
     # overwrite completes any partial write). First-batch detection is
-    # an explicit DIRECTORY check, not an exception swallow: a read
-    # error over EXISTING output is corruption and must raise — a
-    # zeroed budget would permanently overshoot the cap (the CLAUDE.md
-    # persisted-mutable-state rule).
-    if os.path.isdir(data_dir) and any(
-        e.startswith("batch=") for e in os.listdir(data_dir)
-    ):
+    # an explicit COMMITTED-DATA check, not an exception swallow: a
+    # batch=N directory with zero committed *.parquet files is what a
+    # first-batch crash leaves behind (the replay must complete it,
+    # not crash-loop on schema inference), so only directories holding
+    # at least one non-hidden data file count as existing state. A
+    # read error over data that IS committed remains corruption and
+    # must raise — a zeroed budget would permanently overshoot the cap
+    # (the CLAUDE.md persisted-mutable-state rule).
+    if _has_committed_batches(data_dir):
         existing = (
             spark.read.option("basePath", data_dir)
             .parquet(data_dir)
