@@ -1,0 +1,355 @@
+"""The composed "day-2" incremental ingest pipeline — one entry point
+that runs the whole O(batch) daily chain against persisted state:
+
+    curation gates (blocklist + cross-day per-domain cap)
+      → clean funnel (language/quality gates + exact-fingerprint dedup
+        vs the clean-corpus sink)
+      → incremental MinHash near-dup pairs vs the persisted LSH index
+        AND incremental semantic-dedup verdicts vs the persisted
+        IVF-PQ index (both O(batch), never O(corpus))
+      → cluster maintenance in O(affected)
+        (operators/cluster_index.update_clusters)
+      → index + raw-vector appends (so tomorrow's batch sees today's)
+      → training-shard append with replay-stable offsets.
+
+This is the engine's answer to the reference's daily orchestration DAG
+(reference: airflow/dags/etl_daily_pipeline.py:348-412 — extract →
+transform → quality-gate → load → aggregate, one task chain per day),
+re-expressed for a 100 TB training-data corpus: every link touches
+O(batch + affected-state) rows, every write is replay-idempotent, and
+the composition is PROVEN equal to the full-rebuild twins bit-for-bit
+(tests/test_day2_pipeline.py).
+
+Semantics contracts (each pinned by its operator's own tests; the
+composition test pins the whole chain):
+
+- Curation cap is the STREAMING contract — first-batch-wins per host
+  (streaming/curation_stream.cap_and_write_batch, the shared
+  implementation): once a host's budget is spent by earlier days,
+  later docs are dropped. Within one batch it equals the batch
+  operator's globally-best-rank cap (test-pinned there).
+- Exact dedup keeps the LOWEST doc_id per fingerprint across days
+  (requires the batch-id/doc-id discipline below).
+- Near-dup keep rule is CLUSTER-MIN over the cumulative edge set
+  (MinHash pairs ∪ semantic dup_of edges), decided AS OF the batch's
+  own day: a batch doc ships iff, under the mapping refreshed with
+  the day's edges, its component contains no smaller doc_id. This
+  decomposes day-by-day because components only grow and both edge
+  generators emit exactly the full-corpus edges restricted to edges
+  involving the batch — so each day's verdicts are bit-identical to
+  the one-shot rebuild's verdicts for that day's docs. The one
+  declared divergence (the immutable-sink contract, same family as
+  the streaming curation cap): a LATER day's merge can dethrone an
+  already-shipped keeper, and written shards are never retracted —
+  the pipeline only ever OVER-keeps relative to a one-shot rebuild,
+  never under-keeps (quantified in tests/test_day2_pipeline.py; a
+  compaction job over the shards is the offline remedy).
+- The INDEXES (and the raw-vector state) absorb ALL clean survivors,
+  kept or not — both incremental dedup contracts condition on
+  "earlier member", not "earlier KEPT member" (that is what makes
+  their verdicts decompose); the SHARDS get only kept docs.
+
+Discipline: batches append in increasing batch_id order and doc_ids /
+vec_ids are globally unique and increase across days (the same
+assumption every incremental operator documents — "earlier" means
+"smaller id").
+
+State layout under ``state_dir``::
+
+    _config.json        pipeline parameters, written at bootstrap;
+                        later days must match (mismatched LSH/PQ
+                        params would silently corrupt verdicts)
+    curated/            batch=N partitions (curation-stream protocol)
+    clean_documents/    append_dedup sink keyed on fingerprint
+    vectors/            batch=N raw survivor vectors (refine source)
+    minhash_index/      bands/ + shingles/ (dedup_index)
+    ann_index/          centroids/codebooks/packed/assigned (ann_index)
+    clusters/           versioned snapshots + _CURRENT pointer
+    shards/             batch=N/shard=M packed training chunks
+
+100 TB posture: per day the chain runs a constant number of
+batch-keyed shuffles plus the documented O(batch)/O(affected) index
+probes; no stage rescans the standing corpus (the only corpus-side
+reads are semi-join-pruned: touched shingles, touched raw vectors,
+affected cluster components, host-grain cap counts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_pq_index,
+    incremental_semantic_dedup,
+)
+from ..operators.cluster_index import read_clusters, update_clusters
+from ..operators.dedup_index import (
+    append_to_index,
+    build_minhash_index,
+    incremental_dedup,
+)
+from ..sources.shards import append_training_batch
+from ..sources.sinks import append_dedup
+from ..streaming.corpus_stream import clean_document_stream
+from ..streaming.curation_stream import cap_and_write_batch
+
+_CONFIG = "_config.json"
+
+_DEFAULTS = dict(
+    domain_cap=1000,
+    num_hashes=64,
+    bands=32,
+    shingle_n=3,
+    jaccard_threshold=0.8,
+    cosine_threshold=0.95,
+    n_cells=16,
+    m=4,
+    codes=16,
+    n_shards=8,
+    pack_budget=512,
+)
+
+
+def _load_or_init_config(state_dir: str, overrides: dict) -> dict:
+    """Bootstrap writes the config; later days LOAD it and refuse
+    overrides that disagree — LSH band structure, shingle width, PQ
+    geometry and thresholds are index state, not per-run knobs (a
+    mismatch would silently produce wrong verdicts, the worst failure
+    mode a dedup pipeline has)."""
+    path = os.path.join(state_dir, _CONFIG)
+    if os.path.exists(path):
+        with open(path) as fh:
+            cfg = json.load(fh)
+        clash = {
+            k: (v, cfg[k])
+            for k, v in overrides.items()
+            if k in cfg and cfg[k] != v
+        }
+        if clash:
+            raise ValueError(
+                f"pipeline config mismatch vs {path}: {clash} — index "
+                "state was built under the stored parameters; rebuild "
+                "the state to change them"
+            )
+        return cfg
+    cfg = dict(_DEFAULTS, **overrides)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cfg, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return cfg
+
+
+def _survivor_batch(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """Clean survivors OF THIS BATCH: sink rows whose doc_id belongs to
+    the batch's curated partition. Reading the SINK back (not the lazy
+    funnel frame) makes replays see exactly what was committed."""
+    curated = spark.read.parquet(
+        os.path.join(state_dir, "curated", f"batch={batch_id}")
+    ).select("doc_id")
+    clean = spark.read.parquet(os.path.join(state_dir, "clean_documents"))
+    return clean.join(curated, "doc_id", "left_semi")
+
+
+def run_day2_ingest(
+    docs: DataFrame,
+    vectors: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    **overrides,
+) -> dict:
+    """Ingest one daily batch; returns the audit summary.
+
+    ``docs``: (doc_id, text, lang, source, ...) — the day's crawl.
+    ``vectors``: (vec_id, embedding) with vec_id == doc_id — the day's
+    embeddings (every doc that can survive the clean funnel must have
+    one; missing coverage raises rather than silently skipping the
+    semantic arm).
+
+    Re-running a day (crash replay) is a no-op for every sink; see the
+    module docstring for the contracts. Day 1 (no state yet)
+    bootstraps: builds both indexes from the day's survivors and runs
+    the FULL batch operators (minhash_lsh_pairs / semantic_dedup under
+    the just-trained frozen centroids) — exactly what the incremental
+    operators reduce to on an empty index."""
+    spark = docs.sparkSession
+    cfg = _load_or_init_config(
+        state_dir, {k: v for k, v in overrides.items() if v is not None}
+    )
+
+    # --- 1. curation gates: blocklist + cross-day per-domain cap ------
+    n_ingested = docs.count()
+    cap_and_write_batch(
+        spark,
+        # hosted_unblocked runs inside cap_and_write_batch's shared
+        # stream twin; here the batch frame must already carry host —
+        # reuse the stream's stateless half so the two entry points
+        # cannot diverge.
+        _curate_stateless(docs),
+        state_dir,
+        batch_id,
+        cfg["domain_cap"],
+    )
+    curated = spark.read.parquet(
+        os.path.join(state_dir, "curated", f"batch={batch_id}")
+    )
+    n_curated = curated.count()
+
+    # --- 2. clean funnel + exact-fingerprint dedup vs the sink --------
+    cleaned = clean_document_stream(curated)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canonical = (
+        cleaned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    clean_path = os.path.join(state_dir, "clean_documents")
+    append_dedup(spark, canonical, clean_path, keys=["fingerprint"])
+    survivors = _survivor_batch(spark, state_dir, batch_id).localCheckpoint()
+    n_survivors = survivors.count()
+
+    minhash_dir = os.path.join(state_dir, "minhash_index")
+    ann_dir = os.path.join(state_dir, "ann_index")
+    vec_dir = os.path.join(state_dir, "vectors")
+    bootstrap = not os.path.isdir(minhash_dir)
+
+    batch_vecs = vectors.join(
+        survivors.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    ).localCheckpoint()
+    if batch_vecs.count() != n_survivors:
+        raise ValueError(
+            "every clean survivor needs an embedding: "
+            f"{n_survivors} survivors vs {batch_vecs.count()} vectors"
+        )
+
+    # --- 3a. incremental MinHash near-dup pairs ------------------------
+    mh_kw = dict(
+        num_hashes=cfg["num_hashes"],
+        bands=cfg["bands"],
+        n=cfg["shingle_n"],
+    )
+    if bootstrap:
+        pairs = dedup.minhash_lsh_pairs(
+            survivors, threshold=cfg["jaccard_threshold"], **mh_kw
+        )
+    else:
+        pairs = incremental_dedup(
+            spark,
+            survivors,
+            minhash_dir,
+            threshold=cfg["jaccard_threshold"],
+            **mh_kw,
+        )
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+
+    # --- 3b. incremental semantic-dedup verdicts ------------------------
+    if bootstrap:
+        build_ivf_pq_index(
+            batch_vecs,
+            ann_dir,
+            n_cells=cfg["n_cells"],
+            m=cfg["m"],
+            codes=cfg["codes"],
+            pq_train_limit=None,
+        )
+        cents = spark.read.parquet(os.path.join(ann_dir, "centroids"))
+        verdicts = similarity.semantic_dedup(
+            batch_vecs, threshold=cfg["cosine_threshold"], centroids=cents
+        )
+    else:
+        standing = (
+            spark.read.option("basePath", vec_dir)
+            .parquet(vec_dir)
+            .filter(F.col("batch") < batch_id)
+            .drop("batch")
+        )
+        verdicts = incremental_semantic_dedup(
+            standing,
+            batch_vecs,
+            ann_dir,
+            threshold=cfg["cosine_threshold"],
+        )
+    sem_edges = (
+        verdicts.filter(~F.col("kept"))
+        .select(
+            F.col("dup_of").alias("doc_a"), F.col("vec_id").alias("doc_b")
+        )
+        .localCheckpoint()
+    )
+    edges = pairs.unionByName(sem_edges).distinct()
+    n_edges = edges.count()
+
+    # --- 4. cluster maintenance (O(affected)) --------------------------
+    clusters_dir = os.path.join(state_dir, "clusters")
+    if n_edges:
+        mapping = update_clusters(edges, clusters_dir)
+    else:
+        mapping = read_clusters(spark, clusters_dir)
+
+    # --- 5. keep verdicts: cluster-min over the cumulative edge set ----
+    # The mapping is corpus-dup-sized; restrict it to THIS batch's docs
+    # first (semi-join on the batch — O(batch) rows survive) so the
+    # anti-join side is batch-bounded and broadcastable.
+    if mapping is not None:
+        dropped = (
+            mapping.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            )
+            .filter(F.col("component") != F.col("doc_id"))
+            .select("doc_id")
+        )
+        kept = survivors.join(F.broadcast(dropped), "doc_id", "left_anti")
+    else:
+        kept = survivors
+    kept = kept.localCheckpoint()
+    n_kept = kept.count()
+
+    # --- 6. index + raw-vector appends (ALL survivors) -----------------
+    # Order: vectors/packed state LAST only matters within each
+    # operator (they document their own crash ordering); across
+    # operators each append is independently idempotent.
+    if bootstrap:
+        build_minhash_index(survivors, minhash_dir, **mh_kw)
+    else:
+        append_to_index(survivors, minhash_dir, **mh_kw)
+        append_to_ivf_index(batch_vecs, ann_dir, batch_id=batch_id)
+    batch_vecs.write.mode("overwrite").parquet(
+        os.path.join(vec_dir, f"batch={batch_id}")
+    )
+
+    # --- 7. training-shard append (kept docs only) ----------------------
+    append_training_batch(
+        kept,
+        os.path.join(state_dir, "shards"),
+        batch_id,
+        n_shards=cfg["n_shards"],
+        budget=cfg["pack_budget"],
+    )
+
+    return {
+        "batch_id": batch_id,
+        "bootstrap": bootstrap,
+        "records_ingested": n_ingested,
+        "curation_dropped": n_ingested - n_curated,
+        "clean_survivors": n_survivors,
+        "near_dup_edges": n_edges,
+        "kept_docs": n_kept,
+        "status": "SUCCESS",
+    }
+
+
+def _curate_stateless(docs: DataFrame) -> DataFrame:
+    from ..streaming.curation_stream import curated_document_stream
+
+    return curated_document_stream(docs)

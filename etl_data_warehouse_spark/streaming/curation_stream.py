@@ -127,6 +127,12 @@ def _capped_batch(
     )
 
 
+# Public name for pipeline composition: plans/day2_pipeline.py runs the
+# SAME cross-batch cap write per daily batch, so the batch entry point
+# and the streaming twin share one cap implementation by construction.
+cap_and_write_batch = _capped_batch
+
+
 def run_curation_stream(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,321 @@
+"""The composed day-2 incremental ingest pipeline
+(plans/day2_pipeline.run_day2_ingest): the whole daily chain —
+curation gates → clean funnel → incremental MinHash + semantic dedup
+→ cluster maintenance → index/vector appends → shard append — proven
+equal to the full-rebuild twins BIT-FOR-BIT on a 2-day planted
+corpus, replay-idempotent, with the streaming-vs-batch cap semantics
+divergence quantified on a corpus built to trigger it.
+
+Planting notes:
+- day-1/day-2 sources differ, so their host sets are disjoint and the
+  per-domain cap binds only WITHIN a day — exactly the regime where
+  the pipeline's first-batch-wins cap equals the batch operator's
+  globally-best-rank cap (the cross-day divergence is the documented
+  streaming contract; TestCapSemanticsContract pins and quantifies it
+  separately).
+- doc_ids increase across days (the incremental operators' "earlier ==
+  smaller id" discipline).
+- docs carry planted near-dup pairs (generate_documents) and the
+  embeddings are clustered (generate_clustered_embeddings), so BOTH
+  dedup arms fire, including cross-day edges.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_data_warehouse_spark.operators import dedup, similarity
+from etl_data_warehouse_spark.operators.cluster_index import read_clusters
+from etl_data_warehouse_spark.operators.graph import connected_components
+from etl_data_warehouse_spark.plans.day2_pipeline import run_day2_ingest
+from etl_data_warehouse_spark.plans.web_curation import curate_documents
+from etl_data_warehouse_spark.sources.generators import (
+    generate_clustered_embeddings,
+    generate_documents,
+)
+from etl_data_warehouse_spark.sources.shards import append_training_batch
+from etl_data_warehouse_spark.streaming.corpus_stream import (
+    clean_document_stream,
+)
+from pyspark.sql import Window
+
+N = 120
+DAY_SPLIT = 60
+CFG = dict(
+    domain_cap=3,
+    num_hashes=64,
+    bands=32,
+    shingle_n=3,
+    jaccard_threshold=0.8,
+    cosine_threshold=0.95,
+    n_cells=8,
+    m=4,
+    codes=8,
+    n_shards=4,
+    pack_budget=64,
+)
+
+
+def _corpus(spark):
+    """(docs, vectors) with a day column derived from doc_id."""
+    day_src = F.when(F.col("doc_id") < DAY_SPLIT, "day1src").otherwise(
+        "day2src"
+    )
+    docs = generate_documents(spark, N, n_words=40, dup_rate=0.15).withColumn(
+        "source", day_src
+    )
+    # a handful of too-short docs per day exercise the quality gate
+    short = F.col("doc_id").isin(3, 7, DAY_SPLIT + 3, DAY_SPLIT + 7)
+    docs = docs.withColumn(
+        "text",
+        F.when(short, F.lit("w1 w2 w3 w4 w5")).otherwise(F.col("text")),
+    )
+    # one exact cross-day duplicate: day-2 doc 90 clones day-1 doc 10's
+    # text (fingerprint dedup must drop 90)
+    clone_src = docs.filter(F.col("doc_id") == 10).select(
+        F.lit(90).alias("doc_id"), F.col("text").alias("clone_text")
+    )
+    docs = (
+        docs.join(F.broadcast(clone_src), "doc_id", "left")
+        .withColumn("text", F.coalesce("clone_text", "text"))
+        .drop("clone_text")
+    )
+    vecs = generate_clustered_embeddings(
+        spark, N, dim=16, n_clusters=40, noise=0.01
+    ).select("vec_id", "embedding")
+    return docs.localCheckpoint(), vecs.localCheckpoint()
+
+
+def _split_days(docs, vecs):
+    d1 = docs.filter(F.col("doc_id") < DAY_SPLIT)
+    d2 = docs.filter(F.col("doc_id") >= DAY_SPLIT)
+    v1 = vecs.filter(F.col("vec_id") < DAY_SPLIT)
+    v2 = vecs.filter(F.col("vec_id") >= DAY_SPLIT)
+    return d1, d2, v1, v2
+
+
+def _full_rebuild(spark, docs, vecs, state_dir):
+    """The batch-operator rebuild over the cumulative corpus, under
+    the pipeline's own frozen centroids (trained at bootstrap — the
+    trained-artifact contract: quantizers freeze at index build)."""
+    curated = curate_documents(docs, domain_cap=CFG["domain_cap"])
+    cleaned = clean_document_stream(curated)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        cleaned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        survivors,
+        num_hashes=CFG["num_hashes"],
+        bands=CFG["bands"],
+        threshold=CFG["jaccard_threshold"],
+        n=CFG["shingle_n"],
+    ).select("doc_a", "doc_b")
+    cents = spark.read.parquet(
+        os.path.join(state_dir, "ann_index", "centroids")
+    )
+    sv = vecs.join(
+        survivors.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    sem = similarity.semantic_dedup(
+        sv, threshold=CFG["cosine_threshold"], centroids=cents
+    )
+    sem_edges = sem.filter(~F.col("kept")).select(
+        F.col("dup_of").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
+    edges = pairs.unionByName(sem_edges).distinct()
+    mapping = connected_components(
+        edges.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    ).select(F.col("node").alias("doc_id"), "component")
+    dropped = mapping.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    kept = survivors.join(dropped, "doc_id", "left_anti")
+    return curated, survivors, mapping, kept.localCheckpoint()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _shard_rows(spark, path):
+    return sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", path).parquet(path).collect()
+    )
+
+
+class TestDay2Pipeline:
+    def test_two_day_ingest_equals_full_rebuild(self, spark, tmp_path):
+        docs, vecs = _corpus(spark)
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "state")
+
+        a1 = run_day2_ingest(d1, v1, state, batch_id=1, **CFG)
+        a2 = run_day2_ingest(d2, v2, state, batch_id=2, **CFG)
+        assert a1["bootstrap"] and not a2["bootstrap"]
+        assert a1["status"] == a2["status"] == "SUCCESS"
+        # the planting must actually exercise every gate
+        assert a1["curation_dropped"] > 0 and a2["curation_dropped"] > 0
+        assert a2["near_dup_edges"] > 0
+        assert a2["kept_docs"] < a2["clean_survivors"]
+
+        curated_f, survivors_f, mapping_f, kept_f = _full_rebuild(
+            spark, docs, vecs, state
+        )
+
+        # 1. curation link: union of batch partitions == batch operator
+        curated_pipe = spark.read.option(
+            "basePath", os.path.join(state, "curated")
+        ).parquet(os.path.join(state, "curated"))
+        assert _rows(curated_pipe.select("doc_id")) == _rows(
+            curated_f.select("doc_id")
+        )
+
+        # 2. clean corpus: sink content == rebuild survivors (full rows)
+        sink = spark.read.parquet(os.path.join(state, "clean_documents"))
+        assert _rows(sink) == _rows(survivors_f.select(*sink.columns))
+        assert 90 not in [r["doc_id"] for r in sink.collect()]  # clone
+
+        # 3. cluster mapping state == CC over the cumulative edge set
+        mapping_pipe = read_clusters(spark, os.path.join(state, "clusters"))
+        assert _rows(mapping_pipe.select("doc_id", "component")) == _rows(
+            mapping_f.select("doc_id", "component")
+        )
+
+        # 4. keep verdicts. The pipeline's contract is AS-OF-DAY
+        #    cluster-min (immutable sink: a later merge never unships
+        #    an already-shipped doc), so:
+        #    - day-2 keeps == one-shot rebuild keeps restricted to
+        #      day-2 docs (bit-for-bit — the mapping is cumulative by
+        #      the time day-2 ships);
+        #    - day-1 keeps == the day-1-PREFIX rebuild (the batch
+        #      operators over day-1's corpus alone);
+        #    - vs the one-shot rebuild the pipeline only ever
+        #      OVER-keeps, and every extra doc is a day-1 keeper
+        #      dethroned by a day-2 merge (quantified exactly).
+        shards = os.path.join(state, "shards")
+        kept_pipe = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", shards)
+            .parquet(shards)
+            .select("doc_id")
+            .collect()
+        }
+        kept_full = {r["doc_id"] for r in kept_f.select("doc_id").collect()}
+        assert kept_pipe >= kept_full  # never under-keeps
+        assert {d for d in kept_pipe if d >= DAY_SPLIT} == {
+            d for d in kept_full if d >= DAY_SPLIT
+        }  # day-2 keeps are bit-exact vs the one-shot rebuild
+        dethroned = kept_pipe - kept_full
+        final_map = {
+            r["doc_id"]: r["component"]
+            for r in mapping_pipe.collect()
+        }
+        assert all(
+            d < DAY_SPLIT and final_map.get(d, d) != d for d in dethroned
+        ), "every over-keep must be a day-1 keeper dethroned by a merge"
+
+        # day-1 prefix rebuild twin
+        _, _, _, kept1_f = _full_rebuild(
+            spark,
+            docs.filter(F.col("doc_id") < DAY_SPLIT),
+            vecs.filter(F.col("vec_id") < DAY_SPLIT),
+            state,
+        )
+        kept1 = {r["doc_id"] for r in kept1_f.select("doc_id").collect()}
+        assert {d for d in kept_pipe if d < DAY_SPLIT} == kept1
+
+        # 5. shards == append_training_batch over exactly those per-day
+        #    kept sets (bit-for-bit, offsets included)
+        twin = str(tmp_path / "twin_shards")
+        kept_cols = sink.columns
+        day2_kept = [d for d in kept_full if d >= DAY_SPLIT]
+        append_training_batch(
+            kept1_f.select(*kept_cols),
+            twin,
+            1,
+            n_shards=CFG["n_shards"],
+            budget=CFG["pack_budget"],
+        )
+        append_training_batch(
+            survivors_f.filter(F.col("doc_id").isin(day2_kept)).select(
+                *kept_cols
+            ),
+            twin,
+            2,
+            n_shards=CFG["n_shards"],
+            budget=CFG["pack_budget"],
+        )
+        assert _shard_rows(spark, shards) == _shard_rows(spark, twin)
+
+    def test_day2_replay_is_idempotent(self, spark, tmp_path):
+        docs, vecs = _corpus(spark)
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "state")
+        run_day2_ingest(d1, v1, state, batch_id=1, **CFG)
+        a2 = run_day2_ingest(d2, v2, state, batch_id=2, **CFG)
+
+        shards = os.path.join(state, "shards")
+        sink = os.path.join(state, "clean_documents")
+        before_shards = _shard_rows(spark, shards)
+        before_sink = _rows(spark.read.parquet(sink))
+        before_map = _rows(read_clusters(spark, os.path.join(state, "clusters")))
+
+        r2 = run_day2_ingest(d2, v2, state, batch_id=2, **CFG)
+        assert r2["clean_survivors"] == a2["clean_survivors"]
+        assert r2["kept_docs"] == a2["kept_docs"]
+        assert _shard_rows(spark, shards) == before_shards
+        assert _rows(spark.read.parquet(sink)) == before_sink
+        assert (
+            _rows(read_clusters(spark, os.path.join(state, "clusters")))
+            == before_map
+        )
+
+    def test_all_recrawl_day_is_a_safe_noop(self, spark, tmp_path):
+        # day-3 re-delivers day-1's TEXT under fresh ids: every doc is
+        # fingerprint-deduped away; the chain must commit an empty day
+        # without corrupting any state table
+        docs, vecs = _corpus(spark)
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "state")
+        run_day2_ingest(d1, v1, state, batch_id=1, **CFG)
+        run_day2_ingest(d2, v2, state, batch_id=2, **CFG)
+        before = _shard_rows(spark, os.path.join(state, "shards"))
+
+        d3 = d1.select(
+            (F.col("doc_id") + 2 * N).alias("doc_id"),
+            "text",
+            "lang",
+            F.col("source"),
+            "n_chars",
+        )
+        v3 = v1.select((F.col("vec_id") + 2 * N).alias("vec_id"), "embedding")
+        a3 = run_day2_ingest(d3, v3, state, batch_id=3, **CFG)
+        assert a3["clean_survivors"] == 0
+        assert a3["kept_docs"] == 0
+        assert _shard_rows(spark, os.path.join(state, "shards")) == before
+        assert os.path.exists(
+            os.path.join(state, "shards", "batch=3", "_COMMITTED")
+        )
+
+    def test_config_mismatch_raises(self, spark, tmp_path):
+        docs, vecs = _corpus(spark)
+        d1, _, v1, _ = _split_days(docs, vecs)
+        state = str(tmp_path / "state")
+        run_day2_ingest(d1, v1, state, batch_id=1, **CFG)
+        bad = dict(CFG, bands=16)
+        import pytest
+
+        with pytest.raises(ValueError, match="config mismatch"):
+            run_day2_ingest(d1, v1, state, batch_id=1, **bad)
