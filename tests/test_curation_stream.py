@@ -112,3 +112,77 @@ class TestCurationStream:
         _capped_batch(spark, batch0_input, out, 0, CAP)
         after = _kept_ids(spark, out)
         assert after == before
+
+
+class TestCapSemanticsContract:
+    """The DECLARED streaming-vs-batch cap divergence (module
+    docstring curation_stream.py:25-30 and COVERAGE.md): the batch
+    operator keeps the GLOBALLY best-ranked docs per host; the
+    streaming/day-batch cap is FIRST-BATCH-WINS because written shards
+    are immutable. This test builds a 2-batch corpus that triggers the
+    divergence and quantifies it exactly:
+
+    - both variants keep exactly ``cap`` docs for the contended host
+      (the cap itself is never violated — the shared invariant);
+    - the batch operator's keeps are the global md5-rank winners;
+    - the streaming keeps are batch-1's best-ranked docs, even though
+      batch 2 carried globally better-ranked ones.
+    """
+
+    def test_divergence_is_exactly_first_batch_wins(self, spark, tmp_path):
+        from etl_data_warehouse_spark.operators.sampling import hash_bucket
+
+        # one source -> 11 hosts; pick the host whose docs we control,
+        # then order its docs by the cap's own rank key
+        docs = _docs(spark).localCheckpoint()
+        hosted = wc.hosted_unblocked(docs).withColumn(
+            "rk", hash_bucket("doc_id", "domcap", 1_000_000)
+        )
+        host = (
+            hosted.groupBy("host")
+            .count()
+            .filter(F.col("count") > CAP)
+            .orderBy(F.col("count").desc(), "host")
+            .first()["host"]
+        )
+        ranked = [
+            r["doc_id"]
+            for r in hosted.filter(F.col("host") == host)
+            .orderBy("rk", "doc_id")
+            .collect()
+        ]
+        # batch 1 gets the WORST-ranked half, batch 2 the best-ranked:
+        # maximal divergence between first-batch-wins and global rank
+        worst_half = set(ranked[len(ranked) // 2:])
+        on_host = F.col("doc_id").isin([int(d) for d in ranked])
+        b1 = docs.filter(~on_host | F.col("doc_id").isin(
+            [int(d) for d in worst_half]))
+        b2 = docs.filter(on_host & ~F.col("doc_id").isin(
+            [int(d) for d in worst_half]))
+
+        out = str(tmp_path / "contract")
+        _capped_batch(spark, wc.hosted_unblocked(b1), out, 1, CAP)
+        _capped_batch(spark, wc.hosted_unblocked(b2), out, 2, CAP)
+        stream_host = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(out, "curated"))
+            .filter(F.col("host") == host)
+            .collect()
+        )
+        batch_host = sorted(
+            r["doc_id"]
+            for r in wc.curate_documents(docs, domain_cap=CAP)
+            .filter(F.col("host") == host)
+            .collect()
+        )
+        # shared invariant: the cap binds identically
+        assert len(stream_host) == len(batch_host) == CAP
+        # batch operator: global best rank
+        assert batch_host == sorted(int(d) for d in ranked[:CAP])
+        # streaming: batch-1's best rank (first-batch-wins), which by
+        # construction includes globally WORSE docs — the quantified
+        # divergence: the kept SETS differ (batch 2's globally better
+        # ranked doc(s) lost to batch 1's spent budget)
+        by_rank = [int(d) for d in ranked if int(d) in worst_half][:CAP]
+        assert stream_host == sorted(by_rank)
+        assert stream_host != batch_host
