@@ -71,73 +71,70 @@ ORACLES.update(tpch3.ORACLES)
 QUERIES.update(web_curation.QUERIES)
 ORACLES.update(web_curation.ORACLES)
 
-# --- Driver correctness window rotation (round 9) ------------------------
+# --- Driver correctness window rotation (round 10) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 9's window leads with this round's NEW entries (the
-# q148-q150 web-curation family, plus q81 — rows-only through r8,
-# now under the full hash gate via the frozen trained-quantizer
-# artifact, see llm_ops.Q81_ORACLE), then ALL 46 entries whose latest
-# driver row is r6 (q57-q80 windows/TPC-H, q82-q91 quality/CDC,
-# q99-q113 TPC-H tail + LLM-ops) — after this rotation no registry
-# entry's latest driver row is older than r7. Entries outside the
-# window remain proven every round by tests/test_oracle_parity.py's
-# full-registry sf0.001 sweep; only driver-row freshness rotates.
-# q151 (added late in r9, hash-green in the local full-registry runs)
-# deliberately sits OUTSIDE this window — the 50 slots are exactly
-# spoken for by the 4 new entries + all 46 stale ones; it leads r10's.
+# QUERIES. Round 10's window leads with the six entries the driver's
+# own gate has never seen (q151-q156, added after r9's window froze;
+# all hash-green in local full-registry runs since) and fills the
+# remaining 44 slots with the oldest stale entries — those whose
+# latest driver row is r7. Five r7 entries (q123-q127) don't fit the
+# 50 slots and lead r11's window together with anything added late in
+# r10. Entries outside the window remain proven every round by
+# tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
+# driver-row freshness rotates.
 _WINDOW_FIRST = [
-    # new in round 9 — first driver rows
-    "q148_domain_curation_report",
-    "q149_domain_cap_filter",
-    "q150_boilerplate_strip",
-    "q81_ivfadc_topk",
-    # the 46 r6-stale entries, insertion order
-    "q57_status_pivot",
-    "q58_status_unpivot",
-    "q60_grouping_sets",
-    "q61_distribution_windows",
-    "q62_tpch_q1_pricing_summary",
-    "q63_tpch_q3_shipping_priority",
-    "q64_tpch_q5_local_supplier_volume",
-    "q65_tpch_q6_forecast_revenue",
-    "q66_tpch_q10_returned_items",
-    "q67_native_session_window",
-    "q68_tpch_q4_priority_check",
-    "q69_tpch_q7_volume_shipping",
-    "q70_tpch_q8_market_share",
-    "q71_tpch_q9_product_profit",
-    "q72_tpch_q13_order_counts",
-    "q73_tpch_q14_promo_revenue",
-    "q74_tpch_q15_top_supplier",
-    "q75_tpch_q17_small_qty_revenue",
-    "q76_tpch_q18_large_orders",
-    "q77_tpch_q19_disjunctive_revenue",
-    "q78_tpch_q21_waiting_supplier",
-    "q79_tpch_q22_lapsed_customers",
-    "q80_sliding_window_activity",
-    "q82_semantic_dedup",
-    "q83_quality_rules",
-    "q84_ngram_repetition",
-    "q85_crossdoc_ngram_dup",
-    "q86_key_skew_report",
-    "q87_cdc_apply",
-    "q89_value_histogram",
-    "q90_last_touch_attribution",
-    "q91_running_balance",
-    "q99_tpch_q2_min_cost_supplier",
-    "q100_tpch_q11_important_stock",
-    "q101_tpch_q12_shipping_priority_buckets",
-    "q102_tpch_q16_supplier_count",
-    "q103_tpch_q20_dominant_supplier",
-    "q104_lm_perplexity",
-    "q105_doc_chunking",
-    "q106_entity_pagerank",
-    "q107_token_budget_plan",
-    "q108_retrieval_context",
-    "q110_embedding_outliers",
-    "q111_source_dup_profile",
-    "q112_cross_source_overlap",
-    "q113_apply_mixture_sample",
+    # new since the r9 window froze — first driver rows
+    "q151_embedding_gramian",
+    "q152_gramian_merge",
+    "q153_domain_language_mix",
+    "q154_gap_fill_forward",
+    "q155_gap_fill_interpolate",
+    "q156_robust_anomaly_stats",
+    # the 44 oldest r7-stale entries, numeric order
+    "q01_monthly_revenue",
+    "q02_customer_tier",
+    "q03_product_performance",
+    "q04_retention_cohort",
+    "q05_daily_anomaly",
+    "q06_dim_date",
+    "q07_dim_products",
+    "q08_fact_daily_sales",
+    "q09_fact_orders",
+    "q10_clean_lineitem",
+    "q11_referential_integrity",
+    "q12_duplicate_checks",
+    "q13_null_rates",
+    "q14_quality_assertions",
+    "q15_top_orders_per_month",
+    "q16_status_pivot",
+    "q17_sales_rollup",
+    "q18_sales_cube",
+    "q19_date_coverage",
+    "q20_text_stats",
+    "q21_lang_id",
+    "q22_exact_dedup",
+    "q23_ngram_jaccard_dedup",
+    "q34_set_ops",
+    "q35_incremental_extract",
+    "q39_revenue_by_region",
+    "q40_supplier_performance",
+    "q42_fact_lineitem",
+    "q47_zorder_layout",
+    "q48_pii_scrub",
+    "q49_repetition_stats",
+    "q50_tfidf_topk",
+    "q51_source_mixture",
+    "q56_salted_revenue",
+    "q109_int8_quantize",
+    "q114_epoch_upsample",
+    "q115_negative_sampling",
+    "q116_budget_trim",
+    "q117_temperature_mixture",
+    "q118_bpe_pair_counts",
+    "q119_bm25_topk",
+    "q120_hybrid_rrf",
+    "q121_curriculum_schedule",
+    "q122_dsir_weights",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
