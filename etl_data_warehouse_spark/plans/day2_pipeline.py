@@ -71,7 +71,14 @@ State layout under ``state_dir``::
 batch-keyed shuffles plus the documented O(batch)/O(affected) index
 probes; no stage rescans the standing corpus (the only corpus-side
 reads are semi-join-pruned: touched shingles, touched raw vectors,
-affected cluster components, host-grain cap counts).
+affected cluster components, host-grain cap counts). The one
+corpus-proportional shuffle left is the MinHash bands join (the plain
+parquet index re-shuffles its side per day); when that outgrows a
+shuffle, swap in dedup_index's bucketed external tables
+(buckets/table_prefix — the bands join then reads the index side with
+NO Exchange, the shape neardup_stream ships) — kept out of this entry
+point because saveAsTable needs a metastore that outlives the
+session, an operational choice the caller owns.
 """
 
 from __future__ import annotations

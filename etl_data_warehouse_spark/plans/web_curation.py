@@ -105,8 +105,20 @@ def doc_url_sql(alias: str = "") -> str:
 def _with_host(docs: DataFrame) -> DataFrame:
     """url + host columns; host comes out of Spark's own URL parser
     (``parse_url(url, 'HOST')``) — the real operator a crawl pipeline
-    runs — while the oracle extracts it with split_part; both recover
-    the identical authority component."""
+    runs — while the oracle extracts it with split_part.
+
+    SUPPORTED URL GRAMMAR (where the two provably agree —
+    hypothesis-swept in tests/test_web_curation.py):
+    ``scheme://host[/path[?query]]`` with a lowercase scheme, NO
+    userinfo, NO explicit port, and a query only AFTER a path (in
+    ``scheme://host?q`` the third '/'-field is ``host?q``, so
+    split_part keeps the query); host may be any dot-separated label
+    sequence incl. trailing dots and xn-- (IDN) labels. Outside the
+    grammar they DIVERGE by construction: userinfo and ports are part
+    of the authority, which split_part keeps verbatim while
+    parse_url(HOST) strips (divergence classes pinned in
+    test_host_extraction_divergence_outside_grammar). doc_url()
+    only ever emits the supported form (it always has a path)."""
     return docs.withColumn("url", doc_url()).withColumn(
         "host", F.parse_url(F.col("url"), F.lit("HOST"))
     )

@@ -198,3 +198,108 @@ def test_strip_html_spark_equals_duckdb(spark, docs):
             f"select {strip_html_sql('?')}", [d]
         ).fetchone()[0]
         assert got[i] == want, f"doc {i}: {got[i]!r} != {want!r} ({d!r})"
+
+
+# --- URL-grammar differential for the host-extraction twins ------------------
+# The curation twins agree via two different mechanisms: Spark
+# parse_url(url, 'HOST') (a real URL parser) vs the oracle's
+# split_part(url, '/', 3) (positional). They are provably identical
+# only over the SUPPORTED URL GRAMMAR documented on
+# web_curation._with_host: scheme://host/path with lowercase scheme,
+# no userinfo, no explicit port. The hypothesis differential sweeps
+# that grammar with adversarial host shapes (hyphens, multi-label,
+# trailing dots, digits, IDN-ish xn-- labels); a second test pins the
+# KNOWN divergence classes outside the grammar so the boundary is
+# explicit, not folklore.
+
+_label = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,8}[a-z0-9])?", fullmatch=True)
+# the TOP label must start with a letter: java.net.URI (behind
+# parse_url) implements RFC 2396's toplabel rule and returns a null
+# host for e.g. "xn--0.0" (hypothesis found it) — real TLDs always
+# start with a letter, and doc_url's do
+_top_label = st.from_regex(r"[a-z]([a-z0-9-]{0,8}[a-z0-9])?", fullmatch=True)
+_host = st.builds(
+    lambda labels, top, xn: ".".join(
+        (["xn--" + (labels[0] if labels else top)] if xn else [])
+        + labels
+        + [top]
+    ),
+    st.lists(_label, min_size=0, max_size=3),
+    _top_label,
+    st.booleans(),
+)
+# no bare '%': a non-escape percent makes the whole URL invalid for
+# java.net.URI (parse_url THROWS [INVALID_URL], it doesn't null out)
+_path_seg = st.from_regex(r"[A-Za-z0-9._~!$&'()*+,;=:@-]{0,8}", fullmatch=True)
+_url = st.builds(
+    lambda host, dot, segs, q: (
+        "https://"
+        + host
+        + ("." if dot else "")
+        + ("/" + "/".join(segs) if segs else "")
+        # a query REQUIRES a path: in "https://host?a=1" the third
+        # '/'-field is "host?a=1", so split_part keeps the query while
+        # parse_url(HOST) stops at '?'. hypothesis found this edge —
+        # it is now part of the documented grammar (doc_url always
+        # emits a path).
+        + (("?" + q) if (q and segs) else "")
+    ),
+    _host,
+    st.booleans(),  # trailing dot on the host (valid FQDN form)
+    st.lists(_path_seg, min_size=0, max_size=3),
+    st.sampled_from(["", "a=1", "a=1&b=2"]),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_url, min_size=1, max_size=8))
+def test_parse_url_host_equals_split_part_on_grammar(spark, urls):
+    import duckdb
+
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    got = {
+        r.i: r.h
+        for r in sdf.select(
+            "i", F.parse_url(F.col("url"), F.lit("HOST")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, u in enumerate(urls):
+        want = con.execute(
+            "select split_part(?, '/', 3)", [u]
+        ).fetchone()[0]
+        assert got[i] == want, f"{u!r}: parse_url={got[i]!r} split={want!r}"
+
+
+def test_host_extraction_divergence_outside_grammar(spark):
+    """The documented boundary: userinfo and explicit ports are part of
+    the URL AUTHORITY — split_part keeps them verbatim, parse_url(HOST)
+    strips them. Any future doc_url change that emits these forms must
+    also move q148/q149's oracle off split_part."""
+    cases = {
+        # url: (parse_url HOST, split_part field 3)
+        "https://user@example.com/x": ("example.com", "user@example.com"),
+        "https://example.com:8443/x": ("example.com", "example.com:8443"),
+        "https://u:p@ex.org:80/": ("ex.org", "u:p@ex.org:80"),
+    }
+    sdf = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select(
+        "url", F.parse_url(F.col("url"), F.lit("HOST")).alias("h")
+    )
+    got = {r.url: r.h for r in sdf.collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    for u, (want_host, want_split) in cases.items():
+        assert got[u] == want_host
+        assert (
+            con.execute("select split_part(?, '/', 3)", [u]).fetchone()[0]
+            == want_split
+        )

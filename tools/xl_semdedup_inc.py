@@ -94,6 +94,37 @@ def main() -> int:
         counts = {"n_verdicts": agg["n"], "kept": agg["kept"]}
         print(mode, "verdict_sec", runs[mode][-1], counts)
 
+    # --- embedding day-2 arm (r9 judge task #9): fold THIS batch's
+    # semantic verdict edges into a 1M-doc standing cluster mapping —
+    # update_clusters wall time with edges from
+    # incremental_semantic_dedup, not synthetic MinHash-style pairs.
+    from etl_data_warehouse_spark.operators.cluster_index import (
+        update_clusters,
+    )
+
+    state = tempfile.mkdtemp(prefix="xl_semdedup_clusters_")
+    standing_pairs = spark.range(0, n, 2).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    ).repartition(para)
+    update_clusters(standing_pairs, state)  # standing state, untimed
+
+    sem_edges = (
+        verdicts.filter(~F.col("kept"))
+        .select(
+            F.col("dup_of").alias("doc_a"),
+            F.col("vec_id").alias("doc_b"),
+        )
+        .localCheckpoint()
+    )
+    n_edges = sem_edges.count()
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.time()
+    update_clusters(sem_edges, state).count()
+    cluster_fold_sec = round(time.time() - t0, 3)
+    print("semantic_cluster_fold_sec", cluster_fold_sec,
+          "edges", n_edges)
+
     from bench import _merge_bench_xl  # shared read-merge-write
 
     row = {
@@ -106,6 +137,17 @@ def main() -> int:
         **counts,
     }
     _merge_bench_xl("/root/repo", {"semantic_dedup_incremental": row})
+    _merge_bench_xl(
+        "/root/repo",
+        {
+            "cluster_maintenance_semantic": {
+                "n_docs_standing": n,
+                "n_semantic_edges": n_edges,
+                "method": "fresh_session_single_run",
+                "batch_update_sec": cluster_fold_sec,
+            }
+        },
+    )
     print(json.dumps(row))
     return 0
 
