@@ -41,9 +41,14 @@ from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
 DIM = 16
 
 
-def _slice(spark, lo: int, hi: int, para: int):
-    """Docs + matching vectors for ids in [lo, hi): near-dups planted by
-    the generator, sources hash-spread for host cardinality."""
+def _slice(spark, lo: int, hi: int, para: int, day: int):
+    """Docs + matching vectors for ids in [lo, hi): near-dup TEXTS
+    planted by the generator (~10% point at earlier ids — mostly
+    cross-day, the realistic re-crawl mix); embeddings get a PER-DAY
+    cluster geometry (seed varies) and wide noise, so the semantic arm
+    does full candidate/refine work without the degenerate
+    every-vector-is-a-dup outcome the shared-seed generator produces
+    (its clusters are built FOR ANN recall, cosine ~0.999 within)."""
     n_total = hi  # generator plants dups against ids < hi
     docs = (
         generate_documents(spark, n_total, n_words=40, dup_rate=0.1)
@@ -56,7 +61,10 @@ def _slice(spark, lo: int, hi: int, para: int):
         .localCheckpoint()
     )
     vecs = (
-        generate_clustered_embeddings(spark, n_total, dim=DIM, n_clusters=1024)
+        generate_clustered_embeddings(
+            spark, n_total, dim=DIM, n_clusters=1024,
+            noise=2.0, seed=42 + day,
+        )
         .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
         .repartition(para)
@@ -98,7 +106,7 @@ def main() -> int:
     n_days = max(1, n // n_batch)
     boot_secs = []
     for day in range(n_days):
-        d, v = _slice(spark, day * n_batch, (day + 1) * n_batch, para)
+        d, v = _slice(spark, day * n_batch, (day + 1) * n_batch, para, day)
         t0 = time.time()
         run_day2_ingest(d, v, state, batch_id=day + 1, **cfg)
         boot_secs.append(round(time.time() - t0, 3))
@@ -106,7 +114,7 @@ def main() -> int:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    d2, v2 = _slice(spark, n, n + n_batch, para)
+    d2, v2 = _slice(spark, n, n + n_batch, para, n_days)
     t0 = time.time()
     a2 = run_day2_ingest(d2, v2, state, batch_id=n_days + 1, **cfg)
     day2_sec = round(time.time() - t0, 3)
