@@ -42,8 +42,11 @@ composition test pins the whole chain):
   the streaming curation cap): a LATER day's merge can dethrone an
   already-shipped keeper, and written shards are never retracted —
   the pipeline only ever OVER-keeps relative to a one-shot rebuild,
-  never under-keeps (quantified in tests/test_day2_pipeline.py; a
-  compaction job over the shards is the offline remedy).
+  never under-keeps (quantified in tests/test_day2_pipeline.py; the
+  offline remedy ships as sources/shards.compact_training_shards —
+  re-decide every shipped doc under the current mapping and repack
+  into a fresh epoch directory, pinned equal to the one-shot
+  rebuild's keeps in TestShardCompaction).
 - The INDEXES (and the raw-vector state) absorb ALL clean survivors,
   kept or not — both incremental dedup contracts condition on
   "earlier member", not "earlier KEPT member" (that is what makes

@@ -271,3 +271,98 @@ def append_training_batch(
         os.makedirs(batch_dir, exist_ok=True)
     with open(os.path.join(batch_dir, _COMMIT_MARKER), "w") as fh:
         fh.write("committed\n")
+
+
+def compact_training_shards(
+    spark: SparkSession,
+    shards_path: str,
+    clusters_path: str,
+    out_path: str,
+    n_shards: int = 64,
+    budget: int = 512,
+    salt: str = "shard",
+    key: str = "doc_id",
+) -> dict:
+    """The OFFLINE remedy for the day-2 pipeline's declared over-keep
+    divergence (plans/day2_pipeline.py: keep verdicts are as-of-day,
+    so a later day's cluster merge can dethrone an already-shipped
+    keeper — the immutable batch log never retracts it). Compaction
+    re-decides every shipped doc under the CURRENT cluster mapping and
+    repacks the survivors as a fresh epoch:
+
+        kept = shipped docs whose component (if any) == their own id
+        out_path/batch=0 = write_training_shards(kept)  (one batch;
+            later days append batch=1.. on top as usual)
+
+    After compaction the shard contents equal what a ONE-SHOT rebuild
+    over the cumulative corpus would keep (pytest-pinned in
+    tests/test_day2_pipeline.py::TestShardCompaction).
+
+    EPOCH SEMANTICS — this is deliberately NOT in-place: repacking
+    recomputes offsets, which breaks the packed-prefix property the
+    append log guarantees (chunks a trainer already consumed would
+    move). Compaction therefore writes a NEW directory; cutting
+    training jobs over to it is an epoch boundary the caller owns
+    (exactly how petabyte corpora rotate: append daily, compact per
+    epoch). ``out_path`` must differ from ``shards_path``.
+
+    100 TB shape: one scan of the shard log, one batch-restricted
+    broadcast anti-join against the dropped ids (dup-proportional),
+    one repack shuffle — no index or corpus rescans.
+    """
+    import os
+
+    from ..operators.cluster_index import read_clusters
+
+    if os.path.abspath(out_path) == os.path.abspath(shards_path):
+        raise ValueError(
+            "compaction must write a new epoch directory (offsets are "
+            "recomputed; overwriting the append log in place would "
+            "move chunks trainers already consumed)"
+        )
+    shipped = (
+        spark.read.option("basePath", shards_path)
+        .parquet(shards_path)
+        .drop(
+            "batch",
+            "shard",
+            "shuffle_pos",
+            "n_tokens",
+            "chunk_offset",
+            "chunk_in_shard",
+            "offset_in_chunk",
+        )
+    )
+    mapping = read_clusters(spark, clusters_path)
+    if mapping is not None:
+        dropped = (
+            mapping.join(
+                shipped.select(F.col(key).alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+            .filter(F.col("component") != F.col("doc_id"))
+            .select(F.col("doc_id").alias(key))
+        )
+        kept = shipped.join(F.broadcast(dropped), key, "left_anti")
+    else:
+        kept = shipped
+    n_shipped = shipped.count()
+    append_training_batch(
+        kept,
+        out_path,
+        batch_id=0,
+        n_shards=n_shards,
+        budget=budget,
+        salt=salt,
+        key=key,
+    )
+    n_kept = (
+        spark.read.option("basePath", out_path).parquet(out_path).count()
+    )
+    return {
+        "shipped_docs": n_shipped,
+        "kept_docs": n_kept,
+        "retracted_docs": n_shipped - n_kept,
+        "out_path": out_path,
+    }

@@ -319,3 +319,77 @@ class TestDay2Pipeline:
 
         with pytest.raises(ValueError, match="config mismatch"):
             run_day2_ingest(d1, v1, state, batch_id=1, **bad)
+
+
+class TestShardCompaction:
+    def test_compaction_restores_one_shot_keeps(self, spark, tmp_path):
+        """compact_training_shards is the offline remedy for the
+        pipeline's as-of-day over-keeps: after compaction the shard
+        contents equal the ONE-SHOT rebuild's keeps, bit-for-bit
+        against an append twin packed from exactly those docs."""
+        from etl_data_warehouse_spark.sources.shards import (
+            compact_training_shards,
+        )
+
+        docs, vecs = _corpus(spark)
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "state")
+        run_day2_ingest(d1, v1, state, batch_id=1, **CFG)
+        run_day2_ingest(d2, v2, state, batch_id=2, **CFG)
+
+        _, survivors_f, _, kept_f = _full_rebuild(spark, docs, vecs, state)
+        kept_full = {r["doc_id"] for r in kept_f.select("doc_id").collect()}
+        shards = os.path.join(state, "shards")
+        kept_pipe = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", shards)
+            .parquet(shards)
+            .select("doc_id")
+            .collect()
+        }
+        assert kept_pipe > kept_full  # the corpus DOES dethrone
+
+        out = str(tmp_path / "compacted")
+        res = compact_training_shards(
+            spark,
+            shards,
+            os.path.join(state, "clusters"),
+            out,
+            n_shards=CFG["n_shards"],
+            budget=CFG["pack_budget"],
+        )
+        got = spark.read.option("basePath", out).parquet(out)
+        assert {r["doc_id"] for r in got.select("doc_id").collect()} == (
+            kept_full
+        )
+        assert res["retracted_docs"] == len(kept_pipe - kept_full) > 0
+
+        # bit-for-bit repack equality (offsets included) vs an append
+        # twin over exactly the one-shot keeps
+        twin = str(tmp_path / "twin")
+        from etl_data_warehouse_spark.sources.shards import (
+            append_training_batch,
+        )
+
+        append_training_batch(
+            kept_f.select("doc_id", "text", "lang", "source", "fingerprint"),
+            twin,
+            0,
+            n_shards=CFG["n_shards"],
+            budget=CFG["pack_budget"],
+        )
+        cols = sorted(
+            set(got.columns)
+            & set(spark.read.option("basePath", twin).parquet(twin).columns)
+        )
+        assert _rows(got.select(*cols)) == _rows(
+            spark.read.option("basePath", twin).parquet(twin).select(*cols)
+        )
+
+        # epoch safety: in-place compaction must refuse
+        import pytest
+
+        with pytest.raises(ValueError, match="new epoch"):
+            compact_training_shards(
+                spark, shards, os.path.join(state, "clusters"), shards
+            )
