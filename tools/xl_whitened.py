@@ -75,9 +75,13 @@ def main() -> int:
     print("whiten+dedup_sec", full_sec, dict(n=agg["n"], kept=agg["kept"]))
 
     # --- incremental arm under the frozen model ------------------------
+    # different seed: the batch gets its own cluster geometry, so
+    # verdicts are a realistic mix instead of the shared-seed
+    # generator's every-vector-is-a-dup degenerate outcome (the
+    # candidate/refine WORK is the same either way)
     batch = (
         generate_clustered_embeddings(
-            spark, n_batch, dim=DIM, n_clusters=1024
+            spark, n_batch, dim=DIM, n_clusters=1024, seed=43
         )
         .withColumn("vec_id", F.col("vec_id") + 10_000_000)
         .repartition(para)
