@@ -858,6 +858,154 @@ ORDER BY s.vec_id
 """
 
 
+# --- q157: whitened SemDeDup under the hash gate (frozen PCA model) ----------
+# q82 runs SemDeDup in RAW embedding space; the paper (Abbas et al.
+# 2023, arXiv:2303.09540 §3) whitens first. Live PCA training has no
+# bit-exact SQL replay (eigensolver), which kept the whitened path
+# pytest-only through r10 — so round 11 applies the q81
+# trained-artifact pattern to the WHITENING MODEL: tools/freeze_q157.py
+# trains (mean, top-32 components, scale=1/sqrt(eigenvalue)) offline on
+# the sf0.001 twin corpus, canonicalizes eigenvector signs, and commits
+# it as parquet (artifacts/q157_whitening/). Both engines project with
+# the IDENTICAL left-fold — per component j:
+# (fold_i (v[i]-mean[i])*w_j[i]) * scale_j — then replay q82's
+# semantic-dedup inference in the whitened space. Output columns are
+# ints/bools only (vec_id, cell_id, kept, dup_of), so the driver
+# hash-checks the whitened VERDICTS themselves. Threshold 0.9 sits in
+# a wide planted margin (whitened twin cosines >= 0.994, background
+# <= 0.68 at both SFs — measured, r11).
+#
+# 100 TB shape: the projection is MAP-ONLY — the K-row model collapses
+# to a single broadcast row (sort_array(collect_list(struct))), so no
+# shuffle is added on top of semantic_dedup's own cell shuffle; the
+# per-row cost is K x d fused multiply-adds, the same matmul the Arrow
+# scale path (ann_index.build_whitened_ivf_pq_index) runs vectorized.
+
+_Q157_ARTIFACT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "q157_whitening",
+)
+_Q157_DIM = 64
+_Q157_THRESHOLD = 0.9
+
+
+def q157_whitened_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frozen-model whitened SemDeDup: project via the committed PCA
+    artifact (one broadcast row, map-only fold math), then q82's
+    deterministic semantic-dedup replay in whitened space."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = _twin_corpus(emb)
+    mean = spark.read.parquet(
+        os.path.join(_Q157_ARTIFACT_DIR, "mean.parquet")
+    )
+    comps = spark.read.parquet(
+        os.path.join(_Q157_ARTIFACT_DIR, "components.parquet")
+    )
+    model = comps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("comp_id", "w", "scale"))
+        ).alias("comps")
+    ).crossJoin(mean)
+    proj = corpus.crossJoin(F.broadcast(model)).select(
+        "vec_id",
+        F.transform(
+            "comps",
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("mean"),
+                        lambda x, m: x - m,
+                    ),
+                    c["w"],
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * c["scale"],
+        ).alias("embedding"),
+    )
+    return similarity.semantic_dedup(proj, threshold=_Q157_THRESHOLD)
+
+
+_Q157_MEAN_SQL = (
+    "SELECT list_transform(mean, x -> x::DOUBLE) AS mu "
+    f"FROM read_parquet('{os.path.join(_Q157_ARTIFACT_DIR, 'mean.parquet')}')"
+)
+_Q157_COMPS_SQL = (
+    "SELECT comp_id, list_transform(w, x -> x::DOUBLE) AS w, "
+    "scale::DOUBLE AS scale "
+    f"FROM read_parquet('{os.path.join(_Q157_ARTIFACT_DIR, 'components.parquet')}')"
+)
+
+Q157_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vv
+    FROM embeddings
+),
+twins AS (
+    SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+               i -> embedding[i]::DOUBLE
+                    * (1.0 + 0.05 * ((vec_id + i - 1) % 5)::DOUBLE)) AS vv
+    FROM embeddings
+),
+raw AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+mdl_mean AS ({_Q157_MEAN_SQL}),
+mdl_comps AS ({_Q157_COMPS_SQL}),
+v AS (
+    SELECT r.vec_id,
+           list(list_reduce(list_transform(
+                    generate_series(1, {_Q157_DIM}),
+                    i -> (r.vv[i] - m.mu[i]) * c.w[i]), (x, y) -> x + y)
+                * c.scale ORDER BY c.comp_id) AS vv
+    FROM raw r CROSS JOIN mdl_mean m CROSS JOIN mdl_comps c
+    GROUP BY r.vec_id
+),
+params AS (
+    SELECT least(256, greatest(16, COUNT(*) // 64)) AS n_cells FROM v
+),
+cent AS (
+    SELECT vec_id AS cell_id, vv AS cv
+    FROM v
+    QUALIFY row_number() OVER (ORDER BY vec_id)
+                <= (SELECT n_cells FROM params)
+),
+assigned AS (
+    SELECT vid AS vec_id, cell_id FROM (
+        SELECT v.vec_id AS vid, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.vv", b="c.cv")}
+                              / ({_NORM_SQL.format(a="v.vv")}
+                                 * {_NORM_SQL.format(a="c.cv")}) DESC,
+                            c.cell_id
+               ) AS r
+        FROM v CROSS JOIN cent c
+    ) WHERE r = 1
+),
+dups AS (
+    SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+    FROM assigned a
+    JOIN assigned b USING (cell_id)
+    JOIN v va ON va.vec_id = a.vec_id
+    JOIN v vb ON vb.vec_id = b.vec_id
+    WHERE a.vec_id < b.vec_id
+      AND {_DOT_SQL.format(a="va.vv", b="vb.vv")}
+            / ({_NORM_SQL.format(a="va.vv")}
+               * {_NORM_SQL.format(a="vb.vv")}) >= {_Q157_THRESHOLD}
+    GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell_id, d.dup_of IS NULL AS kept, d.dup_of
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+ORDER BY s.vec_id
+"""
+
+
 # --- q87: CDC changelog apply (last-writer-wins + deletes) -------------------
 # The events stream read as a CDC feed: user_id is the key, (ts_ms,
 # event_id) the total order, 'error' events are tombstones. The state
@@ -1628,6 +1776,7 @@ QUERIES = {
     "q55_embedding_stats": q55_embedding_stats,
     "q81_ivfadc_topk": q81_ivfadc_topk,
     "q82_semantic_dedup": q82_semantic_dedup,
+    "q157_whitened_semantic_dedup": q157_whitened_semantic_dedup,
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
     "q98_json_flatten": q98_json_flatten,
@@ -1659,6 +1808,7 @@ ORACLES = {
     "q55_embedding_stats": Q55_ORACLE,
     "q81_ivfadc_topk": Q81_ORACLE,
     "q82_semantic_dedup": Q82_ORACLE,
+    "q157_whitened_semantic_dedup": Q157_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
     "q98_json_flatten": Q98_ORACLE,

