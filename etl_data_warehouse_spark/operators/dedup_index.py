@@ -55,6 +55,36 @@ def _read_shingles(
     return spark.read.parquet(f"{index_dir}/shingles")
 
 
+def register_minhash_tables(
+    spark: SparkSession,
+    index_dir: str,
+    table_prefix: str,
+    buckets: int,
+) -> None:
+    """(Re-)attach an existing bucketed index directory as external
+    tables in THIS session's catalog — the cross-session half of the
+    bucketed layout. ``saveAsTable`` registers tables only in the
+    session that wrote them; any later session (tomorrow's batch job,
+    a crash replay) calls this first: CREATE TABLE IF NOT EXISTS with
+    the identical bucket spec and LOCATION re-attaches the files with
+    zero data movement, so the Exchange-free index-side join survives
+    session turnover. Column schema is derived from the parquet
+    footers, so the DDL can never drift from the files. No-op when the
+    table is already registered."""
+    for suffix, keys in (("bands", BAND_KEYS), ("shingles", ["doc_id"])):
+        name = f"{table_prefix}_{suffix}"
+        if spark.catalog.tableExists(name):
+            continue
+        path = f"{index_dir}/{suffix}"
+        ddl = spark.read.parquet(path).schema.toDDL()
+        keys_sql = ", ".join(keys)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({keys_sql}) SORTED BY ({keys_sql}) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        )
+
+
 def build_minhash_index(
     docs: DataFrame,
     index_dir: str,

@@ -74,18 +74,26 @@ State layout under ``state_dir``::
 batch-keyed shuffles plus the documented O(batch)/O(affected) index
 probes; no stage rescans the standing corpus (the only corpus-side
 reads are semi-join-pruned: touched shingles, touched raw vectors,
-affected cluster components, host-grain cap counts). The one
-corpus-proportional shuffle left is the MinHash bands join (the plain
-parquet index re-shuffles its side per day); when that outgrows a
-shuffle, swap in dedup_index's bucketed external tables
-(buckets/table_prefix — the bands join then reads the index side with
-NO Exchange, the shape neardup_stream ships) — kept out of this entry
-point because saveAsTable needs a metastore that outlives the
-session, an operational choice the caller owns.
+affected cluster components, host-grain cap counts). As of r11 the
+MinHash index is BUCKETED BY DEFAULT (``minhash_buckets`` config, 32):
+bands bucketed on (band_idx, bh), shingles on doc_id, so the daily
+bands join and the shingle probes read the index side with NO Exchange
+— only the batch side shuffles — which removed the last
+corpus-proportional shuffle in the chain. The metastore objection that
+kept this out of r10 is solved by
+dedup_index.register_minhash_tables: each session re-attaches the
+bucketed directories via CREATE TABLE IF NOT EXISTS (schema derived
+from the parquet footers, spec pinned by the stored config), so no
+metastore needs to outlive the session. ``minhash_buckets=0`` opts
+back into plain parquet; state dirs bootstrapped before r11 carry no
+``minhash_buckets`` key and keep reading their plain layout — the
+physical layout is index state, pinned at bootstrap like every other
+config knob.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -103,6 +111,7 @@ from ..operators.dedup_index import (
     append_to_index,
     build_minhash_index,
     incremental_dedup,
+    register_minhash_tables,
 )
 from ..sources.shards import append_training_batch
 from ..sources.sinks import append_dedup
@@ -118,6 +127,7 @@ _DEFAULTS = dict(
     shingle_n=3,
     jaccard_threshold=0.8,
     cosine_threshold=0.95,
+    minhash_buckets=32,
     n_cells=16,
     m=4,
     codes=16,
@@ -157,6 +167,14 @@ def _load_or_init_config(state_dir: str, overrides: dict) -> dict:
     return cfg
 
 
+def _minhash_table_prefix(state_dir: str) -> str:
+    """Catalog-unique table prefix for a state dir: the bucketed index
+    tables are per-pipeline-instance, and several instances (tests,
+    parallel pipelines) share one session catalog."""
+    h = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:10]
+    return f"day2_mh_{h}"
+
+
 def _survivor_batch(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame:
@@ -167,7 +185,11 @@ def _survivor_batch(
         os.path.join(state_dir, "curated", f"batch={batch_id}")
     ).select("doc_id")
     clean = spark.read.parquet(os.path.join(state_dir, "clean_documents"))
-    return clean.join(curated, "doc_id", "left_semi")
+    # the semi-join reorders columns doc_id-first; restore the sink's
+    # own order so shard files inherit ONE stable column order
+    return clean.join(curated, "doc_id", "left_semi").select(
+        *clean.columns
+    )
 
 
 def run_day2_ingest(
@@ -249,16 +271,26 @@ def run_day2_ingest(
         bands=cfg["bands"],
         n=cfg["shingle_n"],
     )
+    # Bucketed index layout (the default): Exchange-free index-side
+    # joins; pre-r11 state dirs carry no key and stay plain parquet.
+    mh_buckets = int(cfg.get("minhash_buckets", 0)) or None
+    mh_prefix = _minhash_table_prefix(state_dir) if mh_buckets else None
     if bootstrap:
         pairs = dedup.minhash_lsh_pairs(
             survivors, threshold=cfg["jaccard_threshold"], **mh_kw
         )
     else:
+        if mh_buckets:
+            register_minhash_tables(
+                spark, minhash_dir, mh_prefix, mh_buckets
+            )
         pairs = incremental_dedup(
             spark,
             survivors,
             minhash_dir,
             threshold=cfg["jaccard_threshold"],
+            bands_table=f"{mh_prefix}_bands" if mh_prefix else None,
+            shingles_table=f"{mh_prefix}_shingles" if mh_prefix else None,
             **mh_kw,
         )
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
@@ -330,9 +362,15 @@ def run_day2_ingest(
     # operator (they document their own crash ordering); across
     # operators each append is independently idempotent.
     if bootstrap:
-        build_minhash_index(survivors, minhash_dir, **mh_kw)
+        build_minhash_index(
+            survivors, minhash_dir,
+            buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
+        )
     else:
-        append_to_index(survivors, minhash_dir, **mh_kw)
+        append_to_index(
+            survivors, minhash_dir,
+            buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
+        )
         append_to_ivf_index(batch_vecs, ann_dir, batch_id=batch_id)
     batch_vecs.write.mode("overwrite").parquet(
         os.path.join(vec_dir, f"batch={batch_id}")

@@ -83,7 +83,13 @@ def append_dedup(
         _atomic_swap_write(incoming, path)
         return n
     existing_keys = spark.read.parquet(path).select(*keys).distinct()
-    new_rows = incoming.join(existing_keys, keys, "left_anti")
+    # the anti-join reorders columns key-first; restore the incoming
+    # order so every file in the sink carries ONE column order (parquet
+    # directory schema inference picks an arbitrary footer — mixed
+    # orders make downstream `df.columns` nondeterministic)
+    new_rows = incoming.join(existing_keys, keys, "left_anti").select(
+        *incoming.columns
+    )
     n = new_rows.count()
     if n:
         new_rows.write.mode("append").parquet(path)

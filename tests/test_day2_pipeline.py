@@ -259,6 +259,45 @@ class TestDay2Pipeline:
         )
         assert _shard_rows(spark, shards) == _shard_rows(spark, twin)
 
+    def test_bucketed_index_survives_session_turnover(self, spark, tmp_path):
+        # The bucketed MinHash tables (minhash_buckets default) are
+        # registered by saveAsTable only in the session that wrote
+        # them; a later session (tomorrow's batch job) must re-attach
+        # the directories via register_minhash_tables' CREATE TABLE
+        # path. Simulate session turnover by dropping the catalog
+        # entries (EXTERNAL tables — files survive) between days and
+        # prove the two-day result is bit-identical to the
+        # single-session run.
+        from etl_data_warehouse_spark.plans.day2_pipeline import (
+            _minhash_table_prefix,
+        )
+
+        docs, vecs = _corpus(spark)
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+
+        sa = str(tmp_path / "state_a")  # single-session twin
+        run_day2_ingest(d1, v1, sa, batch_id=1, **CFG)
+        run_day2_ingest(d2, v2, sa, batch_id=2, **CFG)
+
+        sb = str(tmp_path / "state_b")  # catalog wiped between days
+        run_day2_ingest(d1, v1, sb, batch_id=1, **CFG)
+        pre = _minhash_table_prefix(sb)
+        for sfx in ("bands", "shingles"):
+            assert spark.catalog.tableExists(f"{pre}_{sfx}")
+            spark.sql(f"DROP TABLE {pre}_{sfx}")
+        run_day2_ingest(d2, v2, sb, batch_id=2, **CFG)
+        # day-2 re-registered the tables from the surviving files
+        for sfx in ("bands", "shingles"):
+            assert spark.catalog.tableExists(f"{pre}_{sfx}")
+
+        for sub in ("shards", "clean_documents"):
+            assert _shard_rows(
+                spark, os.path.join(sa, sub)
+            ) == _shard_rows(spark, os.path.join(sb, sub))
+        assert _rows(
+            read_clusters(spark, os.path.join(sa, "clusters"))
+        ) == _rows(read_clusters(spark, os.path.join(sb, "clusters")))
+
     def test_day2_replay_is_idempotent(self, spark, tmp_path):
         docs, vecs = _corpus(spark)
         d1, d2, v1, v2 = _split_days(docs, vecs)
