@@ -11,6 +11,9 @@ scale answer is persisted index state with FROZEN quantizers:
 - ``codebooks/``  (subspace, code_id, cv, cnorm2) — PQ codebooks
 - ``packed/batch=N/``   (vec_id, code_ids, rnorm2) — compressed codes
 - ``assigned/batch=N/`` (vec_id, cell_id)          — cell assignment
+- ``projected/batch=N/`` (vec_id, embedding)       — whitened vectors
+  (whitened indexes only: build/append project each vector ONCE and
+  keep the result as state, so no later pass re-projects the corpus)
 
 Quantizer state is trained at build time and never touched by appends
 (periodic retraining is an offline REBUILD, the standard production
@@ -136,6 +139,32 @@ def load_ivf_pq_index(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def _drop_crossbatch_recrawls(
+    new_vectors: DataFrame, index_dir: str, batch_id: int
+) -> DataFrame:
+    """The skip_indexed probe: anti-join ids already in packed OR
+    assigned of any OTHER batch — re-crawled ids across batches drop,
+    while this batch's own earlier (possibly partial) write is excluded
+    so a replay always re-encodes the full batch and the overwrite
+    completes it."""
+    spark = new_vectors.sparkSession
+    other = F.col("batch") != batch_id
+    seen = (
+        spark.read.option("basePath", f"{index_dir}/packed")
+        .parquet(f"{index_dir}/packed")
+        .filter(other)
+        .select("vec_id")
+        .unionByName(
+            spark.read.option("basePath", f"{index_dir}/assigned")
+            .parquet(f"{index_dir}/assigned")
+            .filter(other)
+            .select("vec_id")
+        )
+        .distinct()
+    )
+    return new_vectors.join(seen, "vec_id", "left_anti")
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     index_dir: str,
@@ -155,21 +184,9 @@ def append_to_ivf_index(
     spark = new_vectors.sparkSession
     idx = load_ivf_pq_index(spark, index_dir)
     if skip_indexed:
-        other = F.col("batch") != batch_id
-        seen = (
-            spark.read.option("basePath", f"{index_dir}/packed")
-            .parquet(f"{index_dir}/packed")
-            .filter(other)
-            .select("vec_id")
-            .unionByName(
-                spark.read.option("basePath", f"{index_dir}/assigned")
-                .parquet(f"{index_dir}/assigned")
-                .filter(other)
-                .select("vec_id")
-            )
-            .distinct()
+        new_vectors = _drop_crossbatch_recrawls(
+            new_vectors, index_dir, batch_id
         )
-        new_vectors = new_vectors.join(seen, "vec_id", "left_anti")
     new_vectors = new_vectors.localCheckpoint()
     if not new_vectors.take(1):
         # every id was a re-crawl — nothing to encode, and writing
@@ -538,14 +555,43 @@ def build_whitened_ivf_pq_index(
 ) -> None:
     """Train the PCA-whitening model on the corpus, persist it as index
     state (whitening.parquet), and build the IVF-PQ index over the
-    WHITENED vectors. ``build_kw`` forwards to build_ivf_pq_index."""
+    WHITENED vectors. ``build_kw`` forwards to build_ivf_pq_index.
+
+    The projection runs ONCE: the projected corpus is materialized as
+    ``projected/batch=0`` — a first-class state table next to the
+    packed codes — and every downstream training/encode/assign pass
+    scans that parquet. Before r11 the lazy mapInPandas projection
+    re-executed inside each consumer (k-means checkpoint, PQ train,
+    encode, assign — ~4 corpus-wide projection passes per build; the
+    76.2s-vs-45.8s XL gap the r10 verdict flagged). Persisting it also
+    IS the daily-path state ``incremental_semantic_dedup_whitened``
+    wants: the exact-refine scans projected vectors predicate-pushed
+    on vec_id instead of re-projecting the corpus per batch."""
     from .similarity import pca_model
 
+    spark = vectors.sparkSession
     dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
     mean, comps, evals = pca_model(vectors, dim, k or dim, vec_col=vec_col)
     _write_whitening(index_dir, mean, comps, evals)
-    proj = _project_frozen(vectors, (mean, comps, evals), vec_col)
+    _project_frozen(vectors, (mean, comps, evals), vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/projected/batch=0")
+    proj = (
+        spark.read.option("basePath", f"{index_dir}/projected")
+        .parquet(f"{index_dir}/projected/batch=0")
+        .drop("batch")
+    )
     build_ivf_pq_index(proj, index_dir, **build_kw)
+
+
+def load_projected(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The whitened index's projected-corpus state table (all batches):
+    (vec_id, embedding) in the frozen whitened space."""
+    return (
+        spark.read.option("basePath", f"{index_dir}/projected")
+        .parquet(f"{index_dir}/projected")
+        .drop("batch")
+    )
 
 
 def append_to_whitened_ivf_index(
@@ -553,24 +599,44 @@ def append_to_whitened_ivf_index(
     index_dir: str,
     batch_id: int,
     vec_col: str = "embedding",
+    skip_indexed: bool = True,
     **kw,
 ) -> None:
-    """append_to_ivf_index under the frozen whitening model."""
+    """append_to_ivf_index under the frozen whitening model, extending
+    the ``projected/`` state table with the batch's whitened vectors
+    (projected ONCE — the localCheckpoint serves encode, assign, and
+    the projected write from one batch-sized materialization).
+
+    Write order: packed/assigned first (via append_to_ivf_index),
+    ``projected/batch=N`` LAST — the recrawl guard probes
+    packed/assigned, so a doc must only appear in projected once the
+    rows the guard sees are on disk (the dedup_index bands-vs-shingles
+    ordering argument); a crash in between is completed by this
+    batch's own replay (overwrite) and the half-written ids stay
+    invisible to other batches' guards until then."""
     model = load_whitening(index_dir)
     if model is None:
         raise ValueError(
             f"{index_dir} has no whitening.parquet — built unwhitened?"
         )
+    if skip_indexed:
+        new_vectors = _drop_crossbatch_recrawls(
+            new_vectors, index_dir, batch_id
+        )
+    proj = _project_frozen(new_vectors, model, vec_col).localCheckpoint()
+    if not proj.take(1):
+        # every id was a re-crawl — write nothing, consistently
+        return
     append_to_ivf_index(
-        _project_frozen(new_vectors, model, vec_col),
-        index_dir,
-        batch_id=batch_id,
-        **kw,
+        proj, index_dir, batch_id=batch_id, skip_indexed=False, **kw
+    )
+    proj.write.mode("overwrite").parquet(
+        f"{index_dir}/projected/batch={batch_id}"
     )
 
 
 def incremental_semantic_dedup_whitened(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     new_vectors: DataFrame,
     index_dir: str,
     threshold: float = 0.95,
@@ -585,24 +651,26 @@ def incremental_semantic_dedup_whitened(
     restricted to the batch — the same decomposition the raw-space twin
     pins (tests/test_whitened_semdedup.py).
 
-    ``corpus_projected``: the O(batch) daily shape is to PERSIST the
-    projected vectors as batch state (project once at append time,
-    exactly like the packed codes) and pass that table here with
-    corpus_projected=True — the refine's semi-join prune then pushes
-    vec_id straight to the parquet scan. With corpus_projected=False
-    the raw corpus is projected inline: correct, but the mapInPandas
-    is a pushdown barrier, so the projection pass is O(corpus) per
-    batch — fine for backfills, wrong as the daily path."""
+    ``corpus=None`` (the daily default since r11) reads the index's own
+    ``projected/`` state table — build and append maintain it, so the
+    refine's semi-join prune pushes vec_id straight to that parquet
+    scan and NOTHING is re-projected but the batch. Passing a
+    pre-projected table explicitly still works with
+    ``corpus_projected=True``; passing RAW vectors
+    (corpus_projected=False) projects them inline — correct, but the
+    mapInPandas is a pushdown barrier, so that projection pass is
+    O(corpus) per batch: fine for backfills, wrong as the daily path."""
     model = load_whitening(index_dir)
     if model is None:
         raise ValueError(
             f"{index_dir} has no whitening.parquet — built unwhitened?"
         )
-    corpus_w = (
-        corpus.select("vec_id", F.col(vec_col).alias("embedding"))
-        if corpus_projected
-        else _project_frozen(corpus, model, vec_col)
-    )
+    if corpus is None:
+        corpus_w = load_projected(new_vectors.sparkSession, index_dir)
+    elif corpus_projected:
+        corpus_w = corpus.select("vec_id", F.col(vec_col).alias("embedding"))
+    else:
+        corpus_w = _project_frozen(corpus, model, vec_col)
     return incremental_semantic_dedup(
         corpus_w,
         _project_frozen(new_vectors, model, vec_col),

@@ -164,6 +164,14 @@ class TestWhitenedSemanticDedup:
             (r["vec_id"], r["kept"], r["dup_of"]) for r in df.collect()
         )
         assert rows(inline) == rows(state)
+        # corpus=None (the r11 daily default) reads the index's OWN
+        # projected/ state table — build maintains it, so no caller-
+        # side projection bookkeeping at all
+        assert rows(inline) == rows(
+            incremental_semantic_dedup_whitened(
+                None, batch, idx, threshold=TH
+            )
+        )
 
     def test_verdict_stable_across_own_append_and_replay(
         self, spark, tmp_path

@@ -5,8 +5,9 @@ operating point.
 
 Also records the whitened incremental arm: a whitened IVF-PQ index on
 the 1M standing corpus + a 100K-batch verdict under the frozen model
-(the O(batch) daily path; corpus passed PRE-PROJECTED — the persisted
-state shape — so the refine's semi-join prune reaches the scan).
+(the O(batch) daily path; the corpus side is the index's OWN
+``projected/`` state table — build materializes it in one pass since
+r11 — so the refine's semi-join prune reaches the scan).
 
 Usage: python tools/xl_whitened.py [--n=1000000] [--n-batch=100000]
 Merges into BENCH_XL.json under "whitened_semantic_dedup".
@@ -28,7 +29,6 @@ from etl_data_warehouse_spark.operators import similarity  # noqa: E402
 from etl_data_warehouse_spark.operators.ann_index import (  # noqa: E402
     build_whitened_ivf_pq_index,
     incremental_semantic_dedup_whitened,
-    load_whitening,
 )
 from etl_data_warehouse_spark.session import get_spark  # noqa: E402
 from etl_data_warehouse_spark.sources.generators import (  # noqa: E402
@@ -88,8 +88,10 @@ def main() -> int:
         .localCheckpoint()
     )
     idx = tempfile.mkdtemp(prefix="xl_whitened_idx_")
-    proj_state = tempfile.mkdtemp(prefix="xl_whitened_proj_")
     t0 = time.time()
+    # build materializes projected/batch=0 itself since r11 — the
+    # projection runs ONCE and the state table the daily path needs
+    # falls out of the build (no separate caller-side projection pass)
     build_whitened_ivf_pq_index(
         corpus,
         idx,
@@ -99,12 +101,6 @@ def main() -> int:
         coarse_train_limit=131_072,
         assign_arrow=True,
     )
-    # persist the projected standing vectors — the state table the
-    # daily path keeps next to the packed codes
-    model = load_whitening(idx)
-    similarity.pca_project(corpus, model[0], model[1], model[2]).select(
-        "vec_id", F.col("projected").alias("embedding")
-    ).write.mode("overwrite").parquet(proj_state + "/data")
     build_sec = round(time.time() - t0, 3)
     print("whitened_index_build_sec", build_sec)
 
@@ -112,11 +108,10 @@ def main() -> int:
     spark.sparkContext._jvm.System.gc()
     t0 = time.time()
     inc = incremental_semantic_dedup_whitened(
-        spark.read.parquet(proj_state + "/data"),
+        None,  # corpus=None: the index's own projected/ state table
         batch,
         idx,
         threshold=0.95,
-        corpus_projected=True,
         assign_arrow=True,
         refine_arrow=True,
     )
@@ -144,7 +139,6 @@ def main() -> int:
     _merge_bench_xl("/root/repo", {"whitened_semantic_dedup": row})
     print(json.dumps(row))
     shutil.rmtree(idx, ignore_errors=True)
-    shutil.rmtree(proj_state, ignore_errors=True)
     return 0
 
 
