@@ -119,9 +119,15 @@ def _capped_batch(
         )
     else:
         ranked = ranked.withColumn("_spent", F.lit(0).cast("long"))
-    kept = ranked.filter(
-        F.col("_dr") + F.col("_spent") <= domain_cap
-    ).drop("_dr", "_spent", "n_written")
+    kept = (
+        ranked.filter(F.col("_dr") + F.col("_spent") <= domain_cap)
+        .drop("_dr", "_spent", "n_written")
+        # the host join reorders columns host-first on non-first
+        # batches only; restore the input order so every batch=N file
+        # carries ONE column order (the append_dedup rule — mixed
+        # orders make directory schema inference nondeterministic)
+        .select(*batch.columns)
+    )
     kept.write.mode("overwrite").parquet(
         os.path.join(data_dir, f"batch={batch_id}")
     )

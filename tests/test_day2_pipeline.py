@@ -432,3 +432,121 @@ class TestShardCompaction:
             compact_training_shards(
                 spark, shards, os.path.join(state, "clusters"), shards
             )
+
+    def test_three_day_dethrone_then_compaction_epoch(
+        self, spark, tmp_path
+    ):
+        """The full operational story through the PUBLIC surface only
+        (run_day2_ingest + compact_training_shards): a day-3 near-dup
+        Z bridges two day-1 keepers Y < X — pairwise Jaccard 0.75
+        (below the 0.8 threshold: both ship on day 1) but 0.857 vs Z —
+        so day-3's cluster merge dethrones the shipped keeper X in the
+        mapping while the immutable shard log retains it; compaction
+        into a fresh epoch then restores one-shot-rebuild equality."""
+        from etl_data_warehouse_spark.sources.shards import (
+            compact_training_shards,
+        )
+
+        # ids chosen to SURVIVE the blocklist + per-domain cap (the
+        # curation gates key on doc-derived hosts, not text, so the
+        # planted texts don't change survival): 110 is blocklisted,
+        # 111 passes — probed once, pinned here
+        Y_ID, X_ID, Z_ID = 10, 30, 111
+        core = " ".join(f"core{i}" for i in range(20))
+        planted = {
+            Y_ID: core + " ya yb yc",
+            X_ID: core + " xa xb xc",
+            Z_ID: core,
+        }
+        day_src = (
+            F.when(F.col("doc_id") < 40, "d1src")
+            .when(F.col("doc_id") < 80, "d2src")
+            .otherwise("d3src")
+        )
+        docs = generate_documents(
+            spark, N, n_words=40, dup_rate=0.0
+        ).withColumn("source", day_src)
+        repl = F.col("text")
+        for k, v in planted.items():
+            repl = F.when(F.col("doc_id") == k, F.lit(v)).otherwise(repl)
+        docs = docs.withColumn("text", repl).localCheckpoint()
+        # one cluster per vector: no accidental semantic edges — the
+        # dethrone must come from the planted MinHash bridge alone
+        vecs = (
+            generate_clustered_embeddings(
+                spark, N, dim=16, n_clusters=N, noise=0.01
+            )
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
+
+        state = str(tmp_path / "state")
+        shards = os.path.join(state, "shards")
+        for bid, (lo, hi) in enumerate(
+            ((0, 40), (40, 80), (80, 120)), start=1
+        ):
+            run_day2_ingest(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                vecs.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                state,
+                batch_id=bid,
+                **CFG,
+            )
+            if bid == 1:
+                day1 = {
+                    r["doc_id"]
+                    for r in spark.read.option("basePath", shards)
+                    .parquet(shards)
+                    .select("doc_id")
+                    .collect()
+                }
+                assert {Y_ID, X_ID} <= day1  # both ship on day 1
+
+        shipped = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", shards)
+            .parquet(shards)
+            .select("doc_id")
+            .collect()
+        }
+        assert X_ID in shipped  # immutable log retains the keeper
+        assert Z_ID not in shipped  # Z itself dropped as-of-day
+        comp = {
+            r["doc_id"]: r["component"]
+            for r in read_clusters(
+                spark, os.path.join(state, "clusters")
+            ).collect()
+        }
+        assert comp.get(X_ID) == Y_ID  # X dethroned by the day-3 merge
+        assert comp.get(Z_ID) == Y_ID
+
+        out = str(tmp_path / "epoch1")
+        res = compact_training_shards(
+            spark,
+            shards,
+            os.path.join(state, "clusters"),
+            out,
+            n_shards=CFG["n_shards"],
+            budget=CFG["pack_budget"],
+        )
+        compacted = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", out)
+            .parquet(out)
+            .select("doc_id")
+            .collect()
+        }
+        assert X_ID not in compacted and Y_ID in compacted
+        dethroned = {d for d, c in comp.items() if c != d}
+        assert compacted == shipped - dethroned
+        assert res["retracted_docs"] == len(shipped - compacted) > 0
+
+        # strong form: the fresh epoch == the one-shot rebuild's keeps
+        _, _, _, kept_f = _full_rebuild(spark, docs, vecs, state)
+        assert compacted == {
+            r["doc_id"] for r in kept_f.select("doc_id").collect()
+        }
