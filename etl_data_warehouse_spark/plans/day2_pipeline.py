@@ -96,6 +96,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -217,6 +218,13 @@ def run_day2_ingest(
     cfg = _load_or_init_config(
         state_dir, {k: v for k, v in overrides.items() if v is not None}
     )
+    stage_sec: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> float:
+        stage_sec[name] = round(time.time() - t0, 3)
+        return time.time()
+
+    t = time.time()
 
     # --- 1. curation gates: blocklist + cross-day per-domain cap ------
     n_ingested = docs.count()
@@ -235,6 +243,7 @@ def run_day2_ingest(
         os.path.join(state_dir, "curated", f"batch={batch_id}")
     )
     n_curated = curated.count()
+    t = _mark("curation", t)
 
     # --- 2. clean funnel + exact-fingerprint dedup vs the sink --------
     cleaned = clean_document_stream(curated)
@@ -264,6 +273,7 @@ def run_day2_ingest(
             "every clean survivor needs an embedding: "
             f"{n_survivors} survivors vs {batch_vecs.count()} vectors"
         )
+    t = _mark("clean_funnel", t)
 
     # --- 3a. incremental MinHash near-dup pairs ------------------------
     mh_kw = dict(
@@ -294,6 +304,7 @@ def run_day2_ingest(
             **mh_kw,
         )
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    t = _mark("minhash_pairs", t)
 
     # --- 3b. incremental semantic-dedup verdicts ------------------------
     if bootstrap:
@@ -331,6 +342,7 @@ def run_day2_ingest(
     )
     edges = pairs.unionByName(sem_edges).distinct()
     n_edges = edges.count()
+    t = _mark("semantic_verdicts", t)
 
     # --- 4. cluster maintenance (O(affected)) --------------------------
     clusters_dir = os.path.join(state_dir, "clusters")
@@ -338,6 +350,7 @@ def run_day2_ingest(
         mapping = update_clusters(edges, clusters_dir)
     else:
         mapping = read_clusters(spark, clusters_dir)
+    t = _mark("cluster_maintenance", t)
 
     # --- 5. keep verdicts: cluster-min over the cumulative edge set ----
     # The mapping is corpus-dup-sized; restrict it to THIS batch's docs
@@ -356,6 +369,7 @@ def run_day2_ingest(
         kept = survivors
     kept = kept.localCheckpoint()
     n_kept = kept.count()
+    t = _mark("keep_verdicts", t)
 
     # --- 6. index + raw-vector appends (ALL survivors) -----------------
     # Order: vectors/packed state LAST only matters within each
@@ -375,6 +389,7 @@ def run_day2_ingest(
     batch_vecs.write.mode("overwrite").parquet(
         os.path.join(vec_dir, f"batch={batch_id}")
     )
+    t = _mark("index_appends", t)
 
     # --- 7. training-shard append (kept docs only) ----------------------
     append_training_batch(
@@ -385,6 +400,7 @@ def run_day2_ingest(
         budget=cfg["pack_budget"],
     )
 
+    _mark("shard_append", t)
     return {
         "batch_id": batch_id,
         "bootstrap": bootstrap,
@@ -393,6 +409,7 @@ def run_day2_ingest(
         "clean_survivors": n_survivors,
         "near_dup_edges": n_edges,
         "kept_docs": n_kept,
+        "stage_sec": stage_sec,
         "status": "SUCCESS",
     }
 

@@ -86,7 +86,7 @@ def main() -> int:
     row = {
         "n_docs_standing": n,
         "n_batch_pairs": 3 * third,
-        "method": "fresh_session_single_run",
+        "method": "fresh_isolated_session_single_run",
         "standing_state_sec": build_sec,
         "batch_update_sec": update_sec,
         "mapping_rows": n_rows,

@@ -125,11 +125,13 @@ def main() -> int:
     row = {
         "n_standing": n,
         "n_batch": n_batch,
-        "method": "fresh_session_single_run",
+        "method": "fresh_isolated_session_single_run",
+        "minhash_buckets": 32,  # the r11 bucketed-index default
         "bootstrap_days": n_days,
         "bootstrap_total_sec": round(sum(boot_secs), 3),
         "bootstrap_last_day_sec": boot_secs[-1],
         "day2_sec": day2_sec,
+        "day2_stage_sec": a2["stage_sec"],
         "day2_clean_survivors": a2["clean_survivors"],
         "day2_near_dup_edges": a2["near_dup_edges"],
         "day2_kept_docs": a2["kept_docs"],

@@ -75,7 +75,10 @@ def main() -> int:
             spark, n, dim=64, n_clusters=256
         ).repartition(para).write.parquet(f"{base}/gvecs.parquet")
         data = spark.read.parquet(f"{base}/gvecs.parquet")
-    elif op in ("semantic_dedup", "hyperplane_lsh_wide"):
+    elif op in (
+        "semantic_dedup", "hyperplane_lsh_wide", "ivf_pq_index",
+        "srp_candidates",
+    ):
         generate_clustered_embeddings(
             spark, n, dim=16, n_clusters=max(1, n // 4), noise=0.02
         ).repartition(para).write.parquet(f"{base}/ndvecs.parquet")
@@ -111,6 +114,92 @@ def main() -> int:
         "eval_decontamination": lambda: _decontaminate(data),
         "gramian_arrow": lambda: similarity.gramian_arrow(data, dim=64),
     }
+    if op == "incremental_dedup_batch":
+        # the daily LSH shape: one-time bucketed index build over 90%
+        # of the corpus, then the 10% batch joined Exchange-free
+        # against it — index_build timed once (it is the amortized
+        # one-time cost), the BATCH probe min-of-runs
+        from etl_data_warehouse_spark.operators import dedup_index
+
+        cut = int(n * 0.9)
+        spark.sql("DROP TABLE IF EXISTS xlone_lsh_bands")
+        spark.sql("DROP TABLE IF EXISTS xlone_lsh_shingles")
+        t0 = time.time()
+        dedup_index.build_minhash_index(
+            data.filter(F.col("doc_id") < cut), f"{base}/lsh_index",
+            buckets=32, table_prefix="xlone_lsh",
+        )
+        build_sec = round(time.time() - t0, 3)
+        batch = data.filter(F.col("doc_id") >= cut)
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            dedup_index.incremental_dedup(
+                spark, batch, f"{base}/lsh_index",
+                bands_table="xlone_lsh_bands",
+                shingles_table="xlone_lsh_shingles",
+            ).write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps({
+            "op": op, "n": n, "method": "isolated_fresh_session",
+            "index_build_sec": build_sec,
+            "min_sec": min(times), "all": times,
+        }))
+        return 0
+    if op == "ivf_pq_index":
+        # persisted-ANN headline: one-time 1M build (n_cells=4096, the
+        # ~4*sqrt(N) sizing), then a 1K-query batch against the
+        # persisted index min-of-runs, with recall vs brute force
+        from etl_data_warehouse_spark.operators import ann_index
+
+        t0 = time.time()
+        ann_index.build_ivf_pq_index(
+            data, f"{base}/ivfpq", n_cells=4096, m=4, codes=16,
+            coarse_train_limit=64 * 4096, assign_arrow=True,
+        )
+        build_sec = round(time.time() - t0, 3)
+        qv = data.filter(F.col("vec_id") < 1000).localCheckpoint()
+        times, ann = [], None
+        for _ in range(runs):
+            t0 = time.time()
+            ann = ann_index.query_ivf_pq_index(
+                data, qv, f"{base}/ivfpq", k=3, nprobe=8,
+                assign_arrow=True,
+            ).localCheckpoint()
+            times.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        from bench import _recall_at_k
+
+        recall = _recall_at_k(ann, data, qv, k=3)
+        shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps({
+            "op": op, "n": n, "n_queries": 1000,
+            "method": "isolated_fresh_session",
+            "build_sec": build_sec,
+            "query_batch_min_sec": min(times), "all": times,
+            "recall_at3_vs_brute_force": recall,
+        }))
+        return 0
+    if op == "srp_candidates":
+        # candidate-volume probes for both band shapes (counts only —
+        # never materializes pairs)
+        c16, m16 = similarity.srp_candidate_count(
+            data, n_planes=256, bands=16
+        )
+        c24, m24 = similarity.srp_candidate_count(
+            data, n_planes=384, bands=16
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps({
+            "op": op, "n": n, "method": "isolated_fresh_session",
+            "bands16x16bit": {"candidates": c16, "max_bucket": m16},
+            "bands16x24bit": {"candidates": c24, "max_bucket": m24},
+        }))
+        return 0
     if op == "training_shards":
         # real write path (not a noop sink): one-shot shard write of the
         # full corpus, then one 10%-sized incremental batch append

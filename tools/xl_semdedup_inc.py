@@ -130,7 +130,7 @@ def main() -> int:
     row = {
         "n_corpus": n,
         "n_batch": n_batch,
-        "method": "fresh_session_min_of_2",
+        "method": "fresh_isolated_session_min_of_2",
         "index_build_sec": build_sec,
         "verdict_sec": min(runs["fold"]),
         "verdict_arrow_sec": min(runs["arrow"]),
@@ -143,7 +143,7 @@ def main() -> int:
             "cluster_maintenance_semantic": {
                 "n_docs_standing": n,
                 "n_semantic_edges": n_edges,
-                "method": "fresh_session_single_run",
+                "method": "fresh_isolated_session_single_run",
                 "batch_update_sec": cluster_fold_sec,
             }
         },

@@ -46,7 +46,7 @@ def main() -> int:
         f"{base}/events.parquet"
     )
     events = spark.read.parquet(f"{base}/events.parquet")
-    out: dict = {"n_events": n_events, "method": "fresh_session_single_run"}
+    out: dict = {"n_events": n_events, "method": "fresh_isolated_session_single_run"}
 
     # --- panel: build full feed, then a 10% incremental batch --------
     store = f"{base}/panel"

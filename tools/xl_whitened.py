@@ -129,7 +129,7 @@ def main() -> int:
         "n_corpus": n,
         "n_batch": n_batch,
         "dim": DIM,
-        "method": "fresh_session_single_run",
+        "method": "fresh_isolated_session_single_run",
         "whiten_plus_dedup_sec": full_sec,
         "full_kept": agg["kept"],
         "whitened_index_build_sec": build_sec,
