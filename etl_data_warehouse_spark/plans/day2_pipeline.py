@@ -198,6 +198,7 @@ def run_day2_ingest(
     vectors: DataFrame,
     state_dir: str,
     batch_id: int,
+    semantic_arrow: bool = False,
     **overrides,
 ) -> dict:
     """Ingest one daily batch; returns the audit summary.
@@ -207,6 +208,17 @@ def run_day2_ingest(
     embeddings (every doc that can survive the clean funnel must have
     one; missing coverage raises rather than silently skipping the
     semantic arm).
+
+    ``semantic_arrow`` routes the semantic arm through the Arrow scale
+    twins (numpy cell assignment / gram-matrix refine / Arrow PQ
+    encode) — the 10^6-row execution mode (day-2 semantic stage
+    116s -> single-digit seconds at 1M+100K, BENCH_XL). It is an
+    execution knob, NOT pipeline config: both paths compute the same
+    verdicts except on exact-threshold float ties (the documented
+    fold-vs-BLAS caveat, operators/similarity.py), so the fold default
+    stays the bit-stable contract the equality tests pin, and the
+    arrow==fold equivalence on a clear-margin corpus is itself
+    test-pinned (test_day2_pipeline.py).
 
     Re-running a day (crash replay) is a no-op for every sink; see the
     module docstring for the contracts. Day 1 (no state yet)
@@ -315,10 +327,15 @@ def run_day2_ingest(
             m=cfg["m"],
             codes=cfg["codes"],
             pq_train_limit=None,
+            assign_arrow=semantic_arrow,
         )
         cents = spark.read.parquet(os.path.join(ann_dir, "centroids"))
         verdicts = similarity.semantic_dedup(
-            batch_vecs, threshold=cfg["cosine_threshold"], centroids=cents
+            batch_vecs,
+            threshold=cfg["cosine_threshold"],
+            centroids=cents,
+            assign_arrow=semantic_arrow,
+            pairs_arrow=semantic_arrow,
         )
     else:
         standing = (
@@ -332,6 +349,8 @@ def run_day2_ingest(
             batch_vecs,
             ann_dir,
             threshold=cfg["cosine_threshold"],
+            assign_arrow=semantic_arrow,
+            refine_arrow=semantic_arrow,
         )
     sem_edges = (
         verdicts.filter(~F.col("kept"))
@@ -385,7 +404,10 @@ def run_day2_ingest(
             survivors, minhash_dir,
             buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
         )
-        append_to_ivf_index(batch_vecs, ann_dir, batch_id=batch_id)
+        append_to_ivf_index(
+            batch_vecs, ann_dir, batch_id=batch_id,
+            assign_arrow=semantic_arrow,
+        )
     batch_vecs.write.mode("overwrite").parquet(
         os.path.join(vec_dir, f"batch={batch_id}")
     )

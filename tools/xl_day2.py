@@ -108,7 +108,9 @@ def main() -> int:
     for day in range(n_days):
         d, v = _slice(spark, day * n_batch, (day + 1) * n_batch, para, day)
         t0 = time.time()
-        run_day2_ingest(d, v, state, batch_id=day + 1, **cfg)
+        run_day2_ingest(
+            d, v, state, batch_id=day + 1, semantic_arrow=True, **cfg
+        )
         boot_secs.append(round(time.time() - t0, 3))
         print(f"bootstrap day {day + 1}/{n_days}", boot_secs[-1])
         spark.catalog.clearCache()
@@ -116,7 +118,9 @@ def main() -> int:
 
     d2, v2 = _slice(spark, n, n + n_batch, para, n_days)
     t0 = time.time()
-    a2 = run_day2_ingest(d2, v2, state, batch_id=n_days + 1, **cfg)
+    a2 = run_day2_ingest(
+        d2, v2, state, batch_id=n_days + 1, semantic_arrow=True, **cfg
+    )
     day2_sec = round(time.time() - t0, 3)
     print("day2_sec", day2_sec, a2)
 
@@ -127,6 +131,7 @@ def main() -> int:
         "n_batch": n_batch,
         "method": "fresh_isolated_session_single_run",
         "minhash_buckets": 32,  # the r11 bucketed-index default
+        "semantic_arrow": True,  # the 10^6 execution mode (Arrow twins)
         "bootstrap_days": n_days,
         "bootstrap_total_sec": round(sum(boot_secs), 3),
         "bootstrap_last_day_sec": boot_secs[-1],
