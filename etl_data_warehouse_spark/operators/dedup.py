@@ -116,6 +116,70 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.9, n: int = 3
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs: emit
+    (doc_inner, doc_outer) whenever |sh(inner) ∩ sh(outer)| /
+    |sh(inner)| >= threshold (Broder 1997's containment measure, the
+    one resemblance/Jaccard is NOT). Catches subset duplication the
+    symmetric measures dilute — a 20-token snippet of a 200-token page
+    has Jaccard ~0.1 but containment 1.0; quoted articles, boilerplate-
+    wrapped copies, and lead-paragraph syndication all live here.
+
+    Both orientations are decided from ONE undirected intersection row
+    (doc_a < doc_b computed once, then re-read as inner=a/outer=b and
+    inner=b/outer=a) — no doubled shingle join. Output:
+    (doc_inner, doc_outer, intersection, n_inner, containment), unique
+    on the ordered pair.
+
+    Scale shape: the same inverted-index join as jaccard_pairs —
+    quadratic in per-shingle doc frequency, so at corpus scale feed it
+    candidates (for containment the standard index is ONE-SIDED: band
+    only the inner side's signature, or prefix-filter postings by
+    df — symmetric MinHash bands under-recall low-Jaccard containment
+    pairs by design)."""
+    sh = shingle_table(docs, n).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        "intersection",
+        F.col("n_a").alias("n_inner"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        "intersection",
+        F.col("n_b").alias("n_inner"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn(
+            "containment",
+            F.col("intersection").cast("double")
+            / F.col("n_inner").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_inner", "doc_outer")
+    )
+
+
 def _minhash_aggs(num_hashes: int) -> list:
     """num_hashes MIN aggregations over the affine permutations of the
     pre-reduced 30-bit shingle hash column ``h30``."""

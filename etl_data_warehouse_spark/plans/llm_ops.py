@@ -196,6 +196,218 @@ def q24_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q24_ORACLE = _JACCARD_ORACLE
 
 
+# --- q158: shingle-containment near-dup pairs (asymmetric) -------------------
+# Broder's OTHER resemblance measure: containment(A in B) =
+# |sh(A)∩sh(B)| / |sh(A)| — the subset-duplication detector Jaccard
+# structurally misses (a snippet inside a long page has J ~ |A|/|B|).
+# The corpus plants the regime: every 5th document contributes a
+# 22-token lead snippet under doc_id+2M — its 3-gram shingles are BY
+# CONSTRUCTION a subset of the parent's, so containment is exactly 1.0
+# while Jaccard sits near 20/n_parent_shingles. Both the snippet
+# construction and the exact set math replay in DuckDB, so the driver
+# hash-checks the asymmetric verdicts themselves.
+
+_SNIPPET_OFFSET = 2_000_000
+_SNIPPET_TOKENS = 22
+
+
+def _snippet_corpus(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    toks = F.split(F.trim("text"), " +")
+    snip = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _SNIPPET_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, _SNIPPET_TOKENS), " ").alias("text"),
+    )
+    return base.unionByName(snip)
+
+
+def q158_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.containment_pairs(_snippet_corpus(docs), threshold=0.9)
+
+
+Q158_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_SNIPPET_OFFSET} AS doc_id,
+           array_to_string(list_slice(string_split_regex(trim(text), ' +'),
+                                      1, {_SNIPPET_TOKENS}), ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+),
+docs AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    FROM corpus
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sized AS (
+    SELECT doc_a, doc_b, intersection, sa.n AS n_a, sb.n AS n_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+),
+oriented AS (
+    SELECT doc_a AS doc_inner, doc_b AS doc_outer, intersection,
+           n_a AS n_inner
+    FROM sized
+    UNION ALL
+    SELECT doc_b AS doc_inner, doc_a AS doc_outer, intersection,
+           n_b AS n_inner
+    FROM sized
+)
+SELECT doc_inner, doc_outer, intersection, n_inner,
+       intersection::DOUBLE / n_inner::DOUBLE AS containment
+FROM oriented
+WHERE intersection::DOUBLE / n_inner::DOUBLE >= 0.9
+ORDER BY doc_inner, doc_outer
+"""
+
+
+# --- q159: MinHash estimator calibration (estimate vs exact, hash-gated) -----
+# The MinHash signature itself under the hash gate: per candidate pair
+# (exact Jaccard >= 0.5, the q23 machinery at a looser threshold), the
+# estimate sig-agreement/64 next to the exact Jaccard — the estimator's
+# error distribution is what you size num_hashes/bands from, and both
+# engines must reproduce the SIGNATURES token-for-token to agree.
+# Portable hash basis: the production signatures hash shingles with
+# xxhash64 (JVM-side, no DuckDB twin), so this query derives h30 from
+# md5 hex digits — the q25 portable-bits mechanism — and applies the
+# same 64 affine permutations mod the same 30-bit prime in both
+# engines. 28-bit h30 x 30-bit coefficient < 2^58: BIGINT-safe in both.
+
+_Q159_THRESHOLD = 0.5
+_H30_SQL = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(shingle), {k + 1}, 1))"
+        f" - 1) * {16 ** (6 - k)}"
+        for k in range(7)
+    )
+    + ")"
+)
+
+
+def _q159_oracle() -> str:
+    from ..operators.dedup import _MINHASH_COEFFS, _P30
+
+    mh_cols = ",\n           ".join(
+        f"MIN((h30 * {a} + {b}) % {_P30}) AS mh_{j}"
+        for j, (a, b) in enumerate(_MINHASH_COEFFS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+hsh AS (SELECT doc_id, {_H30_SQL}::BIGINT AS h30 FROM sh),
+sig AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM hsh GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           intersection::DOUBLE
+             / (sa.n + sb.n - intersection)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE intersection::DOUBLE
+            / (sa.n + sb.n - intersection)::DOUBLE >= {_Q159_THRESHOLD}
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       ({agree})::INT AS n_agree,
+       ({agree})::DOUBLE / 64.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def q159_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _MINHASH_COEFFS, _P30, shingle_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=_Q159_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sh = shingle_table(docs, 3)
+    h30 = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    sig = (
+        sh.select("doc_id", h30.alias("h30"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("h30") * F.lit(a) + F.lit(b)) % F.lit(_P30)
+                ).alias(f"mh_{j}")
+                for j, (a, b) in enumerate(_MINHASH_COEFFS)
+            ]
+        )
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(64)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(64)],
+    )
+    n_agree = None
+    for j in range(64):
+        term = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_agree.cast("int").alias("n_agree"),
+            (n_agree.cast("double") / F.lit(64.0)).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q159_ORACLE = _q159_oracle()
+
+
 # --- q25: SimHash near-dup pairs (blocked, portable md5 bits) ----------------
 # Blocked candidate generation (pigeonhole over 8x8-bit chunks — exact
 # recall at Hamming <= 6, no cross join) over md5-derived signatures the
@@ -1777,6 +1989,8 @@ QUERIES = {
     "q81_ivfadc_topk": q81_ivfadc_topk,
     "q82_semantic_dedup": q82_semantic_dedup,
     "q157_whitened_semantic_dedup": q157_whitened_semantic_dedup,
+    "q158_containment_dedup": q158_containment_dedup,
+    "q159_minhash_estimate": q159_minhash_estimate,
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
     "q98_json_flatten": q98_json_flatten,
@@ -1809,6 +2023,8 @@ ORACLES = {
     "q81_ivfadc_topk": Q81_ORACLE,
     "q82_semantic_dedup": Q82_ORACLE,
     "q157_whitened_semantic_dedup": Q157_ORACLE,
+    "q158_containment_dedup": Q158_ORACLE,
+    "q159_minhash_estimate": Q159_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
     "q98_json_flatten": Q98_ORACLE,

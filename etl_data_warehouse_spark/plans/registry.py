@@ -78,7 +78,8 @@ ORACLES.update(web_curation.ORACLES)
 # q157 (whitened SemDeDup under the hash gate, first driver row), and
 # fills the remaining 44 slots with the oldest r8-stale entries in
 # numeric order. Six r8 entries (q142-q147) don't fit and lead r12's
-# window. Entries outside the window remain proven every round by
+# window, together with q158/q159 (added late in r11, no driver row
+# yet). Entries outside the window remain proven every round by
 # tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
 # driver-row freshness rotates.
 _WINDOW_FIRST = [
