@@ -114,6 +114,50 @@ def main() -> int:
         "eval_decontamination": lambda: _decontaminate(data),
         "gramian_arrow": lambda: similarity.gramian_arrow(data, dim=64),
     }
+    if op == "containment_indexed":
+        # 1M docs + 200K planted lead-snippets (every 5th doc's first
+        # 22 tokens under id+10M): the one-sided bottom-k candidate
+        # path at the 10^6 operating point — true-subset recall is
+        # deterministic, so the snippet count pins correctness at scale
+        toks = F.split(F.trim("text"), " +")
+        snips = (
+            data.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.array_join(F.slice(toks, 1, 22), " ").alias("text"),
+            )
+        )
+        corpus = (
+            data.select("doc_id", "text").unionByName(snips)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint()
+        )
+        from etl_data_warehouse_spark.operators.dedup import (
+            containment_pairs_indexed,
+        )
+
+        times, n_pairs, n_snip = [], None, None
+        for _ in range(runs):
+            t0 = time.time()
+            got = containment_pairs_indexed(corpus, threshold=0.9)
+            agg = got.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("doc_inner") >= 10_000_000).cast("long")
+                ).alias("n_snip"),
+            ).first()
+            times.append(round(time.time() - t0, 3))
+            n_pairs, n_snip = agg["n"], agg["n_snip"]
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps({
+            "op": op, "n": n, "n_snippets": n // 5,
+            "method": "isolated_fresh_session",
+            "min_sec": min(times), "all": times,
+            "n_pairs": n_pairs, "snippet_inner_pairs": n_snip,
+        }))
+        return 0
     if op == "incremental_dedup_batch":
         # the daily LSH shape: one-time bucketed index build over 90%
         # of the corpus, then the 10% batch joined Exchange-free
