@@ -71,71 +71,69 @@ ORACLES.update(tpch3.ORACLES)
 QUERIES.update(web_curation.QUERIES)
 ORACLES.update(web_curation.ORACLES)
 
-# --- Driver correctness window rotation (round 11) ------------------------
+# --- Driver correctness window rotation (round 12) ------------------------
 # The driver hash-checks the FIRST 50 insertion-ordered entries of
-# QUERIES. Round 11's window leads with the five entries whose latest
-# driver row is r7 (q123-q127, the r10 rotation leftover), plus the new
-# q157 (whitened SemDeDup under the hash gate, first driver row), and
-# fills the remaining 44 slots with the oldest r8-stale entries in
-# numeric order. Six r8 entries (q142-q147) don't fit and lead r12's
-# window, together with q158/q159 (added late in r11, no driver row
-# yet). Entries outside the window remain proven every round by
-# tests/test_oracle_parity.py's full-registry sf0.001 sweep; only
-# driver-row freshness rotates.
+# QUERIES. Since round 12 the window is computed MECHANICALLY by
+# tools/window_plan.py (never-driver-checked entries first, then
+# oldest-green-first over all CORRECTNESS_r*.json, ties by query
+# number) — the literal below IS that tool's output, pinned by
+# tests/test_window_plan.py. Round 12 leads with q158/q159 (added late
+# in r11, no driver row yet) and q142-q147 (r8-stale), then the 42
+# oldest r9 entries. Entries outside the window remain proven every
+# round by tests/test_oracle_parity.py's full-registry sf0.001 sweep;
+# only driver-row freshness rotates. After adding a new query, re-run
+# `python tools/window_plan.py --block` and paste the result here.
 _WINDOW_FIRST = [
-    # the five r7-stale entries — the round-10 verdict's task #1
-    "q123_fim_transform",
-    "q124_tokenizer_fertility",
-    "q125_span_corruption",
-    "q126_hard_negatives",
-    "q127_behavior_sequences",
-    # new in r11 — first driver row
-    "q157_whitened_semantic_dedup",
-    # 44 oldest r8-stale entries, numeric order (q142-q147 -> r12)
-    "q24_minhash_lsh_dedup",
-    "q25_simhash_pairs",
-    "q26_embedding_topk",
-    "q27_embedding_neardup",
-    "q28_ivf_topk",
-    "q29_doc_fingerprint",
-    "q30_sessionization",
-    "q31_event_rollup",
-    "q32_event_props_extract",
-    "q33_multimodal_features",
-    "q36_event_funnel",
-    "q37_asof_join",
-    "q38_range_join",
-    "q41_hyperplane_lsh_neardup",
-    "q43_train_test_split",
-    "q44_vocab_topk",
-    "q45_sequence_packing",
-    "q46_contamination",
-    "q52_corpus_funnel",
-    "q53_order_value_quantiles",
-    "q55_embedding_stats",
-    "q59_dedup_clusters",
-    "q88_weighted_sample",
-    "q92_topk_sketch_rollup",
-    "q93_frame_sample",
-    "q94_ivfadc_exact",
-    "q95_dup_span_removal",
-    "q96_snapshot_diff",
-    "q97_dedup_keep_longest",
-    "q98_json_flatten",
-    "q128_eval_decontamination",
-    "q129_sharded_curriculum",
-    "q130_sharded_dsir_manifest",
-    "q131_bpe_train_steps",
-    "q132_hll_register_sketch",
-    "q133_quality_classifier",
-    "q134_preference_pairs",
-    "q135_bpe_encode",
-    "q136_bloom_prune",
-    "q137_quantile_histogram",
-    "q138_countmin_heavy_users",
-    "q139_rolling_distinct_sketch",
-    "q140_join_size_sketch",
-    "q141_sft_format",
+    "q158_containment_dedup",  # last green: never checked
+    "q159_minhash_estimate",  # last green: never checked
+    "q142_kmv_audience_overlap",  # last green: r8
+    "q143_label_propagation",  # last green: r8
+    "q144_stratified_sample",  # last green: r8
+    "q145_sketch_threshold_filter",  # last green: r8
+    "q146_readability",  # last green: r8
+    "q147_column_stats",  # last green: r8
+    "q57_status_pivot",  # last green: r9
+    "q58_status_unpivot",  # last green: r9
+    "q60_grouping_sets",  # last green: r9
+    "q61_distribution_windows",  # last green: r9
+    "q62_tpch_q1_pricing_summary",  # last green: r9
+    "q63_tpch_q3_shipping_priority",  # last green: r9
+    "q64_tpch_q5_local_supplier_volume",  # last green: r9
+    "q65_tpch_q6_forecast_revenue",  # last green: r9
+    "q66_tpch_q10_returned_items",  # last green: r9
+    "q67_native_session_window",  # last green: r9
+    "q68_tpch_q4_priority_check",  # last green: r9
+    "q69_tpch_q7_volume_shipping",  # last green: r9
+    "q70_tpch_q8_market_share",  # last green: r9
+    "q71_tpch_q9_product_profit",  # last green: r9
+    "q72_tpch_q13_order_counts",  # last green: r9
+    "q73_tpch_q14_promo_revenue",  # last green: r9
+    "q74_tpch_q15_top_supplier",  # last green: r9
+    "q75_tpch_q17_small_qty_revenue",  # last green: r9
+    "q76_tpch_q18_large_orders",  # last green: r9
+    "q77_tpch_q19_disjunctive_revenue",  # last green: r9
+    "q78_tpch_q21_waiting_supplier",  # last green: r9
+    "q79_tpch_q22_lapsed_customers",  # last green: r9
+    "q80_sliding_window_activity",  # last green: r9
+    "q81_ivfadc_topk",  # last green: r9
+    "q82_semantic_dedup",  # last green: r9
+    "q83_quality_rules",  # last green: r9
+    "q84_ngram_repetition",  # last green: r9
+    "q85_crossdoc_ngram_dup",  # last green: r9
+    "q86_key_skew_report",  # last green: r9
+    "q87_cdc_apply",  # last green: r9
+    "q89_value_histogram",  # last green: r9
+    "q90_last_touch_attribution",  # last green: r9
+    "q91_running_balance",  # last green: r9
+    "q99_tpch_q2_min_cost_supplier",  # last green: r9
+    "q100_tpch_q11_important_stock",  # last green: r9
+    "q101_tpch_q12_shipping_priority_buckets",  # last green: r9
+    "q102_tpch_q16_supplier_count",  # last green: r9
+    "q103_tpch_q20_dominant_supplier",  # last green: r9
+    "q104_lm_perplexity",  # last green: r9
+    "q105_doc_chunking",  # last green: r9
+    "q106_entity_pagerank",  # last green: r9
+    "q107_token_budget_plan",  # last green: r9
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
