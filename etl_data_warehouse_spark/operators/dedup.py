@@ -180,12 +180,91 @@ def containment_pairs(
     )
 
 
+def _shingles_shared(docs: DataFrame, n: int) -> DataFrame:
+    """Corpus-wide hashed shingle table shaped for MULTI-CONSUMER use
+    on XL paths — shared via hashed_shingles' pre-explode repartition
+    Exchange, NOT localCheckpoint.
+
+    localCheckpoint pins the corpus-sized (doc_id, shingle) table
+    (~10^8 rows at 1M docs) in the local-mode heap — the exact pattern
+    that OOM'd q95's XL run. Here the shared materialization is the
+    token-hash Exchange inside hashed_shingles (one row per DOC, the
+    token-hash array, on disk-spilling shuffle storage): every consumer
+    re-reads it via ReuseExchange and re-runs only the codegen'd
+    per-shingle xxhash64 explode above it — a CPU-cheap recompute
+    traded for zero corpus-sized heap pinning. (An explicit repartition
+    above the explode would be eliminated as redundant: Generate
+    preserves the child's hashpartitioning(doc_id).)
+
+    The explicit not-null filters keep every consumer's subplan
+    canonically identical: downstream joins push `isnotnull(join key)`
+    filters, and a filter pushed below the shared Exchange in one
+    branch only would silently split the reuse (CLAUDE.md splitter #2);
+    with the filter stated once before branching, each branch's pushed
+    copy is pruned as redundant."""
+    return hashed_shingles(docs, n).filter(
+        F.col("doc_id").isNotNull() & F.col("shingle").isNotNull()
+    )
+
+
+def _containment_candidates(
+    sh: DataFrame, k: int, min_hits: int, max_df: int | None
+) -> DataFrame:
+    """(doc_inner, doc_outer) containment candidates from a shared
+    shingle table: bottom-k sketch of the inner side joined against
+    df-capped posting lists. See containment_pairs_indexed for the
+    recall/cost argument."""
+    if max_df is not None:
+        wdf = Window.partitionBy("shingle")
+        eligible = (
+            sh.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    else:
+        eligible = sh
+    w = Window.partitionBy("doc_id").orderBy("shingle")
+    bk = (
+        eligible.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    return (
+        bk.select(F.col("doc_id").alias("doc_inner"), "shingle")
+        .join(
+            eligible.select(F.col("doc_id").alias("doc_outer"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+        .select("doc_inner", "doc_outer")
+    )
+
+
+def containment_candidate_count(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    min_hits: int = 1,
+    max_df: int | None = 1000,
+) -> int:
+    """Candidate-pair count of the indexed containment path — the cost
+    probe (srp_candidate_count's role for SRP bands): measures how the
+    df cap bounds the candidate join without running the verify."""
+    return _containment_candidates(
+        _shingles_shared(docs, n), k, min_hits, max_df
+    ).count()
+
+
 def containment_pairs_indexed(
     docs: DataFrame,
     threshold: float = 0.9,
     n: int = 3,
     k: int = 8,
     min_hits: int = 1,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Scale path of :func:`containment_pairs`: ONE-SIDED bottom-k
     candidate generation instead of the full inverted-index self-join.
@@ -197,43 +276,48 @@ def containment_pairs_indexed(
     becomes a candidate when >= ``min_hits`` of the inner doc's sketch
     hashes appear in the outer doc.
 
-    Recall: a true pair at containment c has each sketch hash present
-    in the outer doc independently w.p. >= c, so the miss probability
-    is binomial P(hits < min_hits) <= (1-c)^k at min_hits=1 — 1e-8 at
-    c=0.9, k=8; EXACTLY 0 for true subsets (every inner shingle is in
-    the outer doc). Verification is exact and candidate-proportional:
-    the shingle table is semi-join-pruned to candidate docs, re-packed
-    one sorted array per doc, and containment computed via
-    array_intersect (the verify_pairs discipline) — output identical
-    to containment_pairs restricted to the candidate set.
+    ``max_df`` ENFORCES the bounded-df cost argument: shingles whose
+    document frequency exceeds it ("of the and" on a real web corpus,
+    df ≈ N) are dropped from BOTH the posting lists and the sketch
+    universe — the bottom-k is drawn from the df-filtered shingle set,
+    so the binomial recall bound survives the cap intact over the
+    eligible shingles. The candidate join is then <= k rows per inner
+    doc against posting lists of length <= max_df: O(k * N * max_df)
+    worst case, linear in N by construction instead of by hope.
 
-    Cost shape: the candidate join is k rows per inner doc against the
-    posting lists — O(k * N * avg_df), linear in the corpus for
-    bounded document frequency (cap df upstream for stop-shingles,
-    exactly as LSH band buckets are capped); nothing is quadratic in
-    N. Hashed (xxhash64) shingles throughout — containment over hashes
-    equals containment over strings absent 64-bit collisions, the
-    hashed_shingles argument."""
-    sh = hashed_shingles(docs, n).localCheckpoint()
-    w = Window.partitionBy("doc_id").orderBy("shingle")
-    bk = (
-        sh.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .drop("_r")
-    )
-    cand = (
-        bk.select(F.col("doc_id").alias("doc_inner"), "shingle")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_outer"), "shingle"),
-            "shingle",
-        )
-        .filter(F.col("doc_inner") != F.col("doc_outer"))
-        .groupBy("doc_inner", "doc_outer")
-        .agg(F.count("*").alias("_hits"))
-        .filter(F.col("_hits") >= min_hits)
-        .select("doc_inner", "doc_outer")
-        .localCheckpoint()
-    )
+    Recall: a true pair at containment c has each sketch hash present
+    in the outer doc independently w.p. >= c_e, where c_e is the
+    containment restricted to ELIGIBLE (df <= max_df) shingles, so the
+    miss probability is binomial P(hits < min_hits) <= (1-c_e)^k at
+    min_hits=1 — 1e-8 at c_e=0.9, k=8; EXACTLY 0 for true subsets
+    (every inner shingle, eligible ones included, is in the outer
+    doc — c_e = 1 regardless of the cap). A capped shingle weakens the
+    bound only by its own selectivity: high-df shingles are precisely
+    the ones shared by unrelated docs, so excluding them from the
+    sketch trades the least-informative hashes for the enforced cost
+    bound. Degenerate caveat: a doc ALL of whose shingles are capped
+    (pure boilerplate) generates no candidates as inner — at
+    max_df=1000 on a 1M corpus that doc is a 100%-stop-shingle page,
+    which exact containment would pair with everything sharing the
+    boilerplate (noise, not signal). Pass max_df=None for the uncapped
+    exact-recall behavior (test-scale corpora).
+
+    Verification is exact, on the UNCAPPED shingle sets, and
+    candidate-proportional: the shingle table is semi-join-pruned to
+    candidate docs, re-packed one sorted array per doc, and
+    containment computed via array_intersect (the verify_pairs
+    discipline) — output identical to containment_pairs restricted to
+    the candidate set; the cap affects which pairs are FOUND, never
+    the containment values reported.
+
+    The corpus-sized shingle table is shared across its consumers
+    (df-cap window, sketch, postings, verify) via a repartition
+    Exchange, not localCheckpoint — see _shingles_spread (the q95 XL
+    OOM rule). Hashed (xxhash64) shingles throughout — containment
+    over hashes equals containment over strings absent 64-bit
+    collisions, the hashed_shingles argument."""
+    sh = _shingles_shared(docs, n)
+    cand = _containment_candidates(sh, k, min_hits, max_df).localCheckpoint()
     touched = (
         cand.select(F.col("doc_inner").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_outer").alias("doc_id")))

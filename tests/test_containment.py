@@ -74,3 +74,84 @@ class TestContainment:
         exact = containment_pairs(corpus, threshold=0.9)
         indexed = containment_pairs_indexed(corpus, threshold=0.9)
         assert _rows(exact) == _rows(indexed)
+
+
+BOILER = "the quick brown fox jumps lazy"  # 6 words -> 4 shingles shared by ALL
+
+
+def _boiler_corpus(spark, n=40, ndups=6):
+    """Every doc ends with the same 6-word boilerplate, so its four
+    3-gram shingles have df = n (the stop-shingle blowup); ndups docs
+    are exact copies of the first ndups (true containment-1.0 pairs
+    carried by the three rare junction/unique shingles). Unrelated
+    docs share only the boilerplate: containment 4/7 < 0.9."""
+    rows = [(i, f"u{i}a u{i}b u{i}c {BOILER}") for i in range(n)]
+    rows += [(OFFSET + i, rows[i][1]) for i in range(ndups)]
+    return spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+
+
+class TestContainmentDfCap:
+    def test_capped_equals_uncapped_on_true_pairs(self, spark):
+        # max_df drops the boilerplate shingles from sketch AND
+        # postings; the true (exact-duplicate) pairs ride on rare
+        # shingles, so the capped verdicts are bit-for-bit the exact
+        # operator's output — the cap affects cost, not results here
+        corpus = _boiler_corpus(spark)
+        exact = containment_pairs(corpus, threshold=0.9)
+        capped = containment_pairs_indexed(corpus, threshold=0.9, max_df=4)
+        uncapped = containment_pairs_indexed(
+            corpus, threshold=0.9, max_df=None
+        )
+        want = _rows(exact)
+        assert len(want) == 12  # 6 dup pairs x both orientations
+        assert _rows(capped) == want
+        assert _rows(uncapped) == want
+
+    def test_candidates_flat_as_stop_shingle_df_grows(self, spark):
+        # doubling the corpus doubles every boilerplate shingle's df:
+        # the UNCAPPED candidate join grows quadratically (every doc's
+        # sketch holds all 7 of its shingles, 4 shared by everyone),
+        # the capped one stays exactly at the true-dup pairs — the
+        # enforced O(k * N * max_df) bound, measured
+        from etl_data_warehouse_spark.operators.dedup import (
+            containment_candidate_count,
+        )
+
+        small = _boiler_corpus(spark, n=40, ndups=6)
+        big = _boiler_corpus(spark, n=80, ndups=6)
+        capped_small = containment_candidate_count(small, max_df=4)
+        capped_big = containment_candidate_count(big, max_df=4)
+        uncapped_small = containment_candidate_count(small, max_df=None)
+        uncapped_big = containment_candidate_count(big, max_df=None)
+        assert capped_small == capped_big == 12  # flat: dup pairs only
+        # quadratic blowup without the cap: all (46*45) / (86*85)
+        # ordered pairs collide on the boilerplate shingles
+        assert uncapped_small == 46 * 45
+        assert uncapped_big == 86 * 85
+
+    def test_shared_shingle_exchange_is_reused(self, spark):
+        # the corpus-sized shingle table must be shared through the
+        # token-hash Exchange (ReuseExchange), NOT localCheckpoint
+        # (heap-pinning at 10^6+, the q95 XL OOM rule): the verify
+        # stage consumes it twice (inner/outer packs), each re-running
+        # only the cheap codegen'd shingle explode over ONE reused
+        # shuffle materialization
+        corpus = _boiler_corpus(spark)
+        df = containment_pairs_indexed(corpus, threshold=0.9, max_df=4)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "ReusedExchange" in final
+        # inner + outer pack branches; the token-hash Exchange below
+        # them is materialized once (exactly one REPARTITION_BY_NUM
+        # Exchange node — the other occurrence is its ReusedExchange)
+        assert final.count("Generate explode") <= 2
+        n_repart = final.count("REPARTITION_BY_NUM")
+        n_reused_repart = final.count(
+            "ReusedExchange [doc_id"
+        )
+        assert n_repart >= 2 and n_reused_repart >= n_repart - 1
