@@ -291,7 +291,23 @@ def containment_pairs_indexed(
     miss probability is binomial P(hits < min_hits) <= (1-c_e)^k at
     min_hits=1 — 1e-8 at c_e=0.9, k=8; EXACTLY 0 for true subsets
     (every inner shingle, eligible ones included, is in the outer
-    doc — c_e = 1 regardless of the cap). A capped shingle weakens the
+    doc — c_e = 1 regardless of the cap). The binomial form is itself
+    loose: the sketch samples WITHOUT replacement, so the exact miss
+    probability is hypergeometric — all k sketch hashes drawn from the
+    (1-c)*s absent shingles, C((1-c)s, k) / C(s, k). Bound table at
+    s=80 inner shingles (measured: zero misses over 30 planted pairs
+    at each k, tests/test_containment.py
+    test_recall_calibration_below_c1; per-pair sketch-hit counts are
+    hash-gated against the DuckDB twin in q160):
+
+        c (absent)   k=4                  k=8           k=16
+        0.925  (6)   9.5e-6 (binom 3e-5)  0 (1.0e-9)    0 (1.0e-18)
+        0.9625 (3)   0      (2.0e-6)      0 (3.9e-12)   0 (1.5e-23)
+        1.0    (0)   0                    0             0
+
+    (hypergeometric is EXACTLY zero whenever k exceeds the absent
+    count — the sketch cannot be drawn entirely from fewer absent
+    shingles than its own size) A capped shingle weakens the
     bound only by its own selectivity: high-df shingles are precisely
     the ones shared by unrelated docs, so excluding them from the
     sketch trades the least-informative hashes for the enforced cost

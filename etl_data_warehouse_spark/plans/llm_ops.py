@@ -408,6 +408,147 @@ def q159_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q159_ORACLE = _q159_oracle()
 
 
+# --- q160: containment-sketch calibration (bottom-k hits, hash-gated) --------
+# The bottom-k containment sketch itself under the hash gate (the q159
+# pattern for containment_pairs_indexed): per exact-containment pair at
+# a LOOSE threshold (0.5 — so the calibration sees c well below 1, not
+# just the subset snippets), the number of the inner doc's k=8 smallest
+# shingle hashes present in the outer doc, next to the exact
+# containment. hit_rate ~ c is the estimator property the (1-c)^k
+# recall bound is sized from (operators/dedup.py bound table;
+# tests/test_containment.py plants the miss-rate measurement).
+# Portable hash basis: bottom-k by md5(shingle) hex — lexicographic
+# order reproduces in DuckDB digit-for-digit (the production index
+# orders by xxhash64, Spark-only; ordering basis changes WHICH shingles
+# are sketched, not the hit-rate-vs-c statistics).
+
+_Q160_K = 8
+_Q160_THRESHOLD = 0.5
+
+
+def q160_containment_sketch_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = _snippet_corpus(docs)
+    pairs = dedup.containment_pairs(
+        corpus, threshold=_Q160_THRESHOLD
+    ).select("doc_inner", "doc_outer", "n_inner", "containment")
+    sh = dedup.shingle_table(corpus, 3)
+    w = Window.partitionBy("doc_id").orderBy(F.md5("shingle"), "shingle")
+    bk = (
+        sh.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _Q160_K)
+        .drop("_r")
+    )
+    hits = (
+        pairs.select("doc_inner", "doc_outer")
+        .join(
+            bk.select(F.col("doc_id").alias("doc_inner"), "shingle"),
+            "doc_inner",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_outer"), "shingle"),
+            ["doc_outer", "shingle"],
+        )
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count("*").alias("_h"))
+    )
+    n_hits = F.coalesce(F.col("_h"), F.lit(0))
+    k_eff = F.least(F.lit(_Q160_K), F.col("n_inner"))
+    return (
+        pairs.join(hits, ["doc_inner", "doc_outer"], "left")
+        .select(
+            "doc_inner",
+            "doc_outer",
+            "containment",
+            n_hits.cast("int").alias("n_hits"),
+            k_eff.cast("int").alias("k_eff"),
+            (n_hits.cast("double") / k_eff.cast("double")).alias(
+                "hit_rate"
+            ),
+        )
+        .orderBy("doc_inner", "doc_outer")
+    )
+
+
+Q160_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_SNIPPET_OFFSET} AS doc_id,
+           array_to_string(list_slice(string_split_regex(trim(text), ' +'),
+                                      1, {_SNIPPET_TOKENS}), ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+),
+docs AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    FROM corpus
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sized AS (
+    SELECT doc_a, doc_b, intersection, sa.n AS n_a, sb.n AS n_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+),
+oriented AS (
+    SELECT doc_a AS doc_inner, doc_b AS doc_outer, intersection,
+           n_a AS n_inner
+    FROM sized
+    UNION ALL
+    SELECT doc_b AS doc_inner, doc_a AS doc_outer, intersection,
+           n_b AS n_inner
+    FROM sized
+),
+pairs AS (
+    SELECT doc_inner, doc_outer, n_inner,
+           intersection::DOUBLE / n_inner::DOUBLE AS containment
+    FROM oriented
+    WHERE intersection::DOUBLE / n_inner::DOUBLE >= {_Q160_THRESHOLD}
+),
+bk AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(shingle), shingle) AS r
+        FROM sh)
+    WHERE r <= {_Q160_K}
+),
+hits AS (
+    SELECT p.doc_inner, p.doc_outer, COUNT(*) AS n_hits
+    FROM pairs p
+    JOIN bk ON bk.doc_id = p.doc_inner
+    JOIN sh so ON so.doc_id = p.doc_outer AND so.shingle = bk.shingle
+    GROUP BY 1, 2
+)
+SELECT p.doc_inner, p.doc_outer, p.containment,
+       COALESCE(h.n_hits, 0)::INT AS n_hits,
+       LEAST({_Q160_K}, p.n_inner)::INT AS k_eff,
+       COALESCE(h.n_hits, 0)::DOUBLE
+           / LEAST({_Q160_K}, p.n_inner)::DOUBLE AS hit_rate
+FROM pairs p
+LEFT JOIN hits h ON p.doc_inner = h.doc_inner AND p.doc_outer = h.doc_outer
+ORDER BY p.doc_inner, p.doc_outer
+"""
+
+
 # --- q25: SimHash near-dup pairs (blocked, portable md5 bits) ----------------
 # Blocked candidate generation (pigeonhole over 8x8-bit chunks — exact
 # recall at Hamming <= 6, no cross join) over md5-derived signatures the
@@ -1991,6 +2132,7 @@ QUERIES = {
     "q157_whitened_semantic_dedup": q157_whitened_semantic_dedup,
     "q158_containment_dedup": q158_containment_dedup,
     "q159_minhash_estimate": q159_minhash_estimate,
+    "q160_containment_sketch_calibration": q160_containment_sketch_calibration,
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
     "q98_json_flatten": q98_json_flatten,
@@ -2025,6 +2167,7 @@ ORACLES = {
     "q157_whitened_semantic_dedup": Q157_ORACLE,
     "q158_containment_dedup": Q158_ORACLE,
     "q159_minhash_estimate": Q159_ORACLE,
+    "q160_containment_sketch_calibration": Q160_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
     "q98_json_flatten": Q98_ORACLE,

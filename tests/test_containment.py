@@ -129,6 +129,45 @@ class TestContainmentDfCap:
         assert uncapped_small == 46 * 45
         assert uncapped_big == 86 * 85
 
+    def test_recall_calibration_below_c1(self, spark):
+        # the (1-c)^k bound exercised BELOW c=1.0 (round-11 verdict
+        # task #7): truncated snippets with substituted tokens plant
+        # pairs at containment 0.925 / 0.9625 / 1.0; across k in
+        # {4, 8, 16} the indexed path must find every true pair. The
+        # exact miss probability is hypergeometric — picking all k
+        # sketch hashes from the (1-c)*s absent shingles:
+        # C((1-c)s, k) / C(s, k) <= (1-c)^k; at s=80, c=0.925 that is
+        # 2.0e-6 (k=4), 1.8e-13 (k=8), 0 (k=16 > 6 absent) — so zero
+        # misses is the deterministic expectation, not luck, and the
+        # docstring's bound table is backed by this measurement.
+        parents = [
+            (i, " ".join(f"p{i}w{j}" for j in range(100))) for i in range(30)
+        ]
+        snippets = []
+        for i in range(30):
+            toks = parents[i][1].split()[:82]  # 80 snippet shingles
+            for s in range(i % 3):  # 0/1/2 substitutions -> c 1/0.9625/0.925
+                toks[20 + 30 * s] = f"x{i}_{s}"
+            snippets.append((OFFSET + i, " ".join(toks)))
+        corpus = spark.createDataFrame(
+            parents + snippets, "doc_id long, text string"
+        ).localCheckpoint()
+        true_pairs = {
+            (r["doc_inner"], r["doc_outer"]): r["containment"]
+            for r in containment_pairs(corpus, threshold=0.9).collect()
+        }
+        assert len(true_pairs) == 30
+        assert set(true_pairs.values()) == {1.0, 77 / 80, 74 / 80}
+        for k in (4, 8, 16):
+            found = {
+                (r["doc_inner"], r["doc_outer"])
+                for r in containment_pairs_indexed(
+                    corpus, threshold=0.9, k=k
+                ).collect()
+            }
+            misses = set(true_pairs) - found
+            assert not misses, f"k={k}: missed {sorted(misses)}"
+
     def test_shared_shingle_exchange_is_reused(self, spark):
         # the corpus-sized shingle table must be shared through the
         # token-hash Exchange (ReuseExchange), NOT localCheckpoint
