@@ -619,6 +619,20 @@ def append_to_whitened_ivf_index(
         raise ValueError(
             f"{index_dir} has no whitening.parquet — built unwhitened?"
         )
+    if not os.path.exists(os.path.join(index_dir, "projected", "batch=0")):
+        # A whitened index built before projected/ became state (r11)
+        # has packed codes only: projected vectors CANNOT be
+        # reconstructed from them, and appending projected/batch=N
+        # beside a missing batch=0 would make the daily corpus=None
+        # dedup silently compare against post-upgrade batches alone
+        # (missed duplicates, no error). Same explicit pre-upgrade
+        # handling minhash_buckets gets in dedup_index.
+        raise ValueError(
+            f"{index_dir} has no projected/batch=0 state table — this "
+            "whitened index predates projected-corpus state and must "
+            "be rebuilt with build_whitened_ivf_pq_index before "
+            "appending"
+        )
     if skip_indexed:
         new_vectors = _drop_crossbatch_recrawls(
             new_vectors, index_dir, batch_id

@@ -70,12 +70,22 @@ def register_minhash_tables(
     zero data movement, so the Exchange-free index-side join survives
     session turnover. Column schema is derived from the parquet
     footers, so the DDL can never drift from the files. No-op when the
-    table is already registered."""
+    table is already registered.
+
+    The bucket SPEC, unlike the schema, is NOT validated by Spark
+    against the files — registering a plain-parquet (pre-bucketing) or
+    differently-bucketed directory would make the Exchange-free join
+    silently wrong, so the layout is checked first
+    (validate_bucket_layout: sidecar spec when present, bucket-id file
+    names otherwise) and registration REFUSES on mismatch."""
+    from ..sources.bucketing import validate_bucket_layout
+
     for suffix, keys in (("bands", BAND_KEYS), ("shingles", ["doc_id"])):
         name = f"{table_prefix}_{suffix}"
         if spark.catalog.tableExists(name):
             continue
         path = f"{index_dir}/{suffix}"
+        validate_bucket_layout(path, keys, buckets)
         ddl = spark.read.parquet(path).schema.toDDL()
         keys_sql = ", ".join(keys)
         spark.sql(

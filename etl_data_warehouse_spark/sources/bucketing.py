@@ -13,7 +13,81 @@ broadcast.
 
 from __future__ import annotations
 
+import json
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark bucketed-output file names encode the bucket id as a 5-digit
+# suffix before the codec extension: part-00000-<uuid>_00012.c000...
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+")
+
+
+def _spec_path(path: str) -> str:
+    # underscore-prefixed: parquet/Spark directory readers skip it,
+    # like _SUCCESS
+    return os.path.join(path, "_bucket_spec.json")
+
+
+def write_bucket_spec(path: str, keys: list[str], buckets: int) -> None:
+    with open(_spec_path(path), "w") as f:
+        json.dump({"keys": keys, "buckets": buckets}, f)
+
+
+def validate_bucket_layout(
+    path: str, keys: list[str], buckets: int
+) -> None:
+    """Refuse to (re-)register ``path`` as a bucketed table unless the
+    files really were bucket-written with exactly (keys, buckets).
+
+    Spark does NOT validate a declared CLUSTERED BY spec against the
+    files at LOCATION — registering a plain-parquet directory (or one
+    bucketed differently) yields silently WRONG Exchange-free join
+    results, not an error. Primary check: the ``_bucket_spec.json``
+    sidecar write_bucketed drops next to the data. Fallback for
+    directories written before the sidecar existed: bucket-id-encoded
+    file names must be present and every encoded id must fit the
+    declared bucket count (this catches plain parquet and too-few
+    declared buckets; it cannot catch a directory bucketed into FEWER
+    buckets than declared — rebuild pre-sidecar indexes to close that
+    hole)."""
+    if not os.path.isdir(path):
+        # remote filesystem (s3://, hdfs://) — not inspectable through
+        # os; the sidecar/file-name checks are local-layout guards, and
+        # remote object stores should gate registration on their own
+        # manifest instead of silently passing a wrong spec here
+        return
+    spec_file = _spec_path(path)
+    if os.path.exists(spec_file):
+        with open(spec_file) as f:
+            spec = json.load(f)
+        if spec.get("keys") != keys or spec.get("buckets") != buckets:
+            raise ValueError(
+                f"bucket spec mismatch at {path}: files were written "
+                f"with {spec}, registration asked for keys={keys} "
+                f"buckets={buckets}"
+            )
+        return
+    ids = [
+        int(m.group(1))
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+        for m in [_BUCKET_FILE_RE.search(name)]
+        if m
+    ]
+    if not ids:
+        raise ValueError(
+            f"{path} has no bucket-id-encoded parquet file names — "
+            "plain (unbucketed) parquet cannot be registered as a "
+            "bucketed table (the Exchange-free join would be silently "
+            "wrong); rebuild the index with write_bucketed"
+        )
+    if max(ids) >= buckets:
+        raise ValueError(
+            f"{path} contains bucket id {max(ids)} >= declared bucket "
+            f"count {buckets} — the directory was bucketed differently"
+        )
 
 
 def write_bucketed(
@@ -27,7 +101,9 @@ def write_bucketed(
     """Persist df hash-bucketed (and sorted) by key — single column or
     composite key list — as an external parquet table; both join sides
     must use the same bucket count. ``mode="append"`` adds files with
-    the same bucket spec (Spark rejects a mismatched spec)."""
+    the same bucket spec (Spark rejects a mismatched spec). Drops a
+    ``_bucket_spec.json`` sidecar so later sessions can validate the
+    layout before re-registering it (validate_bucket_layout)."""
     keys = [key] if isinstance(key, str) else list(key)
     (
         df.write.format("parquet")
@@ -37,6 +113,7 @@ def write_bucketed(
         .mode(mode)
         .saveAsTable(table_name)
     )
+    write_bucket_spec(path, keys, buckets)
 
 
 def ctas_bucketed(

@@ -64,14 +64,26 @@ def start_day2_stream(
     vectors_dir: str,
     state_dir: str,
     checkpoint_dir: str,
-    max_files: int = 16,
+    max_files: int = 1,
     **pipeline_cfg,
 ):
     """Drive the composed day-2 chain from a readStream over the
     crawl-drop directory. Returns the StreamingQuery (availableNow
     trigger — drain current files, then stop; run under a timed
     trigger in production). ``pipeline_cfg`` forwards to
-    run_day2_ingest (config-pinned at bootstrap as usual)."""
+    run_day2_ingest (config-pinned at bootstrap as usual).
+
+    ``max_files`` defaults to 1 — one crawl FILE per microbatch, so
+    each logical day gets its own batch_id and the curated/vectors
+    ``batch=N`` partitions and cross-day domain-cap sequencing are
+    IDENTICAL to driving run_day2_ingest per day by hand (the
+    bit-for-bit equality contract in tests/test_day2_stream.py is
+    pinned at this value). Raising it coalesces several day-files into
+    ONE microbatch: still correct and replay-safe, but the coalesced
+    days share one batch_id — state-table partition layout and the
+    within-batch cap ordering then differ from the per-day batch
+    driver (one drain == one logical day made of several files, not
+    day-per-file)."""
     stream = read_document_stream(spark, input_dir, max_files=max_files)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:

@@ -130,6 +130,51 @@ class TestBucketedIndex:
         ), plan
         assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
 
+    def test_register_refuses_plain_parquet_dir(
+        self, spark, sf_dir, tmp_path
+    ):
+        # Spark does not validate a declared CLUSTERED BY spec against
+        # the files at LOCATION: registering a plain-parquet (pre-
+        # bucketing) index would yield silently wrong Exchange-free
+        # joins — the registration must refuse instead
+        import pytest
+
+        from etl_data_warehouse_spark.operators.dedup_index import (
+            register_minhash_tables,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        idx = str(tmp_path / "idx_plainfiles")
+        build_minhash_index(docs, idx)  # unbucketed layout
+        spark.sql("DROP TABLE IF EXISTS t_plain_bands")
+        spark.sql("DROP TABLE IF EXISTS t_plain_shingles")
+        with pytest.raises(ValueError, match="bucket"):
+            register_minhash_tables(spark, idx, "t_plain", buckets=4)
+
+    def test_register_refuses_mismatched_bucket_count(
+        self, spark, sf_dir, tmp_path
+    ):
+        # the sidecar spec written at build time pins the real bucket
+        # count; re-registering with a different one must refuse
+        import pytest
+
+        from etl_data_warehouse_spark.operators.dedup_index import (
+            register_minhash_tables,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        idx = str(tmp_path / "idx_wrongbuckets")
+        spark.sql("DROP TABLE IF EXISTS t_wb_bands")
+        spark.sql("DROP TABLE IF EXISTS t_wb_shingles")
+        build_minhash_index(docs, idx, buckets=4, table_prefix="t_wb")
+        spark.sql("DROP TABLE IF EXISTS t_wb_bands")
+        spark.sql("DROP TABLE IF EXISTS t_wb_shingles")
+        with pytest.raises(ValueError, match="mismatch"):
+            register_minhash_tables(spark, idx, "t_wb", buckets=8)
+        # and the true spec re-attaches fine
+        register_minhash_tables(spark, idx, "t_wb", buckets=4)
+        assert spark.table("t_wb_bands").count() > 0
+
     def test_bucketed_incremental_matches_plain(
         self, spark, sf_dir, tmp_path
     ):

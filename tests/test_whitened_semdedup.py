@@ -173,6 +173,29 @@ class TestWhitenedSemanticDedup:
             )
         )
 
+    def test_append_refuses_index_without_projected_state(
+        self, spark, tmp_path
+    ):
+        # a whitened index built before projected/ became state (r11)
+        # has packed codes only — projected vectors cannot be
+        # reconstructed, and appending beside the missing batch=0
+        # would make corpus=None dedup silently skip the pre-upgrade
+        # corpus; the append must refuse loudly instead
+        import shutil
+
+        import pytest
+
+        vecs = _anisotropic_corpus(spark)
+        corpus = vecs.filter(F.col("vec_id") < N_BASE)
+        batch = vecs.filter(F.col("vec_id") >= N_BASE)
+        idx = str(tmp_path / "white_idx_pre_r11")
+        build_whitened_ivf_pq_index(
+            corpus, idx, n_cells=8, m=4, codes=8, pq_train_limit=None
+        )
+        shutil.rmtree(f"{idx}/projected")  # simulate the pre-r11 layout
+        with pytest.raises(ValueError, match="projected/batch=0"):
+            append_to_whitened_ivf_index(batch, idx, batch_id=1)
+
     def test_verdict_stable_across_own_append_and_replay(
         self, spark, tmp_path
     ):
