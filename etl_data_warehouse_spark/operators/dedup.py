@@ -208,12 +208,16 @@ def _shingles_shared(docs: DataFrame, n: int) -> DataFrame:
 
 
 def _containment_candidates(
-    sh: DataFrame, k: int, min_hits: int, max_df: int | None
+    sh: DataFrame,
+    k: int,
+    min_hits: int,
+    max_df: int | None,
+    sketch_df_filter: bool = True,
 ) -> DataFrame:
     """(doc_inner, doc_outer) containment candidates from a shared
     shingle table: bottom-k sketch of the inner side joined against
     df-capped posting lists. See containment_pairs_indexed for the
-    recall/cost argument."""
+    recall/cost argument and for what ``sketch_df_filter`` selects."""
     if max_df is not None:
         wdf = Window.partitionBy("shingle")
         eligible = (
@@ -225,7 +229,8 @@ def _containment_candidates(
         eligible = sh
     w = Window.partitionBy("doc_id").orderBy("shingle")
     bk = (
-        eligible.withColumn("_r", F.row_number().over(w))
+        (eligible if sketch_df_filter else sh)
+        .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
         .drop("_r")
     )
@@ -265,6 +270,7 @@ def containment_pairs_indexed(
     k: int = 8,
     min_hits: int = 1,
     max_df: int | None = 1000,
+    sketch_df_filter: bool = True,
 ) -> DataFrame:
     """Scale path of :func:`containment_pairs`: ONE-SIDED bottom-k
     candidate generation instead of the full inverted-index self-join.
@@ -318,6 +324,19 @@ def containment_pairs_indexed(
     boilerplate (noise, not signal). Pass max_df=None for the uncapped
     exact-recall behavior (test-scale corpora).
 
+    ``sketch_df_filter`` selects which side the cap touches. True (the
+    standalone default): the sketch is drawn from the df-filtered
+    shingle set — the strongest recall bound, because no sketch slot is
+    wasted on a shingle whose postings were dropped. False (the
+    INCREMENTAL-STABLE semantics operators/containment_index.py
+    persists): the sketch is the bottom-k of ALL the doc's shingles —
+    df-independent, so a persisted sketch never changes as the corpus
+    grows — and the cap filters only the posting lists; sketch hashes
+    that are capped shingles simply never match (effective sketch size
+    k minus the doc's capped bottom-k hashes). Candidates differ
+    between the two modes only through that sketch choice; the verify
+    and the cost bound are identical.
+
     Verification is exact, on the UNCAPPED shingle sets, and
     candidate-proportional: the shingle table is semi-join-pruned to
     candidate docs, re-packed one sorted array per doc, and
@@ -328,15 +347,32 @@ def containment_pairs_indexed(
 
     The corpus-sized shingle table is shared across its consumers
     (df-cap window, sketch, postings, verify) via a repartition
-    Exchange, not localCheckpoint — see _shingles_spread (the q95 XL
+    Exchange, not localCheckpoint — see _shingles_shared (the q95 XL
     OOM rule). Hashed (xxhash64) shingles throughout — containment
     over hashes equals containment over strings absent 64-bit
     collisions, the hashed_shingles argument."""
     sh = _shingles_shared(docs, n)
-    cand = _containment_candidates(sh, k, min_hits, max_df).localCheckpoint()
+    cand = _containment_candidates(
+        sh, k, min_hits, max_df, sketch_df_filter
+    ).localCheckpoint()
+    return verify_containment_pairs(cand, sh, threshold)
+
+
+def verify_containment_pairs(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-containment verification of (doc_inner, doc_outer)
+    candidate pairs against a hashed shingle table — the verify_pairs
+    discipline for the asymmetric measure: semi-join-prune the shingle
+    table to candidate docs, re-pack one sorted array per doc, compute
+    |inner ∩ outer| / |inner| via array_intersect. Output identical to
+    containment_pairs restricted to the candidate set; SHARED by the
+    one-shot containment_pairs_indexed and the persisted-index daily
+    path (operators/containment_index.py), so the two verifies cannot
+    diverge."""
     touched = (
-        cand.select(F.col("doc_inner").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_outer").alias("doc_id")))
+        candidates.select(F.col("doc_inner").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_outer").alias("doc_id")))
         .distinct()
     )
     packed = (
@@ -353,7 +389,7 @@ def containment_pairs_indexed(
     inter = F.size(F.array_intersect("in_shs", "out_shs")).cast("long")
     n_inner = F.size("in_shs").cast("long")
     return (
-        cand.join(inner, "doc_inner")
+        candidates.join(inner, "doc_inner")
         .join(outer, "doc_outer")
         .select(
             "doc_inner",

@@ -78,20 +78,15 @@ def register_minhash_tables(
     silently wrong, so the layout is checked first
     (validate_bucket_layout: sidecar spec when present, bucket-id file
     names otherwise) and registration REFUSES on mismatch."""
-    from ..sources.bucketing import validate_bucket_layout
+    from ..sources.bucketing import register_bucketed_table
 
     for suffix, keys in (("bands", BAND_KEYS), ("shingles", ["doc_id"])):
-        name = f"{table_prefix}_{suffix}"
-        if spark.catalog.tableExists(name):
-            continue
-        path = f"{index_dir}/{suffix}"
-        validate_bucket_layout(path, keys, buckets)
-        ddl = spark.read.parquet(path).schema.toDDL()
-        keys_sql = ", ".join(keys)
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet "
-            f"CLUSTERED BY ({keys_sql}) SORTED BY ({keys_sql}) "
-            f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        register_bucketed_table(
+            spark,
+            f"{table_prefix}_{suffix}",
+            f"{index_dir}/{suffix}",
+            keys,
+            buckets,
         )
 
 

@@ -109,6 +109,7 @@ from ..operators.ann_index import (
 )
 from ..operators.cluster_index import read_clusters, update_clusters
 from ..operators.dedup_index import (
+    _read_shingles,
     append_to_index,
     build_minhash_index,
     incremental_dedup,
@@ -134,6 +135,16 @@ _DEFAULTS = dict(
     codes=16,
     n_shards=8,
     pack_budget=512,
+    # optional third dedup arm: snippet/boilerplate-wrapped SUBSET
+    # duplication (Broder containment — what Jaccard and cosine both
+    # structurally dilute). Off by default; pinned at bootstrap like
+    # every knob (operators/containment_index.py). Shares shingle_n
+    # and the MinHash index's shingle table as postings.
+    containment=False,
+    containment_threshold=0.9,
+    containment_k=8,
+    containment_min_hits=1,
+    containment_max_df=1000,
 )
 
 
@@ -359,9 +370,65 @@ def run_day2_ingest(
         )
         .localCheckpoint()
     )
-    edges = pairs.unionByName(sem_edges).distinct()
-    n_edges = edges.count()
+    edges = pairs.unionByName(sem_edges)
     t = _mark("semantic_verdicts", t)
+
+    # --- 3c. (optional) containment near-dup pairs vs persisted index --
+    ct_dir = os.path.join(state_dir, "containment_index")
+    ct_kw = dict(
+        threshold=cfg["containment_threshold"],
+        n=cfg["shingle_n"],
+        k=cfg["containment_k"],
+        min_hits=cfg["containment_min_hits"],
+        max_df=cfg["containment_max_df"],
+    )
+    if cfg.get("containment"):
+        if bootstrap:
+            cpairs = dedup.containment_pairs_indexed(
+                survivors, sketch_df_filter=False, **ct_kw
+            )
+        else:
+            if not os.path.isdir(ct_dir):
+                raise ValueError(
+                    f"{ct_dir} missing: the containment arm is pinned "
+                    "at bootstrap — rebuild the state dir to enable it"
+                )
+            from ..operators.containment_index import (
+                incremental_containment,
+                register_containment_tables,
+            )
+
+            if mh_buckets:
+                register_containment_tables(
+                    spark, ct_dir, mh_prefix, mh_buckets
+                )
+            cpairs = incremental_containment(
+                spark,
+                survivors,
+                _read_shingles(
+                    spark, minhash_dir,
+                    f"{mh_prefix}_shingles" if mh_prefix else None,
+                ),
+                ct_dir,
+                sketches_table=(
+                    f"{mh_prefix}_ctsketches" if mh_prefix else None
+                ),
+                df_table=f"{mh_prefix}_ctdf" if mh_prefix else None,
+                exclude_batch_id=batch_id,
+                **ct_kw,
+            )
+        ct_edges = (
+            cpairs.select(
+                F.least("doc_inner", "doc_outer").alias("doc_a"),
+                F.greatest("doc_inner", "doc_outer").alias("doc_b"),
+            )
+            .localCheckpoint()
+        )
+        edges = edges.unionByName(ct_edges)
+        t = _mark("containment_pairs", t)
+
+    edges = edges.distinct()
+    n_edges = edges.count()
 
     # --- 4. cluster maintenance (O(affected)) --------------------------
     clusters_dir = os.path.join(state_dir, "clusters")
@@ -399,11 +466,33 @@ def run_day2_ingest(
             survivors, minhash_dir,
             buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
         )
+        if cfg.get("containment"):
+            from ..operators.containment_index import (
+                build_containment_index,
+            )
+
+            build_containment_index(
+                survivors, ct_dir,
+                n=cfg["shingle_n"], k=cfg["containment_k"],
+                max_df=cfg["containment_max_df"],
+                buckets=mh_buckets, table_prefix=mh_prefix,
+            )
     else:
         append_to_index(
             survivors, minhash_dir,
             buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
         )
+        if cfg.get("containment"):
+            from ..operators.containment_index import (
+                append_to_containment_index,
+            )
+
+            append_to_containment_index(
+                survivors, ct_dir, batch_id=batch_id,
+                n=cfg["shingle_n"], k=cfg["containment_k"],
+                max_df=cfg["containment_max_df"],
+                buckets=mh_buckets, table_prefix=mh_prefix,
+            )
         append_to_ivf_index(
             batch_vecs, ann_dir, batch_id=batch_id,
             assign_arrow=semantic_arrow,

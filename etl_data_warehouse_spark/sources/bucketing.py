@@ -116,6 +116,34 @@ def write_bucketed(
     write_bucket_spec(path, keys, buckets)
 
 
+def register_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    keys: list[str],
+    buckets: int,
+) -> None:
+    """(Re-)attach an existing bucketed directory as an external table
+    in THIS session's catalog: CREATE TABLE IF NOT EXISTS with the
+    bucket spec and LOCATION re-attaches the files with zero data
+    movement, so Exchange-free joins survive session turnover
+    (saveAsTable registers only in the writing session). Column schema
+    comes from the parquet footers (cannot drift from the files); the
+    bucket LAYOUT is validated first (validate_bucket_layout) because
+    Spark itself never checks the declared spec against the files.
+    No-op when the table is already registered."""
+    if spark.catalog.tableExists(name):
+        return
+    validate_bucket_layout(path, keys, buckets)
+    ddl = spark.read.parquet(path).schema.toDDL()
+    keys_sql = ", ".join(keys)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({keys_sql}) SORTED BY ({keys_sql}) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def ctas_bucketed(
     spark: SparkSession,
     table_name: str,

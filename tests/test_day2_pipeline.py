@@ -259,6 +259,121 @@ class TestDay2Pipeline:
         )
         assert _shard_rows(spark, shards) == _shard_rows(spark, twin)
 
+    def test_containment_arm_catches_snippet_and_equals_rebuild(
+        self, spark, tmp_path
+    ):
+        """The optional third dedup arm: a day-2 doc that is a 22-token
+        SNIPPET of a day-1 keeper (Jaccard ~0.53 < 0.8, embedding
+        unrelated — invisible to both standing arms) must be dropped by
+        the containment arm, and the two-day kept set must equal the
+        full-rebuild twin whose edges include
+        containment_pairs_indexed(sketch_df_filter=False)."""
+        docs, vecs = _corpus(spark)
+        # doc 110 (day 2) becomes a prefix snippet of doc 10 (day 1 —
+        # a pinned keeper: it ships in the base scenario and its exact
+        # clone 90 is fingerprint-deduped before the near-dup arms)
+        snip_src = docs.filter(F.col("doc_id") == 10).select(
+            F.lit(110).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), " +"), 1, 22), " "
+            ).alias("snip_text"),
+        )
+        docs = (
+            docs.join(F.broadcast(snip_src), "doc_id", "left")
+            .withColumn("text", F.coalesce("snip_text", "text"))
+            .drop("snip_text")
+            .localCheckpoint()
+        )
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "day2_ct_state")
+        cfg = dict(CFG, containment=True)
+        run_day2_ingest(d1, v1, state, batch_id=1, **cfg)
+        r2 = run_day2_ingest(d2, v2, state, batch_id=2, **cfg)
+        assert "containment_pairs" in r2["stage_sec"]
+
+        shard_dir = os.path.join(state, "shards")
+        shipped = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", shard_dir)
+            .parquet(shard_dir)
+            .select("doc_id")
+            .collect()
+        }
+        assert 10 in shipped  # the parent (day 1) ships
+        assert 110 not in shipped  # the snippet is subset-duplication
+
+        # two-day keeps == full-rebuild twin with containment edges
+        curated, survivors, _, _ = _full_rebuild(spark, docs, vecs, state)
+        cpairs = dedup.containment_pairs_indexed(
+            survivors,
+            threshold=cfg["containment_threshold"]
+            if "containment_threshold" in cfg
+            else 0.9,
+            n=CFG["shingle_n"],
+            sketch_df_filter=False,
+        )
+        base_pairs = dedup.minhash_lsh_pairs(
+            survivors,
+            num_hashes=CFG["num_hashes"],
+            bands=CFG["bands"],
+            threshold=CFG["jaccard_threshold"],
+            n=CFG["shingle_n"],
+        ).select("doc_a", "doc_b")
+        cents = spark.read.parquet(
+            os.path.join(state, "ann_index", "centroids")
+        )
+        sv = vecs.join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        sem = similarity.semantic_dedup(
+            sv, threshold=CFG["cosine_threshold"], centroids=cents
+        )
+        edges = (
+            base_pairs.unionByName(
+                sem.filter(~F.col("kept")).select(
+                    F.col("dup_of").alias("doc_a"),
+                    F.col("vec_id").alias("doc_b"),
+                )
+            )
+            .unionByName(
+                cpairs.select(
+                    F.least("doc_inner", "doc_outer").alias("doc_a"),
+                    F.greatest("doc_inner", "doc_outer").alias("doc_b"),
+                )
+            )
+            .distinct()
+        )
+        mapping = connected_components(
+            edges.select(
+                F.col("doc_a").cast("long").alias("src"),
+                F.col("doc_b").cast("long").alias("dst"),
+            )
+        ).select(F.col("node").alias("doc_id"), "component")
+        dropped = {
+            r["doc_id"]
+            for r in mapping.filter(
+                F.col("component") != F.col("doc_id")
+            ).collect()
+        }
+        rebuild_kept = {
+            r["doc_id"] for r in survivors.collect()
+        } - dropped
+        # as-of-day contract (the immutable-sink asymmetry, same as the
+        # base chain): day-2 keeps bit-exact vs the one-shot rebuild;
+        # vs the rebuild the pipeline only ever OVER-keeps, and every
+        # extra is a day-1 keeper dethroned by a day-2 merge
+        assert shipped >= rebuild_kept
+        assert {d for d in shipped if d >= DAY_SPLIT} == {
+            d for d in rebuild_kept if d >= DAY_SPLIT
+        }
+        comp = {r["doc_id"]: r["component"] for r in mapping.collect()}
+        assert all(
+            d < DAY_SPLIT and comp.get(d, d) != d
+            for d in shipped - rebuild_kept
+        )
+
     def test_bucketed_index_survives_session_turnover(self, spark, tmp_path):
         # The bucketed MinHash tables (minhash_buckets default) are
         # registered by saveAsTable only in the session that wrote

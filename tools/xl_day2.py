@@ -76,11 +76,16 @@ def _slice(spark, lo: int, hi: int, para: int, day: int):
 def main() -> int:
     n = 1_000_000
     n_batch = 100_000
+    containment = False
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=", 1)[1])
         if a.startswith("--n-batch="):
             n_batch = int(a.split("=", 1)[1])
+        if a == "--containment":
+            # third dedup arm ON: records under its own BENCH_XL key so
+            # the base day2_pipeline row stays comparable across rounds
+            containment = True
 
     spark = get_spark("xl-day2")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,6 +102,8 @@ def main() -> int:
         n_shards=64,
         pack_budget=2048,
     )
+    if containment:
+        cfg["containment"] = True  # k=8 / max_df=1000 defaults
 
     # Standing state is built the way the pipeline is DESIGNED to build
     # it — day by day in batch-sized slices (n // n_batch prior days),
@@ -132,6 +139,7 @@ def main() -> int:
         "method": "fresh_isolated_session_single_run",
         "minhash_buckets": 32,  # the r11 bucketed-index default
         "semantic_arrow": True,  # the 10^6 execution mode (Arrow twins)
+        "containment": containment,
         "bootstrap_days": n_days,
         "bootstrap_total_sec": round(sum(boot_secs), 3),
         "bootstrap_last_day_sec": boot_secs[-1],
@@ -141,7 +149,8 @@ def main() -> int:
         "day2_near_dup_edges": a2["near_dup_edges"],
         "day2_kept_docs": a2["kept_docs"],
     }
-    _merge_bench_xl("/root/repo", {"day2_pipeline": row})
+    key = "day2_pipeline_containment" if containment else "day2_pipeline"
+    _merge_bench_xl("/root/repo", {key: row})
     print(json.dumps(row))
     shutil.rmtree(state, ignore_errors=True)
     return 0
