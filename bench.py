@@ -79,9 +79,7 @@ BENCH_QUERIES = [
     "q53_order_value_quantiles",
     "q62_tpch_q1_pricing_summary",
     "q63_tpch_q3_shipping_priority",
-    "q64_tpch_q5_local_supplier_volume",
     "q65_tpch_q6_forecast_revenue",
-    "q66_tpch_q10_returned_items",
     "q69_tpch_q7_volume_shipping",
     "q71_tpch_q9_product_profit",
     "q72_tpch_q13_order_counts",
@@ -119,6 +117,15 @@ BENCH_QUERIES = [
     "q148_domain_curation_report",
     "q149_domain_cap_filter",
     "q150_boilerplate_strip",
+    # round 12 refresh: the r11 families' scale paths enter the
+    # headline (q157 whitened SemDeDup via the frozen artifact; q158
+    # benched as the INDEXED containment path — the registry entry is
+    # deliberately the exact inverted-index oracle form, which is a
+    # quadratic baseline and stays excluded). q64/q66 retired: their
+    # fact-x-dims join shape is covered by q63/q69/q71 and the driver's
+    # stdout budget caps the JSON line at 2KB.
+    "q157_whitened_semantic_dedup",
+    "q158_containment_dedup",
 ]
 
 
@@ -139,11 +146,25 @@ def _q95_bench(spark, sf_dir):
     return remove_dup_spans(docs, hash_keys=True)
 
 
+def _q158_bench(spark, sf_dir):
+    """Bench variant of q158: the one-sided bottom-k INDEXED scale path
+    (df-capped sketch+postings, Exchange-shared shingle table) over the
+    same snippet corpus — the registry entry keeps the exact
+    inverted-index form for bit-exact DuckDB replay."""
+    from etl_data_warehouse_spark.plans.llm_ops import _snippet_corpus
+
+    docs = load_table(spark, "documents", sf_dir, columns=["doc_id", "text"])
+    return dedup.containment_pairs_indexed(
+        _snippet_corpus(docs), threshold=0.9
+    )
+
+
 # Bench-only substitutions: same operator, faster engine-native variant
 # (the registry entry stays the oracle-checkable twin).
 BENCH_OVERRIDES = {
     "q25_simhash_pairs": _q25_bench,
     "q95_dup_span_removal": _q95_bench,
+    "q158_containment_dedup": _q158_bench,
 }
 
 # p50 of N timed runs after one untimed warm-up: min-of-2 was too noisy

@@ -98,6 +98,7 @@ def build_minhash_index(
     n: int = 3,
     buckets: int | None = None,
     table_prefix: str | None = None,
+    arrow: bool = False,
 ) -> None:
     """One-time (or per-backfill) index build: persist band and shingle
     tables for the corpus.
@@ -110,7 +111,7 @@ def build_minhash_index(
     shuffles), which is the 100 TB posture: the per-batch join cost is
     O(batch), never O(corpus)."""
     sh = hashed_shingles(docs, n).localCheckpoint()
-    bt = band_table(sh, num_hashes, bands)
+    bt = band_table(sh, num_hashes, bands, arrow=arrow)
     if buckets:
         if not table_prefix:
             raise ValueError("bucketed index build requires table_prefix")
@@ -136,6 +137,7 @@ def append_to_index(
     buckets: int | None = None,
     table_prefix: str | None = None,
     skip_indexed: bool = True,
+    arrow: bool = False,
 ) -> None:
     """Make a deduped batch part of the corpus: append its rows to both
     index tables. Append-only (no rewrite of existing index files);
@@ -161,7 +163,7 @@ def append_to_index(
         )
         new_docs = new_docs.join(indexed, "doc_id", "left_anti")
     sh = hashed_shingles(new_docs, n).localCheckpoint()
-    bt = band_table(sh, num_hashes, bands)
+    bt = band_table(sh, num_hashes, bands, arrow=arrow)
     # Write order matters for crash safety: bands FIRST, shingles last.
     # Both the skip_indexed guard above and the streaming replay guard
     # (streaming/neardup_stream.py) probe the SHINGLE table, so a doc
@@ -197,6 +199,7 @@ def incremental_dedup(
     n: int = 3,
     bands_table: str | None = None,
     shingles_table: str | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, exact-Jaccard verified)
     between the new batch and the indexed corpus, PLUS within the batch
@@ -204,7 +207,9 @@ def incremental_dedup(
     corpus that involves a new document. New doc_ids must not collide
     with indexed ones (enforce upstream; they identify documents)."""
     new_sh = hashed_shingles(new_docs, n).localCheckpoint()
-    new_bands = band_table(new_sh, num_hashes, bands).localCheckpoint()
+    new_bands = band_table(
+        new_sh, num_hashes, bands, arrow=arrow
+    ).localCheckpoint()
     idx_bands = _read_bands(spark, index_dir, bands_table)
 
     # candidates: new × (index ∪ new); the index side never re-banded.

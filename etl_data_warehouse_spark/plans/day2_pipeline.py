@@ -210,6 +210,7 @@ def run_day2_ingest(
     state_dir: str,
     batch_id: int,
     semantic_arrow: bool = False,
+    minhash_arrow: bool = False,
     **overrides,
 ) -> dict:
     """Ingest one daily batch; returns the audit summary.
@@ -324,6 +325,7 @@ def run_day2_ingest(
             threshold=cfg["jaccard_threshold"],
             bands_table=f"{mh_prefix}_bands" if mh_prefix else None,
             shingles_table=f"{mh_prefix}_shingles" if mh_prefix else None,
+            arrow=minhash_arrow,
             **mh_kw,
         )
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
@@ -464,7 +466,8 @@ def run_day2_ingest(
     if bootstrap:
         build_minhash_index(
             survivors, minhash_dir,
-            buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
+            buckets=mh_buckets, table_prefix=mh_prefix,
+            arrow=minhash_arrow, **mh_kw,
         )
         if cfg.get("containment"):
             from ..operators.containment_index import (
@@ -480,7 +483,8 @@ def run_day2_ingest(
     else:
         append_to_index(
             survivors, minhash_dir,
-            buckets=mh_buckets, table_prefix=mh_prefix, **mh_kw,
+            buckets=mh_buckets, table_prefix=mh_prefix,
+            arrow=minhash_arrow, **mh_kw,
         )
         if cfg.get("containment"):
             from ..operators.containment_index import (

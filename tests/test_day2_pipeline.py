@@ -428,11 +428,16 @@ class TestDay2Pipeline:
         states = {}
         for mode, arrow in (("fold", False), ("arrow", True)):
             st = str(tmp_path / f"state_{mode}")
+            # minhash_arrow rides along: the numpy signature twin is
+            # bit-identical (TestArrowSignatures), so the whole-chain
+            # state must not move either
             run_day2_ingest(
-                d1, v1, st, batch_id=1, semantic_arrow=arrow, **CFG
+                d1, v1, st, batch_id=1, semantic_arrow=arrow,
+                minhash_arrow=arrow, **CFG
             )
             run_day2_ingest(
-                d2, v2, st, batch_id=2, semantic_arrow=arrow, **CFG
+                d2, v2, st, batch_id=2, semantic_arrow=arrow,
+                minhash_arrow=arrow, **CFG
             )
             states[mode] = st
         for sub in ("shards", "clean_documents"):

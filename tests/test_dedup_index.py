@@ -89,6 +89,53 @@ class TestIncrementalDedup:
         assert _pairs_set(inc2) == _pairs_set(expected)
 
 
+class TestArrowSignatures:
+    def test_band_table_arrow_equals_fold(self, spark, sf_dir):
+        # the numpy signature twin must be BIT-IDENTICAL to the JVM
+        # 64-min-agg path (integer min over the same affine mixes) —
+        # band hashes included, since they are computed from the
+        # signatures by the same JVM xxhash64 projection in both modes
+        from etl_data_warehouse_spark.operators.dedup import (
+            band_table,
+            hashed_shingles,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        sh = hashed_shingles(docs, 3).localCheckpoint()
+        fold = sorted(
+            tuple(r) for r in band_table(sh, 64, 32).collect()
+        )
+        arrow = sorted(
+            tuple(r) for r in band_table(sh, 64, 32, arrow=True).collect()
+        )
+        assert fold == arrow
+
+    def test_incremental_dedup_arrow_equals_fold(
+        self, spark, sf_dir, tmp_path
+    ):
+        from etl_data_warehouse_spark.operators.dedup_index import (
+            build_minhash_index,
+            incremental_dedup,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        idx = str(tmp_path / "idx_arrow")
+        build_minhash_index(corpus, idx, arrow=True)
+        fold = sorted(
+            tuple(r)
+            for r in incremental_dedup(spark, batch, idx).collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in incremental_dedup(
+                spark, batch, idx, arrow=True
+            ).collect()
+        )
+        assert fold == arrow and len(fold) > 0
+
+
 class TestBucketedIndex:
     def test_bucketed_index_join_no_exchange_on_index_side(
         self, spark, sf_dir, tmp_path

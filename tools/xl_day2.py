@@ -116,7 +116,7 @@ def main() -> int:
         d, v = _slice(spark, day * n_batch, (day + 1) * n_batch, para, day)
         t0 = time.time()
         run_day2_ingest(
-            d, v, state, batch_id=day + 1, semantic_arrow=True, **cfg
+            d, v, state, batch_id=day + 1, semantic_arrow=True, minhash_arrow=True, **cfg
         )
         boot_secs.append(round(time.time() - t0, 3))
         print(f"bootstrap day {day + 1}/{n_days}", boot_secs[-1])
@@ -126,7 +126,7 @@ def main() -> int:
     d2, v2 = _slice(spark, n, n + n_batch, para, n_days)
     t0 = time.time()
     a2 = run_day2_ingest(
-        d2, v2, state, batch_id=n_days + 1, semantic_arrow=True, **cfg
+        d2, v2, state, batch_id=n_days + 1, semantic_arrow=True, minhash_arrow=True, **cfg
     )
     day2_sec = round(time.time() - t0, 3)
     print("day2_sec", day2_sec, a2)
@@ -139,6 +139,7 @@ def main() -> int:
         "method": "fresh_isolated_session_single_run",
         "minhash_buckets": 32,  # the r11 bucketed-index default
         "semantic_arrow": True,  # the 10^6 execution mode (Arrow twins)
+        "minhash_arrow": True,  # numpy signature twin (r12, bit-identical)
         "containment": containment,
         "bootstrap_days": n_days,
         "bootstrap_total_sec": round(sum(boot_secs), 3),

@@ -98,7 +98,7 @@ def main() -> int:
     t0 = time.time()
     q = start_day2_stream(
         spark, input_dir, vectors_dir, state, checkpoint,
-        semantic_arrow=True, **cfg,
+        semantic_arrow=True, minhash_arrow=True, **cfg,
     )
     q.awaitTermination()
     bootstrap_sec = round(time.time() - t0, 3)
@@ -112,7 +112,7 @@ def main() -> int:
     t0 = time.time()
     q = start_day2_stream(
         spark, input_dir, vectors_dir, state, checkpoint,
-        semantic_arrow=True, **cfg,
+        semantic_arrow=True, minhash_arrow=True, **cfg,
     )
     q.awaitTermination()
     day2_sec = round(time.time() - t0, 3)
@@ -128,6 +128,7 @@ def main() -> int:
         "method": "fresh_isolated_session_single_run",
         "minhash_buckets": 32,
         "semantic_arrow": True,
+        "minhash_arrow": True,
         "bootstrap_drain_sec": bootstrap_sec,
         "day2_sec": day2_sec,
         "day2_stage_sec": a2["stage_sec"],
