@@ -53,6 +53,7 @@ XL_ONE_OPS = [
     "dup_span_removal",
     "training_shards",
     "srp_candidates",
+    "containment_indexed",  # r12: in the suite proper (was hand-merged)
 ]
 
 SECTION_SCRIPTS = [
