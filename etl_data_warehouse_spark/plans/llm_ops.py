@@ -549,6 +549,123 @@ ORDER BY p.doc_inner, p.doc_outer
 """
 
 
+# --- q161: SimHash estimator calibration (hamming vs exact, hash-gated) ------
+# Completes the estimator-calibration family: q159 puts the MinHash
+# signature next to exact Jaccard, q160 the containment sketch next to
+# exact containment — q161 puts the 64-bit SimHash next to exact
+# Jaccard: per exact pair at J >= 0.5, the Hamming distance between
+# the two portable md5-bit signatures and the per-bit agreement rate
+# (64 - hamming)/64. This is the curve max_hamming is sized from (q25
+# ships max_hamming=6); SimHash agreement tracks the cosine of the
+# token-frequency vectors, so its spread AGAINST Jaccard on real pairs
+# is exactly what the calibration needs to expose. Signatures are the
+# q25 md5-derived bits — DuckDB reproduces them digit-for-digit.
+
+_Q161_THRESHOLD = 0.5
+
+
+def q161_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=_Q161_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sig = dedup.simhash_signatures_md5(docs)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            hamming.alias("hamming"),
+            (
+                (F.lit(64) - hamming).cast("double") / F.lit(64.0)
+            ).alias("bit_agreement"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q161_oracle() -> str:
+    """Exact-Jaccard pairs (the q23/q159 CTE chain) joined to the q25
+    md5-bit SimHash signatures, carried as two 32-bit halves."""
+    vote_cols = ",\n           ".join(
+        f"SUM(CASE WHEN ((instr('0123456789abcdef', substring(hx, {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN (1::BIGINT << {b - 32}) ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           intersection::DOUBLE
+             / (sa.n + sb.n - intersection)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE intersection::DOUBLE
+            / (sa.n + sb.n - intersection)::DOUBLE >= {_Q161_THRESHOLD}
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS t
+    FROM documents
+),
+h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+votes AS (
+    SELECT doc_id,
+           {vote_cols}
+    FROM h
+    GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM votes)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+           AS hamming,
+       (64 - (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))))::DOUBLE
+           / 64.0 AS bit_agreement
+FROM pairs p
+JOIN sig a ON p.doc_a = a.doc_id
+JOIN sig b ON p.doc_b = b.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+Q161_ORACLE = _q161_oracle()
+
+
 # --- q25: SimHash near-dup pairs (blocked, portable md5 bits) ----------------
 # Blocked candidate generation (pigeonhole over 8x8-bit chunks — exact
 # recall at Hamming <= 6, no cross join) over md5-derived signatures the
@@ -2133,6 +2250,7 @@ QUERIES = {
     "q158_containment_dedup": q158_containment_dedup,
     "q159_minhash_estimate": q159_minhash_estimate,
     "q160_containment_sketch_calibration": q160_containment_sketch_calibration,
+    "q161_simhash_estimate": q161_simhash_estimate,
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
     "q98_json_flatten": q98_json_flatten,
@@ -2168,6 +2286,7 @@ ORACLES = {
     "q158_containment_dedup": Q158_ORACLE,
     "q159_minhash_estimate": Q159_ORACLE,
     "q160_containment_sketch_calibration": Q160_ORACLE,
+    "q161_simhash_estimate": Q161_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
     "q98_json_flatten": Q98_ORACLE,
