@@ -134,6 +134,61 @@ def sequence_packing(
     )
 
 
+def packing_efficiency(
+    docs: DataFrame,
+    budget: int = 512,
+    shard: str = "source",
+) -> DataFrame:
+    """Per-shard packing-efficiency report for the concatenate-then-chop
+    strategy (sequence_packing): chunks used, tail waste, and the chunk
+    count a naive one-doc-per-chunk padding scheme would have needed —
+    the telemetry that justifies packing in an LM data pipeline (waste
+    is ONE partial chunk per shard vs per-document padding loss).
+
+    Columns: shard, n_docs, total_tokens, n_chunks (= ceil(total /
+    budget)), tail_waste (= n_chunks*budget - total), waste_pct,
+    padded_chunks (= sum of per-doc ceil(n_tokens/budget)),
+    chunks_saved (= padded_chunks - n_chunks). One token-count
+    projection + one shard-keyed aggregation — a single shuffle, no
+    window; integer arithmetic throughout so both engines agree
+    bit-for-bit (waste_pct is the only double, an identical int/int
+    division)."""
+    t = docs.select(
+        F.col(shard).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    # ceil(x / b) as (x + b - 1) div b — positive operands only, where
+    # truncating and flooring integer division agree in BOTH engines
+    # (a negate-based ceil would diverge: Spark `div` truncates toward
+    # zero, DuckDB `//` floors)
+    total = F.sum("n_tokens").cast("long")
+    n_chunks = F.expr(
+        f"(sum(n_tokens) + {budget - 1}) div {budget}"
+    ).cast("long")
+    padded = F.sum(
+        F.expr(f"(n_tokens + {budget - 1}) div {budget}")
+    ).cast("long")
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            total.alias("total_tokens"),
+            n_chunks.alias("n_chunks"),
+            (n_chunks * budget - total).alias("tail_waste"),
+            F.when(
+                n_chunks > 0,
+                (n_chunks * budget - total).cast("double")
+                / (n_chunks * budget).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("waste_pct"),
+            padded.alias("padded_chunks"),
+            (padded - n_chunks).alias("chunks_saved"),
+        )
+        .orderBy("shard")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight: Column | str,

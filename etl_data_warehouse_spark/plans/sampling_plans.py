@@ -355,6 +355,47 @@ ORDER BY a.o_orderpriority
 """
 
 
+# --- q162: packing-efficiency report (the q45 telemetry) --------------------
+# Per-shard chunks used / tail waste / chunks a naive pad-per-doc
+# scheme would need — the report that justifies concat-then-chop
+# packing. Ceil divisions written as (x + b - 1) div b (positive
+# operands: truncating Spark `div` == flooring DuckDB `//`); waste_pct
+# is the only double, an identical int/int division in both engines.
+
+def q162_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.packing_efficiency(docs, budget=_BUDGET)
+
+
+Q162_ORACLE = f"""
+WITH t AS (
+    SELECT source AS shard,
+           len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens
+    FROM documents
+),
+agg AS (
+    SELECT shard,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           ((SUM(n_tokens) + {_BUDGET - 1}) // {_BUDGET})::BIGINT
+               AS n_chunks,
+           SUM((n_tokens + {_BUDGET - 1}) // {_BUDGET})::BIGINT
+               AS padded_chunks
+    FROM t GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens, n_chunks,
+       (n_chunks * {_BUDGET} - total_tokens)::BIGINT AS tail_waste,
+       CASE WHEN n_chunks > 0
+            THEN (n_chunks * {_BUDGET} - total_tokens)::DOUBLE
+                 / (n_chunks * {_BUDGET})::DOUBLE
+            ELSE 0.0 END AS waste_pct,
+       padded_chunks,
+       (padded_chunks - n_chunks)::BIGINT AS chunks_saved
+FROM agg
+ORDER BY shard
+"""
+
+
 QUERIES = {
     "q144_stratified_sample": q144_stratified_sample,
     "q43_train_test_split": q43_train_test_split,
@@ -362,6 +403,7 @@ QUERIES = {
     "q45_sequence_packing": q45_sequence_packing,
     "q46_contamination": q46_contamination,
     "q88_weighted_sample": q88_weighted_sample,
+    "q162_packing_efficiency": q162_packing_efficiency,
 }
 
 ORACLES = {
@@ -371,4 +413,5 @@ ORACLES = {
     "q45_sequence_packing": Q45_ORACLE,
     "q46_contamination": Q46_ORACLE,
     "q88_weighted_sample": Q88_ORACLE,
+    "q162_packing_efficiency": Q162_ORACLE,
 }
