@@ -180,6 +180,63 @@ def containment_pairs(
     )
 
 
+def containment_keep_longest(
+    docs: DataFrame, threshold: float = 0.9, n: int = 3
+) -> DataFrame:
+    """Per-document keep verdicts under the CONTAINMENT measure: a doc
+    is dropped when it is the INNER side of any containment pair —
+    i.e. it is (near-)contained in a longer document — keeping the
+    superset and shedding snippets/quotes/boilerplate-wrapped copies
+    (the asymmetric twin of dedup_keep_longest's Jaccard-cluster rule,
+    q97). Exact mutual containment (identical shingle sets) is broken
+    by id: the SMALLER doc_id survives (the corpus age discipline —
+    earlier == smaller).
+
+    Per-PAIR rule, not transitive closure: if B ⊂ A and C ⊂ B, C is
+    dropped by its own pair with B (and usually with A) even though B
+    is also dropped — every dropped doc names at least one strictly
+    larger (or same-size, smaller-id) container that justifies it,
+    which is the property audits need.
+
+    Output: (doc_id, n_shingles, kept, container) — ``container`` is
+    the smallest-id justifying outer doc (NULL when kept). Docs too
+    short to shingle have n_shingles = 0 and are trivially kept."""
+    pairs = containment_pairs(docs, threshold, n)
+    sizes = shingle_table(docs, n).groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    out_sz = sizes.select(
+        F.col("doc_id").alias("doc_outer"),
+        F.col("n_shingles").alias("n_outer"),
+    )
+    dropped = (
+        pairs.join(out_sz, "doc_outer")
+        .filter(
+            (F.col("n_inner") < F.col("n_outer"))
+            | (
+                (F.col("n_inner") == F.col("n_outer"))
+                & (F.col("doc_inner") > F.col("doc_outer"))
+            )
+        )
+        .groupBy(F.col("doc_inner").alias("doc_id"))
+        .agg(F.min("doc_outer").alias("container"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.col("container").isNull().alias("kept"),
+            "container",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _shingles_shared(docs: DataFrame, n: int) -> DataFrame:
     """Corpus-wide hashed shingle table shaped for MULTI-CONSUMER use
     on XL paths — shared via hashed_shingles' pre-explode repartition

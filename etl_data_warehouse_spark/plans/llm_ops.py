@@ -549,6 +549,91 @@ ORDER BY p.doc_inner, p.doc_outer
 """
 
 
+# --- q163: containment keep-longest dedup verdicts ---------------------------
+# The keep RULE for subset duplication (q158 finds the pairs, q163
+# decides the corpus): drop every doc that is the inner side of a
+# containment pair — snippets/quotes fall, the superset survives; exact
+# mutual containment keeps the smaller doc_id. Per-pair rule with a
+# justifying `container` per dropped doc (min outer id) — the
+# asymmetric twin of q97's Jaccard keep-longest. Same snippet corpus
+# as q158, so every planted snippet must be dropped with its parent
+# named as the container.
+
+def q163_containment_keep_longest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.containment_keep_longest(
+        _snippet_corpus(docs), threshold=0.9
+    )
+
+
+Q163_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_SNIPPET_OFFSET} AS doc_id,
+           array_to_string(list_slice(string_split_regex(trim(text), ' +'),
+                                      1, {_SNIPPET_TOKENS}), ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+),
+docs AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+    FROM corpus
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END)) AS shingle
+    FROM docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sized AS (
+    SELECT doc_a, doc_b, intersection, sa.n AS n_a, sb.n AS n_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+),
+oriented AS (
+    SELECT doc_a AS doc_inner, doc_b AS doc_outer, intersection,
+           n_a AS n_inner, n_b AS n_outer
+    FROM sized
+    UNION ALL
+    SELECT doc_b AS doc_inner, doc_a AS doc_outer, intersection,
+           n_b AS n_inner, n_a AS n_outer
+    FROM sized
+),
+pairs AS (
+    SELECT doc_inner, doc_outer, n_inner, n_outer
+    FROM oriented
+    WHERE intersection::DOUBLE / n_inner::DOUBLE >= 0.9
+),
+dropped AS (
+    SELECT doc_inner AS doc_id, MIN(doc_outer) AS container
+    FROM pairs
+    WHERE n_inner < n_outer
+       OR (n_inner = n_outer AND doc_inner > doc_outer)
+    GROUP BY doc_inner
+)
+SELECT c.doc_id,
+       COALESCE(s.n, 0)::BIGINT AS n_shingles,
+       d.container IS NULL      AS kept,
+       d.container
+FROM corpus c
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN dropped d USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 # --- q161: SimHash estimator calibration (hamming vs exact, hash-gated) ------
 # Completes the estimator-calibration family: q159 puts the MinHash
 # signature next to exact Jaccard, q160 the containment sketch next to
@@ -2251,6 +2336,7 @@ QUERIES = {
     "q159_minhash_estimate": q159_minhash_estimate,
     "q160_containment_sketch_calibration": q160_containment_sketch_calibration,
     "q161_simhash_estimate": q161_simhash_estimate,
+    "q163_containment_keep_longest": q163_containment_keep_longest,
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
     "q98_json_flatten": q98_json_flatten,
@@ -2287,6 +2373,7 @@ ORACLES = {
     "q159_minhash_estimate": Q159_ORACLE,
     "q160_containment_sketch_calibration": Q160_ORACLE,
     "q161_simhash_estimate": Q161_ORACLE,
+    "q163_containment_keep_longest": Q163_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
     "q98_json_flatten": Q98_ORACLE,

@@ -89,6 +89,7 @@ _WINDOW_FIRST = [
     "q160_containment_sketch_calibration",  # last green: never checked
     "q161_simhash_estimate",  # last green: never checked
     "q162_packing_efficiency",  # last green: never checked
+    "q163_containment_keep_longest",  # last green: never checked
     "q142_kmv_audience_overlap",  # last green: r8
     "q143_label_propagation",  # last green: r8
     "q144_stratified_sample",  # last green: r8
@@ -133,7 +134,6 @@ _WINDOW_FIRST = [
     "q101_tpch_q12_shipping_priority_buckets",  # last green: r9
     "q102_tpch_q16_supplier_count",  # last green: r9
     "q103_tpch_q20_dominant_supplier",  # last green: r9
-    "q104_lm_perplexity",  # last green: r9
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

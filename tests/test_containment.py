@@ -76,6 +76,31 @@ class TestContainment:
         assert _rows(exact) == _rows(indexed)
 
 
+class TestContainmentKeepLongest:
+    def test_snippets_dropped_parents_kept(self, spark):
+        from etl_data_warehouse_spark.operators.dedup import (
+            containment_keep_longest,
+        )
+
+        corpus = _snippet_corpus(spark)
+        verdicts = {
+            r["doc_id"]: (r["kept"], r["container"])
+            for r in containment_keep_longest(corpus, threshold=0.9)
+            .collect()
+        }
+        assert len(verdicts) == corpus.count()  # one row per doc
+        for b in range(0, 80, 5):
+            kept, container = verdicts[b + OFFSET]
+            # snippet drops; its container is the MIN justifying outer
+            # — the parent b, or an even-smaller near-dup of the parent
+            assert not kept and container is not None and container <= b
+            # the parent itself is only dropped if IT is contained in a
+            # longer doc (possible via the generator's planted
+            # near-dups) — never because of its own snippet
+            pk, pc = verdicts[b]
+            assert pc != b + OFFSET
+
+
 BOILER = "the quick brown fox jumps lazy"  # 6 words -> 4 shingles shared by ALL
 
 
