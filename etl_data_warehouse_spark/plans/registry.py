@@ -77,63 +77,66 @@ ORACLES.update(web_curation.ORACLES)
 # tools/window_plan.py (never-driver-checked entries first, then
 # oldest-green-first over all CORRECTNESS_r*.json, ties by query
 # number) — the literal below IS that tool's output, pinned by
-# tests/test_window_plan.py. Round 12 leads with q158/q159 (added late
-# in r11, no driver row yet) and q142-q147 (r8-stale), then the 42
-# oldest r9 entries. Entries outside the window remain proven every
+# tests/test_window_plan.py against artifacts <= _WINDOW_PLANNED_FROM
+# (so the driver's post-close artifact can never redden the pin).
+# Round 13 leads with the 12 r9-stale entries (q104-q108, q110-q113,
+# q148-q150), then the 38 oldest r10 entries. Entries outside the
+# window remain proven every
 # round by tests/test_oracle_parity.py's full-registry sf0.001 sweep;
 # only driver-row freshness rotates. After adding a new query, re-run
 # `python tools/window_plan.py --block` and paste the result here.
+_WINDOW_PLANNED_FROM = 12
 _WINDOW_FIRST = [
-    "q158_containment_dedup",  # last green: never checked
-    "q159_minhash_estimate",  # last green: never checked
-    "q160_containment_sketch_calibration",  # last green: never checked
-    "q161_simhash_estimate",  # last green: never checked
-    "q162_packing_efficiency",  # last green: never checked
-    "q163_containment_keep_longest",  # last green: never checked
-    "q142_kmv_audience_overlap",  # last green: r8
-    "q143_label_propagation",  # last green: r8
-    "q144_stratified_sample",  # last green: r8
-    "q145_sketch_threshold_filter",  # last green: r8
-    "q146_readability",  # last green: r8
-    "q147_column_stats",  # last green: r8
-    "q57_status_pivot",  # last green: r9
-    "q58_status_unpivot",  # last green: r9
-    "q60_grouping_sets",  # last green: r9
-    "q61_distribution_windows",  # last green: r9
-    "q62_tpch_q1_pricing_summary",  # last green: r9
-    "q63_tpch_q3_shipping_priority",  # last green: r9
-    "q64_tpch_q5_local_supplier_volume",  # last green: r9
-    "q65_tpch_q6_forecast_revenue",  # last green: r9
-    "q66_tpch_q10_returned_items",  # last green: r9
-    "q67_native_session_window",  # last green: r9
-    "q68_tpch_q4_priority_check",  # last green: r9
-    "q69_tpch_q7_volume_shipping",  # last green: r9
-    "q70_tpch_q8_market_share",  # last green: r9
-    "q71_tpch_q9_product_profit",  # last green: r9
-    "q72_tpch_q13_order_counts",  # last green: r9
-    "q73_tpch_q14_promo_revenue",  # last green: r9
-    "q74_tpch_q15_top_supplier",  # last green: r9
-    "q75_tpch_q17_small_qty_revenue",  # last green: r9
-    "q76_tpch_q18_large_orders",  # last green: r9
-    "q77_tpch_q19_disjunctive_revenue",  # last green: r9
-    "q78_tpch_q21_waiting_supplier",  # last green: r9
-    "q79_tpch_q22_lapsed_customers",  # last green: r9
-    "q80_sliding_window_activity",  # last green: r9
-    "q81_ivfadc_topk",  # last green: r9
-    "q82_semantic_dedup",  # last green: r9
-    "q83_quality_rules",  # last green: r9
-    "q84_ngram_repetition",  # last green: r9
-    "q85_crossdoc_ngram_dup",  # last green: r9
-    "q86_key_skew_report",  # last green: r9
-    "q87_cdc_apply",  # last green: r9
-    "q89_value_histogram",  # last green: r9
-    "q90_last_touch_attribution",  # last green: r9
-    "q91_running_balance",  # last green: r9
-    "q99_tpch_q2_min_cost_supplier",  # last green: r9
-    "q100_tpch_q11_important_stock",  # last green: r9
-    "q101_tpch_q12_shipping_priority_buckets",  # last green: r9
-    "q102_tpch_q16_supplier_count",  # last green: r9
-    "q103_tpch_q20_dominant_supplier",  # last green: r9
+    "q104_lm_perplexity",  # last green: r9
+    "q105_doc_chunking",  # last green: r9
+    "q106_entity_pagerank",  # last green: r9
+    "q107_token_budget_plan",  # last green: r9
+    "q108_retrieval_context",  # last green: r9
+    "q110_embedding_outliers",  # last green: r9
+    "q111_source_dup_profile",  # last green: r9
+    "q112_cross_source_overlap",  # last green: r9
+    "q113_apply_mixture_sample",  # last green: r9
+    "q148_domain_curation_report",  # last green: r9
+    "q149_domain_cap_filter",  # last green: r9
+    "q150_boilerplate_strip",  # last green: r9
+    "q01_monthly_revenue",  # last green: r10
+    "q02_customer_tier",  # last green: r10
+    "q03_product_performance",  # last green: r10
+    "q04_retention_cohort",  # last green: r10
+    "q05_daily_anomaly",  # last green: r10
+    "q06_dim_date",  # last green: r10
+    "q07_dim_products",  # last green: r10
+    "q08_fact_daily_sales",  # last green: r10
+    "q09_fact_orders",  # last green: r10
+    "q10_clean_lineitem",  # last green: r10
+    "q11_referential_integrity",  # last green: r10
+    "q12_duplicate_checks",  # last green: r10
+    "q13_null_rates",  # last green: r10
+    "q14_quality_assertions",  # last green: r10
+    "q15_top_orders_per_month",  # last green: r10
+    "q16_status_pivot",  # last green: r10
+    "q17_sales_rollup",  # last green: r10
+    "q18_sales_cube",  # last green: r10
+    "q19_date_coverage",  # last green: r10
+    "q20_text_stats",  # last green: r10
+    "q21_lang_id",  # last green: r10
+    "q22_exact_dedup",  # last green: r10
+    "q23_ngram_jaccard_dedup",  # last green: r10
+    "q34_set_ops",  # last green: r10
+    "q35_incremental_extract",  # last green: r10
+    "q39_revenue_by_region",  # last green: r10
+    "q40_supplier_performance",  # last green: r10
+    "q42_fact_lineitem",  # last green: r10
+    "q47_zorder_layout",  # last green: r10
+    "q48_pii_scrub",  # last green: r10
+    "q49_repetition_stats",  # last green: r10
+    "q50_tfidf_topk",  # last green: r10
+    "q51_source_mixture",  # last green: r10
+    "q56_salted_revenue",  # last green: r10
+    "q109_int8_quantize",  # last green: r10
+    "q114_epoch_upsample",  # last green: r10
+    "q115_negative_sampling",  # last green: r10
+    "q116_budget_trim",  # last green: r10
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():

@@ -35,14 +35,27 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def latest_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> latest round with a fully green driver row."""
+def latest_green_rounds(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """Map query name -> latest round with a fully green driver row.
+
+    ``max_round`` (round-12 verdict task #1): ignore artifacts from
+    rounds AFTER it.  The committed window records the round it was
+    planned from (``registry._WINDOW_PLANNED_FROM``); deriving the
+    expected plan from artifacts <= that round keeps the window-pin
+    test stable when the driver writes its post-close
+    CORRECTNESS_r{N+1}.json — previously that artifact landing made
+    the test red at the start of every round.
+    """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         if not isinstance(rows, dict):
@@ -77,8 +90,13 @@ def plan_window(
     return ordered[:size]
 
 
-def window_block(window: list[str], latest: dict[str, int]) -> str:
-    lines = ["_WINDOW_FIRST = ["]
+def window_block(
+    window: list[str], latest: dict[str, int], planned_from: int | None = None
+) -> str:
+    lines = []
+    if planned_from is not None:
+        lines.append(f"_WINDOW_PLANNED_FROM = {planned_from}")
+    lines.append("_WINDOW_FIRST = [")
     for name in window:
         rnd = latest.get(name)
         tag = f"r{rnd}" if rnd else "never checked"
@@ -91,11 +109,20 @@ def main(argv: list[str]) -> int:
     sys.path.insert(0, REPO)
     from etl_data_warehouse_spark.plans import registry
 
-    latest = latest_green_rounds()
+    # Plan from all artifacts on disk; the round the plan was drawn
+    # from is printed so the builder can pin it as
+    # registry._WINDOW_PLANNED_FROM alongside the pasted block.
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    planned_from = max(rounds, default=0)
+    latest = latest_green_rounds(max_round=planned_from)
     names = list(registry.QUERIES)
     window = plan_window(names, latest)
     if "--block" in argv:
-        print(window_block(window, latest))
+        print(window_block(window, latest, planned_from))
         return 0
     never = [n for n in names if n not in latest]
     print(f"registry entries : {len(names)}")
