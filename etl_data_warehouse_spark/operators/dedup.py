@@ -521,7 +521,9 @@ def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return base.select("doc_id", F.explode(hs).alias("shingle"))
 
 
-def _minhash_signatures_arrow(sh: DataFrame, num_hashes: int) -> DataFrame:
+def _minhash_signatures_arrow(
+    sh: DataFrame, num_hashes: int, *, co_located: bool = False
+) -> DataFrame:
     """(doc_id, mh_0..mh_{num_hashes-1}) MinHash signatures via one
     Arrow/numpy pass — the ``assign_arrow`` pattern for the signature
     aggregation: the 64 affine permutations become ONE vectorized
@@ -529,15 +531,25 @@ def _minhash_signatures_arrow(sh: DataFrame, num_hashes: int) -> DataFrame:
     per row, ~2x the JVM agg at 10^5+ docs and it removes the
     signature shuffle entirely.
 
-    CONTRACT: ``sh`` must be hash-partitioned by doc_id with ALL of a
-    doc's rows in one partition — exactly hashed_shingles' layout (its
-    pre-explode repartition; Generate/Filter/localCheckpoint preserve
-    partitioning). Per-partition state is #docs x num_hashes int64
+    CONTRACT: ALL of a doc's shingle rows must sit in one partition —
+    exactly hashed_shingles' layout (its pre-explode repartition;
+    Generate/Filter/localCheckpoint preserve partitioning). A table
+    re-shuffled on another key (e.g. after a shingle-keyed join) would
+    yield duplicate doc_id rows with partial-min signatures — wrong
+    band rows, no error — so the DEFAULT (``co_located=False``)
+    restores the contract with a doc_id repartition; callers that
+    provably feed hashed_shingles' layout (band_table's documented
+    input) pass ``co_located=True`` to skip the redundant Exchange on
+    the 10^6 hot path. Per-partition state is #docs x num_hashes int64
     (cross-chunk minimum merge), megabytes at the 10^6 operating
     point. Bit-identical to the JVM agg (integer min over the same
-    affine mixes — pinned in TestArrowSignatures)."""
+    affine mixes — pinned in TestArrowSignatures, incl. the
+    re-shuffled-input case)."""
     import numpy as np
     import pandas as pd
+
+    if not co_located:
+        sh = sh.repartition("doc_id")
 
     a_vec = np.array(
         [a for a, _ in _MINHASH_COEFFS[:num_hashes]], dtype=np.int64
@@ -588,10 +600,14 @@ def band_table(
     with the numpy twin (_minhash_signatures_arrow — bit-identical;
     the 10^6 execution mode); the band hashes stay JVM xxhash64 in both
     modes, so band values are comparable across persisted indexes
-    regardless of how their signatures were computed."""
+    regardless of how their signatures were computed. ``sh`` must be
+    hashed_shingles output (doc-co-located by its pre-explode
+    repartition) — the arrow twin relies on that layout and is told so
+    here (co_located=True); feed anything re-shuffled on another key
+    through _minhash_signatures_arrow's safe default instead."""
     rows_per_band = num_hashes // bands
     if arrow:
-        sig = _minhash_signatures_arrow(sh, num_hashes)
+        sig = _minhash_signatures_arrow(sh, num_hashes, co_located=True)
     else:
         sig = (
             sh.withColumn("h30", F.pmod(F.col("shingle"), F.lit(_P30)))

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,7 +57,17 @@ def validate_bucket_layout(
         # remote filesystem (s3://, hdfs://) — not inspectable through
         # os; the sidecar/file-name checks are local-layout guards, and
         # remote object stores should gate registration on their own
-        # manifest instead of silently passing a wrong spec here
+        # manifest instead of silently passing a wrong spec here.
+        # Surface the bypass LOUDLY: a silently-skipped check on a
+        # mis-bucketed remote layout is exactly the wrong-results mode
+        # this validator exists to close.
+        warnings.warn(
+            f"validate_bucket_layout: {path!r} is not a local "
+            "directory — bucket layout NOT verified; ensure the remote "
+            f"layout really is keys={keys} buckets={buckets} (e.g. via "
+            "its own manifest) before trusting Exchange-free joins",
+            stacklevel=2,
+        )
         return
     spec_file = _spec_path(path)
     if os.path.exists(spec_file):
@@ -131,10 +142,13 @@ def register_bucketed_table(
     comes from the parquet footers (cannot drift from the files); the
     bucket LAYOUT is validated first (validate_bucket_layout) because
     Spark itself never checks the declared spec against the files.
-    No-op when the table is already registered."""
+    The validation runs even when the table name is already registered
+    (a stale catalog entry can point at a since-rewritten directory —
+    the DDL no-op must not skip the layout check); only the DDL is
+    skipped in that case."""
+    validate_bucket_layout(path, keys, buckets)
     if spark.catalog.tableExists(name):
         return
-    validate_bucket_layout(path, keys, buckets)
     ddl = spark.read.parquet(path).schema.toDDL()
     keys_sql = ", ".join(keys)
     spark.sql(

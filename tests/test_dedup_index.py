@@ -110,6 +110,34 @@ class TestArrowSignatures:
         )
         assert fold == arrow
 
+    def test_arrow_safe_default_survives_reshuffle(self, spark, sf_dir):
+        # _minhash_signatures_arrow's co-location contract: a shingle
+        # table re-shuffled on ANOTHER key would yield duplicate doc_id
+        # rows with partial-min signatures. The safe default
+        # (co_located=False) must restore the layout and stay
+        # bit-identical to the co-located run.
+        from etl_data_warehouse_spark.operators.dedup import (
+            _minhash_signatures_arrow,
+            hashed_shingles,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        sh = hashed_shingles(docs, 3).localCheckpoint()
+        good = sorted(
+            tuple(r)
+            for r in _minhash_signatures_arrow(
+                sh, 64, co_located=True
+            ).collect()
+        )
+        # adversarial layout: shingle-keyed shuffle splits docs' rows
+        shuffled = sh.repartition("shingle")
+        safe = sorted(
+            tuple(r)
+            for r in _minhash_signatures_arrow(shuffled, 64).collect()
+        )
+        assert safe == good
+        assert len({r[0] for r in safe}) == len(safe)  # one row per doc
+
     def test_incremental_dedup_arrow_equals_fold(
         self, spark, sf_dir, tmp_path
     ):

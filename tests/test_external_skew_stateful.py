@@ -194,6 +194,51 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
+    def test_stale_catalog_entry_still_validated(
+        self, spark, sf_dir, tmp_path
+    ):
+        """register_bucketed_table must validate the layout even when
+        the table NAME is already in the catalog — a stale entry
+        pointing at a since-rewritten directory was previously never
+        caught (r12 advice)."""
+        import pytest
+
+        from etl_data_warehouse_spark.sources.bucketing import (
+            register_bucketed_table,
+            write_bucketed,
+        )
+
+        orders = load_table(spark, "orders", sf_dir).limit(100)
+        path = str(tmp_path / "b_stale")
+        write_bucketed(orders, "b_stale", "o_orderkey", 8, path)
+        try:
+            # rewrite the directory with a DIFFERENT bucket spec while
+            # the catalog entry (8 buckets) still exists
+            import shutil
+
+            shutil.rmtree(path)
+            orders.write.mode("overwrite").parquet(path)  # plain parquet
+            with pytest.raises(ValueError):
+                register_bucketed_table(
+                    spark, "b_stale", path, ["o_orderkey"], 8
+                )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_stale")
+
+    def test_remote_path_bypass_warns(self, tmp_path):
+        """Non-local paths skip the layout inspection — that bypass
+        must be LOUD (warning), not silent (r12 advice)."""
+        import warnings as _w
+
+        from etl_data_warehouse_spark.sources.bucketing import (
+            validate_bucket_layout,
+        )
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            validate_bucket_layout("s3://bucket/prefix", ["k"], 8)
+        assert any("NOT verified" in str(r.message) for r in rec)
+
     def test_ctas_bucketed_sql_surface(self, spark, sf_dir, tmp_path):
         """The SQL CTAS twin must produce the same zero-shuffle layout
         as the DataFrame writer path."""
