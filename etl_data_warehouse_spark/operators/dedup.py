@@ -130,8 +130,10 @@ def containment_pairs(
     Both orientations are decided from ONE undirected intersection row
     (doc_a < doc_b computed once, then re-read as inner=a/outer=b and
     inner=b/outer=a) — no doubled shingle join. Output:
-    (doc_inner, doc_outer, intersection, n_inner, containment), unique
-    on the ordered pair.
+    (doc_inner, doc_outer, intersection, n_inner, n_outer,
+    containment), unique on the ordered pair — ``n_outer`` rides along
+    so orientation-aware keep rules (containment_keep_longest, the
+    day-2 arm) can compare sizes without a second sizes join.
 
     Scale shape: the same inverted-index join as jaccard_pairs —
     quadratic in per-shingle doc frequency, so at corpus scale feed it
@@ -161,12 +163,14 @@ def containment_pairs(
         F.col("doc_b").alias("doc_outer"),
         "intersection",
         F.col("n_a").alias("n_inner"),
+        F.col("n_b").alias("n_outer"),
     )
     rev = both.select(
         F.col("doc_b").alias("doc_inner"),
         F.col("doc_a").alias("doc_outer"),
         "intersection",
         F.col("n_b").alias("n_inner"),
+        F.col("n_a").alias("n_outer"),
     )
     return (
         fwd.unionByName(rev)
@@ -205,13 +209,18 @@ def containment_keep_longest(
     sizes = shingle_table(docs, n).groupBy("doc_id").agg(
         F.count("*").alias("n_shingles")
     )
-    out_sz = sizes.select(
-        F.col("doc_id").alias("doc_outer"),
-        F.col("n_shingles").alias("n_outer"),
-    )
-    dropped = (
-        pairs.join(out_sz, "doc_outer")
-        .filter(
+    return _keep_longest_verdicts(pairs, sizes, docs.select("doc_id"))
+
+
+def keep_longest_drops(pairs: DataFrame) -> DataFrame:
+    """(doc_id, container) drop rows under the keep-longest rule from
+    an oriented containment-pair frame (doc_inner, doc_outer, n_inner,
+    n_outer): the INNER side drops when strictly smaller, ties broken
+    by id (larger id drops); ``container`` is the smallest justifying
+    outer. Shared by the one-shot verdicts, the indexed twin, and the
+    day-2 arm — the rule cannot diverge between them."""
+    return (
+        pairs.filter(
             (F.col("n_inner") < F.col("n_outer"))
             | (
                 (F.col("n_inner") == F.col("n_outer"))
@@ -221,10 +230,17 @@ def containment_keep_longest(
         .groupBy(F.col("doc_inner").alias("doc_id"))
         .agg(F.min("doc_outer").alias("container"))
     )
+
+
+def _keep_longest_verdicts(
+    pairs: DataFrame, sizes: DataFrame, doc_ids: DataFrame
+) -> DataFrame:
+    """Per-document (doc_id, n_shingles, kept, container) verdicts from
+    oriented pairs carrying n_inner/n_outer — see
+    containment_keep_longest for the rule."""
     return (
-        docs.select("doc_id")
-        .join(sizes, "doc_id", "left")
-        .join(dropped, "doc_id", "left")
+        doc_ids.join(sizes, "doc_id", "left")
+        .join(keep_longest_drops(pairs), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
@@ -235,6 +251,45 @@ def containment_keep_longest(
         )
         .orderBy("doc_id")
     )
+
+
+def containment_keep_longest_indexed(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    k: int = 8,
+    min_hits: int = 1,
+    max_df: int | None = 1000,
+    sketch_df_filter: bool = True,
+) -> DataFrame:
+    """Scale path of :func:`containment_keep_longest`: the same
+    per-document verdicts decided from containment_pairs_indexed's
+    bottom-k/df-capped pairs instead of the quadratic inverted-index
+    self-join — the q129/q130 twin pattern (indexed == exact at the
+    VERDICT level, driver-hash-pinned against q163's own oracle).
+
+    df-cap effect on the verdicts: the cap changes which pairs are
+    FOUND, never their values. True subsets (the regime this rule
+    exists for) have deterministic recall 1 — every eligible sketch
+    hash of the inner doc IS in the outer — and a near-containment
+    pair misses with hypergeometric probability <= C((1-c_e)s, k)/
+    C(s, k) (containment_pairs_indexed's bound table: 0 at c >= 0.925,
+    s = 80, k = 8). A missed pair could only ever flip a verdict
+    toward KEEP, so the indexed verdicts over-keep with that same
+    bounded probability and never over-drop. Sizes (n_shingles) come
+    from the UNCAPPED hashed shingle table — identical to the exact
+    operator's string-shingle counts absent xxhash64 collisions.
+
+    The corpus shingle table is shared across candidates, verify, and
+    the sizes agg via _shingles_shared's repartition Exchange (one
+    materialization, three consumers)."""
+    sh = _shingles_shared(docs, n)
+    cand = _containment_candidates(
+        sh, k, min_hits, max_df, sketch_df_filter
+    ).localCheckpoint()
+    pairs = verify_containment_pairs(cand, sh, threshold)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return _keep_longest_verdicts(pairs, sizes, docs.select("doc_id"))
 
 
 def _shingles_shared(docs: DataFrame, n: int) -> DataFrame:
@@ -445,6 +500,7 @@ def verify_containment_pairs(
     )
     inter = F.size(F.array_intersect("in_shs", "out_shs")).cast("long")
     n_inner = F.size("in_shs").cast("long")
+    n_outer = F.size("out_shs").cast("long")
     return (
         candidates.join(inner, "doc_inner")
         .join(outer, "doc_outer")
@@ -453,6 +509,7 @@ def verify_containment_pairs(
             "doc_outer",
             inter.alias("intersection"),
             n_inner.alias("n_inner"),
+            n_outer.alias("n_outer"),
             (inter.cast("double") / n_inner.cast("double")).alias(
                 "containment"
             ),

@@ -262,14 +262,14 @@ sized AS (
 ),
 oriented AS (
     SELECT doc_a AS doc_inner, doc_b AS doc_outer, intersection,
-           n_a AS n_inner
+           n_a AS n_inner, n_b AS n_outer
     FROM sized
     UNION ALL
     SELECT doc_b AS doc_inner, doc_a AS doc_outer, intersection,
-           n_b AS n_inner
+           n_b AS n_inner, n_a AS n_outer
     FROM sized
 )
-SELECT doc_inner, doc_outer, intersection, n_inner,
+SELECT doc_inner, doc_outer, intersection, n_inner, n_outer,
        intersection::DOUBLE / n_inner::DOUBLE AS containment
 FROM oriented
 WHERE intersection::DOUBLE / n_inner::DOUBLE >= 0.9
@@ -632,6 +632,29 @@ LEFT JOIN sizes s USING (doc_id)
 LEFT JOIN dropped d USING (doc_id)
 ORDER BY c.doc_id
 """
+
+
+# --- q164: keep-longest verdicts via the INDEXED containment path ------------
+# q163's scale twin (the q129/q130 pattern): the same per-document
+# keep-longest verdicts decided from containment_pairs_indexed's
+# bottom-k/df-capped candidate pairs instead of the quadratic
+# inverted-index self-join, hash-gated against q163's OWN exact oracle
+# — the driver row proves indexed == exact bit-for-bit at the VERDICT
+# level. The df-cap can only suppress candidate pairs (values are
+# verified exactly on uncapped shingle sets), so a cap/recall effect
+# would surface as an over-KEEP — and the hash row pins that there is
+# none on this corpus: true subsets have deterministic recall 1 and
+# the near-containment pairs sit in the hypergeometric zero-miss
+# regime (bound table in containment_pairs_indexed's docstring).
+
+
+def q164_containment_keep_longest_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.containment_keep_longest_indexed(
+        _snippet_corpus(docs), threshold=0.9
+    )
 
 
 # --- q161: SimHash estimator calibration (hamming vs exact, hash-gated) ------
@@ -2337,6 +2360,9 @@ QUERIES = {
     "q160_containment_sketch_calibration": q160_containment_sketch_calibration,
     "q161_simhash_estimate": q161_simhash_estimate,
     "q163_containment_keep_longest": q163_containment_keep_longest,
+    "q164_containment_keep_longest_indexed": (
+        q164_containment_keep_longest_indexed
+    ),
     "q87_cdc_apply": q87_cdc_apply,
     "q96_snapshot_diff": q96_snapshot_diff,
     "q98_json_flatten": q98_json_flatten,
@@ -2374,6 +2400,7 @@ ORACLES = {
     "q160_containment_sketch_calibration": Q160_ORACLE,
     "q161_simhash_estimate": Q161_ORACLE,
     "q163_containment_keep_longest": Q163_ORACLE,
+    "q164_containment_keep_longest_indexed": Q163_ORACLE,
     "q87_cdc_apply": Q87_ORACLE,
     "q96_snapshot_diff": Q96_ORACLE,
     "q98_json_flatten": Q98_ORACLE,

@@ -100,6 +100,31 @@ class TestContainmentKeepLongest:
             pk, pc = verdicts[b]
             assert pc != b + OFFSET
 
+    def test_indexed_verdicts_equal_exact(self, spark):
+        # q164's contract: the bottom-k/df-capped pair path must
+        # reproduce the exact operator's per-document verdicts
+        # bit-for-bit on this corpus (true subsets have deterministic
+        # recall 1; the near-containment pairs sit in the
+        # hypergeometric zero-miss regime)
+        from etl_data_warehouse_spark.operators.dedup import (
+            containment_keep_longest,
+            containment_keep_longest_indexed,
+        )
+
+        corpus = _snippet_corpus(spark)
+        exact = sorted(
+            tuple(r)
+            for r in containment_keep_longest(corpus, threshold=0.9)
+            .collect()
+        )
+        indexed = sorted(
+            tuple(r)
+            for r in containment_keep_longest_indexed(
+                corpus, threshold=0.9
+            ).collect()
+        )
+        assert exact == indexed
+
 
 BOILER = "the quick brown fox jumps lazy"  # 6 words -> 4 shingles shared by ALL
 
