@@ -248,10 +248,16 @@ def append_to_containment_index(
     buckets: int | None = None,
     table_prefix: str | None = None,
     skip_indexed: bool = True,
+    shingles: DataFrame | None = None,
 ) -> None:
     """Make a probed batch part of the corpus: stop set, df counts and
     sketches. ``skip_indexed`` anti-joins away doc_ids already in the
     sketch table, making the append idempotent.
+
+    ``shingles``: an already-materialized ``hashed_shingles(new_docs,
+    n)`` frame for the SAME batch (dedup_index.append_to_index's
+    sharing contract) — day-2 shingles the batch once and feeds both
+    index appends.
 
     Write order is crash-ordered: stop_shingles (overwrite-by-batch,
     replay rewrites identical content) → df (append; duplicates from a
@@ -271,7 +277,13 @@ def append_to_containment_index(
         new_docs = new_docs.join(indexed, "doc_id", "left_anti")
         if not new_docs.take(1):
             return
-    sh = hashed_shingles(new_docs, n).localCheckpoint()
+        if shingles is not None:
+            shingles = shingles.join(indexed, "doc_id", "left_anti")
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(new_docs, n).localCheckpoint()
+    )
     bk = _bottom_k(sh, k)
     counts = _batch_df_counts(sh).withColumn(
         "batch_id", F.lit(batch_id).cast("int")
@@ -319,9 +331,10 @@ def incremental_containment(
     sketches_table: str | None = None,
     df_table: str | None = None,
     exclude_batch_id: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Containment pairs (doc_inner, doc_outer, intersection, n_inner,
-    containment) between the new batch and the indexed corpus, PLUS
+    n_outer, containment) between the new batch and the indexed corpus, PLUS
     within the batch — every pair
     containment_pairs_indexed(corpus ∪ batch, sketch_df_filter=False)
     would emit that involves a new document.
@@ -330,10 +343,35 @@ def incremental_containment(
     table (the MinHash index's shingles/ in the day-2 pipeline); rows
     for the batch's own doc_ids are anti-joined away so the probe is
     replay-stable even after the batch was appended.
+    Cross-orientation recall under STOP DRIFT (r12 task #8): a
+    standing doc's persisted sketch was drawn at index time (bottom-k
+    of ALL its shingles — df-independent by design), but the
+    standing-as-inner probe filters the BATCH side with the current
+    stop set, so sketch hashes whose shingles crossed max_df since
+    indexing can no longer match. This loses nothing vs the one-shot
+    contract: containment_pairs_indexed(sketch_df_filter=False)
+    df-caps its POSTING lists with the same as-of-day counts, so the
+    very same sketch hashes are dead there too — incremental recall ==
+    one-shot recall exactly, not merely bounded (pinned on a planted
+    late-superset corpus in tests/test_containment_index.py
+    test_late_superset_recall_under_stop_drift: zero misses at k=8,
+    c=1.0 with half the sketch stopped). The effective bound is the
+    hypergeometric one at k' = k − (#sketch hashes currently
+    stopped): k'=8→0 misses at c>=0.925/s=80, k'=4→9.5e-6, k'=0 (a
+    pure-boilerplate inner) → deterministically missed by BOTH paths,
+    the documented max_df degeneracy.
+
     ``exclude_batch_id`` likewise masks this batch's own partitions in
     the df/stop state. New doc_ids must not collide with indexed ones
-    (the day-2 id discipline)."""
-    new_sh = hashed_shingles(new_docs, n).localCheckpoint()
+    (the day-2 id discipline). ``shingles``: an already-materialized
+    ``hashed_shingles(new_docs, n)`` frame (the day-2 sharing
+    contract — the batch is shingled once per day, not once per
+    consumer)."""
+    new_sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(new_docs, n).localCheckpoint()
+    )
     new_ids = new_docs.select("doc_id").distinct()
     postings = postings.join(F.broadcast(new_ids), "doc_id", "left_anti")
     bk = _bottom_k(new_sh, k)

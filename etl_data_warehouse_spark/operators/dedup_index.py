@@ -138,6 +138,8 @@ def append_to_index(
     table_prefix: str | None = None,
     skip_indexed: bool = True,
     arrow: bool = False,
+    shingles: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> None:
     """Make a deduped batch part of the corpus: append its rows to both
     index tables. Append-only (no rewrite of existing index files);
@@ -150,7 +152,15 @@ def append_to_index(
     Jaccard). The probe reads only the shingle table's doc_id column
     (column-pruned scan; bucketed-on-doc_id when the index is bucketed).
     Pass skip_indexed=False only when doc_ids are guaranteed fresh and
-    the probe scan is worth skipping."""
+    the probe scan is worth skipping.
+
+    ``shingles`` / ``bands_df``: already-materialized
+    ``hashed_shingles(new_docs, n)`` / ``band_table(shingles, ...)``
+    frames (same parameters), so a caller that has ALREADY shingled
+    and signed the batch (day-2's incremental_dedup probe, or its
+    containment-arm sibling append) feeds both uses one computation.
+    The skip_indexed anti-join is applied to them here — pass the full
+    batch's frames, not pre-filtered ones."""
     spark = new_docs.sparkSession
     if skip_indexed:
         indexed = (
@@ -162,8 +172,20 @@ def append_to_index(
             .distinct()
         )
         new_docs = new_docs.join(indexed, "doc_id", "left_anti")
-    sh = hashed_shingles(new_docs, n).localCheckpoint()
-    bt = band_table(sh, num_hashes, bands, arrow=arrow)
+        if shingles is not None:
+            shingles = shingles.join(indexed, "doc_id", "left_anti")
+        if bands_df is not None:
+            bands_df = bands_df.join(indexed, "doc_id", "left_anti")
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(new_docs, n).localCheckpoint()
+    )
+    bt = (
+        bands_df
+        if bands_df is not None
+        else band_table(sh, num_hashes, bands, arrow=arrow)
+    )
     # Write order matters for crash safety: bands FIRST, shingles last.
     # Both the skip_indexed guard above and the streaming replay guard
     # (streaming/neardup_stream.py) probe the SHINGLE table, so a doc
@@ -200,16 +222,31 @@ def incremental_dedup(
     bands_table: str | None = None,
     shingles_table: str | None = None,
     arrow: bool = False,
+    shingles: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, exact-Jaccard verified)
     between the new batch and the indexed corpus, PLUS within the batch
     itself — i.e. every pair minhash_lsh_pairs would emit on the full
     corpus that involves a new document. New doc_ids must not collide
-    with indexed ones (enforce upstream; they identify documents)."""
-    new_sh = hashed_shingles(new_docs, n).localCheckpoint()
-    new_bands = band_table(
-        new_sh, num_hashes, bands, arrow=arrow
-    ).localCheckpoint()
+    with indexed ones (enforce upstream; they identify documents).
+
+    ``shingles`` / ``bands_df``: already-materialized
+    ``hashed_shingles(new_docs, n)`` / ``band_table(shingles, ...)``
+    frames (same parameters). The day-2 pipeline computes each ONCE
+    and feeds both this probe and the later index append — otherwise
+    the batch is shingled and signed twice per day."""
+    new_sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(new_docs, n).localCheckpoint()
+    )
+    new_bands = (
+        bands_df
+        if bands_df is not None
+        else band_table(new_sh, num_hashes, bands, arrow=arrow)
+        .localCheckpoint()
+    )
     idx_bands = _read_bands(spark, index_dir, bands_table)
 
     # candidates: new × (index ∪ new); the index side never re-banded.

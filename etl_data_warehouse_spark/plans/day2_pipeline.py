@@ -47,6 +47,18 @@ composition test pins the whole chain):
   re-decide every shipped doc under the current mapping and repack
   into a fresh epoch directory, pinned equal to the one-shot
   rebuild's keeps in TestShardCompaction).
+- Containment (the optional third arm) is ORIENTATION-AWARE: its
+  pairs are directional (inner contained in outer), so they never
+  enter the cluster mapping — the keep rule is q163's keep-longest
+  (operators/dedup.keep_longest_drops): the inner side drops, the
+  superset survives, mutual containment falls back to min-id. A batch
+  doc named as inner drops before shipping; a STANDING doc named as
+  inner (its superset arrived later) is dethroned — already shipped,
+  never retracted in place — and its (doc_id, container) row persists
+  under containment_drops/batch=N for compaction
+  (sources/shards.compact_training_shards's containment_drops_path)
+  to re-decide, the same dethrone-to-compaction remedy the cluster
+  arm uses.
 - The INDEXES (and the raw-vector state) absorb ALL clean survivors,
   kept or not — both incremental dedup contracts condition on
   "earlier member", not "earlier KEPT member" (that is what makes
@@ -68,6 +80,8 @@ State layout under ``state_dir``::
     minhash_index/      bands/ + shingles/ (dedup_index)
     ann_index/          centroids/codebooks/packed/assigned (ann_index)
     clusters/           versioned snapshots + _CURRENT pointer
+    containment_drops/  batch=N oriented (doc_id, container) drop rows
+                        (containment arm only; compaction input)
     shards/             batch=N/shard=M packed training chunks
 
 100 TB posture: per day the chain runs a constant number of
@@ -309,6 +323,12 @@ def run_day2_ingest(
     # joins; pre-r11 state dirs carry no key and stay plain parquet.
     mh_buckets = int(cfg.get("minhash_buckets", 0)) or None
     mh_prefix = _minhash_table_prefix(state_dir) if mh_buckets else None
+    # The batch's hashed shingles and band rows are computed ONCE here
+    # and fed to every consumer — the MinHash probe, the containment
+    # probe, and both index appends (r12 task #3/#6: each used to
+    # re-shingle and re-sign the batch independently).
+    sh_batch = None
+    bt_batch = None
     if bootstrap:
         pairs = dedup.minhash_lsh_pairs(
             survivors, threshold=cfg["jaccard_threshold"], **mh_kw
@@ -318,6 +338,12 @@ def run_day2_ingest(
             register_minhash_tables(
                 spark, minhash_dir, mh_prefix, mh_buckets
             )
+        sh_batch = dedup.hashed_shingles(
+            survivors, cfg["shingle_n"]
+        ).localCheckpoint()
+        bt_batch = dedup.band_table(
+            sh_batch, cfg["num_hashes"], cfg["bands"], arrow=minhash_arrow
+        ).localCheckpoint()
         pairs = incremental_dedup(
             spark,
             survivors,
@@ -326,6 +352,8 @@ def run_day2_ingest(
             bands_table=f"{mh_prefix}_bands" if mh_prefix else None,
             shingles_table=f"{mh_prefix}_shingles" if mh_prefix else None,
             arrow=minhash_arrow,
+            shingles=sh_batch,
+            bands_df=bt_batch,
             **mh_kw,
         )
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
@@ -417,17 +445,37 @@ def run_day2_ingest(
                 ),
                 df_table=f"{mh_prefix}_ctdf" if mh_prefix else None,
                 exclude_batch_id=batch_id,
+                shingles=sh_batch,
                 **ct_kw,
             )
-        ct_edges = (
-            cpairs.select(
-                F.least("doc_inner", "doc_outer").alias("doc_a"),
-                F.greatest("doc_inner", "doc_outer").alias("doc_b"),
-            )
+        # Orientation-aware keep verdicts (q163's keep-longest rule,
+        # r12 verdict task #2): containment pairs are DIRECTIONAL —
+        # the inner (contained) side drops, the superset survives,
+        # mutual containment falls back to min-id — so they are NOT
+        # equivalence edges and never enter the Jaccard/semantic
+        # cluster mapping (symmetrizing them fed the cluster-min rule,
+        # which kept the SNIPPET whenever it had the smaller id — the
+        # exact inverse of the correct containment verdict).
+        ct_drops = (
+            dedup.keep_longest_drops(cpairs)
+            .select("doc_id", "container")
             .localCheckpoint()
         )
-        edges = edges.unionByName(ct_edges)
+        # Persist the oriented drops per batch (overwrite-by-batch,
+        # replay-idempotent like every other state append). Batch docs
+        # named here drop TODAY (below); STANDING docs named here are
+        # DETHRONED — they already shipped, the immutable sink never
+        # retracts, and compaction (compact_training_shards with
+        # containment_drops_path) re-decides them, exactly the
+        # dethrone-to-compaction remedy the cluster arm uses.
+        ct_drops.write.mode("overwrite").parquet(
+            os.path.join(
+                state_dir, "containment_drops", f"batch={batch_id}"
+            )
+        )
         t = _mark("containment_pairs", t)
+    else:
+        ct_drops = None
 
     edges = edges.distinct()
     n_edges = edges.count()
@@ -444,6 +492,7 @@ def run_day2_ingest(
     # The mapping is corpus-dup-sized; restrict it to THIS batch's docs
     # first (semi-join on the batch — O(batch) rows survive) so the
     # anti-join side is batch-bounded and broadcastable.
+    dropped = None
     if mapping is not None:
         dropped = (
             mapping.join(
@@ -452,6 +501,20 @@ def run_day2_ingest(
             .filter(F.col("component") != F.col("doc_id"))
             .select("doc_id")
         )
+    n_ct_dropped = 0
+    if ct_drops is not None:
+        # batch docs that are the INNER of a containment pair drop now
+        # (q163's rule); standing docs in ct_drops wait for compaction
+        ct_batch = ct_drops.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id")
+        n_ct_dropped = ct_batch.count()
+        dropped = (
+            ct_batch
+            if dropped is None
+            else dropped.unionByName(ct_batch).distinct()
+        )
+    if dropped is not None:
         kept = survivors.join(F.broadcast(dropped), "doc_id", "left_anti")
     else:
         kept = survivors
@@ -481,10 +544,13 @@ def run_day2_ingest(
                 buckets=mh_buckets, table_prefix=mh_prefix,
             )
     else:
+        # both appends consume the probe stage's sh_batch/bt_batch —
+        # zero re-shingling, zero re-signing (r12 task #3)
         append_to_index(
             survivors, minhash_dir,
             buckets=mh_buckets, table_prefix=mh_prefix,
-            arrow=minhash_arrow, **mh_kw,
+            arrow=minhash_arrow, shingles=sh_batch, bands_df=bt_batch,
+            **mh_kw,
         )
         if cfg.get("containment"):
             from ..operators.containment_index import (
@@ -496,6 +562,7 @@ def run_day2_ingest(
                 n=cfg["shingle_n"], k=cfg["containment_k"],
                 max_df=cfg["containment_max_df"],
                 buckets=mh_buckets, table_prefix=mh_prefix,
+                shingles=sh_batch,
             )
         append_to_ivf_index(
             batch_vecs, ann_dir, batch_id=batch_id,
@@ -523,6 +590,7 @@ def run_day2_ingest(
         "curation_dropped": n_ingested - n_curated,
         "clean_survivors": n_survivors,
         "near_dup_edges": n_edges,
+        "containment_dropped": n_ct_dropped,
         "kept_docs": n_kept,
         "stage_sec": stage_sec,
         "status": "SUCCESS",

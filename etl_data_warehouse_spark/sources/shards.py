@@ -282,6 +282,7 @@ def compact_training_shards(
     budget: int = 512,
     salt: str = "shard",
     key: str = "doc_id",
+    containment_drops_path: str | None = None,
 ) -> dict:
     """The OFFLINE remedy for the day-2 pipeline's declared over-keep
     divergence (plans/day2_pipeline.py: keep verdicts are as-of-day,
@@ -293,6 +294,16 @@ def compact_training_shards(
         kept = shipped docs whose component (if any) == their own id
         out_path/batch=0 = write_training_shards(kept)  (one batch;
             later days append batch=1.. on top as usual)
+
+    ``containment_drops_path`` (the pipeline's containment_drops/
+    state dir) extends the re-decision to the ORIENTED containment
+    verdicts: every shipped doc named as the inner side of a
+    containment pair on any day — including a day-1 snippet whose
+    superset arrived day 2 AFTER the snippet shipped (the dethroned
+    case the cluster mapping cannot express, because containment
+    drops are directional, not cluster-min) — is retracted here. Pass
+    None (default) when the pipeline ran without the containment arm;
+    a missing/empty directory is treated as "no containment drops".
 
     After compaction the shard contents equal what a ONE-SHOT rebuild
     over the cumulative corpus would keep (pytest-pinned in
@@ -334,6 +345,7 @@ def compact_training_shards(
         )
     )
     mapping = read_clusters(spark, clusters_path)
+    dropped = None
     if mapping is not None:
         dropped = (
             mapping.join(
@@ -344,6 +356,17 @@ def compact_training_shards(
             .filter(F.col("component") != F.col("doc_id"))
             .select(F.col("doc_id").alias(key))
         )
+    if containment_drops_path is not None and os.path.isdir(
+        containment_drops_path
+    ):
+        ct = (
+            spark.read.option("basePath", containment_drops_path)
+            .parquet(containment_drops_path)
+            .select(F.col("doc_id").alias(key))
+            .distinct()
+        )
+        dropped = ct if dropped is None else dropped.unionByName(ct)
+    if dropped is not None:
         kept = shipped.join(F.broadcast(dropped), key, "left_anti")
     else:
         kept = shipped

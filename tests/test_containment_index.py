@@ -147,6 +147,29 @@ class TestContainmentIndex:
             _oneshot_restricted(corpus, batch_ids)
         )
 
+    def test_append_with_shared_shingles_identical(self, spark, tmp_path):
+        # day-2's fused index_appends (r12 task #3): passing a
+        # precomputed hashed_shingles frame must leave every state
+        # table bit-identical to the compute-own path
+        idx_a, days, _ = self._run_days(spark, tmp_path)
+        idx_b = str(tmp_path / "ct_idx_shared")
+        build_containment_index(days[1], idx_b, k=K, max_df=MAX_DF)
+        for day in (2, 3):
+            append_to_containment_index(
+                days[day], idx_b, batch_id=day, k=K, max_df=MAX_DF,
+                shingles=hashed_shingles(
+                    days[day], 3
+                ).localCheckpoint(),
+            )
+        for t in ("sketches", "df", "stop_shingles"):
+            assert _rows(
+                spark.read.option("basePath", f"{idx_a}/{t}")
+                .parquet(f"{idx_a}/{t}")
+            ) == _rows(
+                spark.read.option("basePath", f"{idx_b}/{t}")
+                .parquet(f"{idx_b}/{t}")
+            )
+
     def test_stop_crossing_recorded_once(self, spark, tmp_path):
         idx, days, corpus = self._run_days(spark, tmp_path)
         stops = (
@@ -168,3 +191,75 @@ class TestContainmentIndex:
             .count()
         )
         assert dup == 0
+
+    def test_late_superset_recall_under_stop_drift(self, spark, tmp_path):
+        """Cross-orientation recall calibration (r12 task #8): a
+        standing doc's sketch is drawn at INDEX time (bottom-k of ALL
+        its shingles, df-independent), but the standing-as-inner probe
+        filters the batch postings with the CURRENT stop set — sketch
+        hashes that became stops since indexing can no longer match.
+        Plant day-1 inners whose boilerplate shingles cross max_df on
+        day 2, then land their SUPERSETS on day 3: every planted pair
+        must still be found (the inners keep >= 3 non-stop sketch
+        hashes; zero misses at k=8, c = 1.0 >= 0.9), and the one
+        degenerate inner (pure boilerplate — its entire sketch became
+        stops) must be missed by BOTH the incremental probe and its
+        one-shot contract twin, identically."""
+        idx = str(tmp_path / "ct_idx_drift")
+        # day 1: 25 normal docs (unique triple + boiler) + one PURE
+        # boilerplate doc (id 1900) — its 4 shingles are exactly the
+        # ones that will cross MAX_DF on day 2
+        d1 = _day(spark, 1).unionByName(
+            spark.createDataFrame(
+                [(1900, BOILER)], "doc_id long, text string"
+            )
+        ).localCheckpoint()
+        d2 = _day(spark, 2)  # pushes boiler df 26 -> 51 > MAX_DF
+        # day 3: supersets of day-1 inners 0..9 (full text embedded,
+        # extra unique words around it) + a superset of the pure-
+        # boilerplate doc
+        sup_rows = []
+        for i in range(10):
+            inner = 1000 + i
+            sup_rows.append(
+                (
+                    3000 + i,
+                    f"x{3000 + i}p x{3000 + i}q u{inner}a u{inner}b "
+                    f"u{inner}c {BOILER} x{3000 + i}r x{3000 + i}s",
+                )
+            )
+        sup_rows.append((3900, f"y3900a y3900b {BOILER} y3900c y3900d"))
+        d3 = spark.createDataFrame(
+            sup_rows, "doc_id long, text string"
+        ).localCheckpoint()
+
+        build_containment_index(d1, idx, k=K, max_df=MAX_DF)
+        corpus = d1
+        for day, batch in ((2, d2), (3, d3)):
+            inc = incremental_containment(
+                spark, batch, hashed_shingles(corpus, 3), idx,
+                threshold=TH, k=K, max_df=MAX_DF, exclude_batch_id=day,
+            )
+            corpus = corpus.unionByName(batch).localCheckpoint()
+            batch_ids = [r["doc_id"] for r in batch.collect()]
+            got = _rows(inc)
+            assert got == _rows(_oneshot_restricted(corpus, batch_ids))
+            if day == 3:
+                found = {
+                    (r[0], r[1]): r for r in got
+                }  # (inner, outer) -> row
+                # zero misses: all 10 planted (standing inner, late
+                # superset) pairs surface despite the stop drift, with
+                # exact containment 1.0
+                for i in range(10):
+                    row = found.get((1000 + i, 3000 + i))
+                    assert row is not None, f"missed inner {1000 + i}"
+                    assert row[-1] == 1.0
+                # the degenerate pure-boilerplate inner is missed by
+                # both paths identically (its whole sketch is stops —
+                # the documented max_df caveat), already pinned by the
+                # inc == one-shot equality above; make it explicit:
+                assert (1900, 3900) not in found
+            append_to_containment_index(
+                batch, idx, batch_id=day, k=K, max_df=MAX_DF
+            )

@@ -302,7 +302,10 @@ class TestDay2Pipeline:
         assert 10 in shipped  # the parent (day 1) ships
         assert 110 not in shipped  # the snippet is subset-duplication
 
-        # two-day keeps == full-rebuild twin with containment edges
+        # two-day keeps == full-rebuild twin: cluster-min over the
+        # Jaccard/semantic edges PLUS q163's orientation-aware
+        # keep-longest drops from the containment pairs (directional —
+        # they never enter the cluster mapping)
         curated, survivors, _, _ = _full_rebuild(spark, docs, vecs, state)
         cpairs = dedup.containment_pairs_indexed(
             survivors,
@@ -312,6 +315,10 @@ class TestDay2Pipeline:
             n=CFG["shingle_n"],
             sketch_df_filter=False,
         )
+        ct_dropped = {
+            r["doc_id"]
+            for r in dedup.keep_longest_drops(cpairs).collect()
+        }
         base_pairs = dedup.minhash_lsh_pairs(
             survivors,
             num_hashes=CFG["num_hashes"],
@@ -330,21 +337,12 @@ class TestDay2Pipeline:
         sem = similarity.semantic_dedup(
             sv, threshold=CFG["cosine_threshold"], centroids=cents
         )
-        edges = (
-            base_pairs.unionByName(
-                sem.filter(~F.col("kept")).select(
-                    F.col("dup_of").alias("doc_a"),
-                    F.col("vec_id").alias("doc_b"),
-                )
+        edges = base_pairs.unionByName(
+            sem.filter(~F.col("kept")).select(
+                F.col("dup_of").alias("doc_a"),
+                F.col("vec_id").alias("doc_b"),
             )
-            .unionByName(
-                cpairs.select(
-                    F.least("doc_inner", "doc_outer").alias("doc_a"),
-                    F.greatest("doc_inner", "doc_outer").alias("doc_b"),
-                )
-            )
-            .distinct()
-        )
+        ).distinct()
         mapping = connected_components(
             edges.select(
                 F.col("doc_a").cast("long").alias("src"),
@@ -356,23 +354,131 @@ class TestDay2Pipeline:
             for r in mapping.filter(
                 F.col("component") != F.col("doc_id")
             ).collect()
-        }
+        } | ct_dropped
         rebuild_kept = {
             r["doc_id"] for r in survivors.collect()
         } - dropped
         # as-of-day contract (the immutable-sink asymmetry, same as the
         # base chain): day-2 keeps bit-exact vs the one-shot rebuild;
         # vs the rebuild the pipeline only ever OVER-keeps, and every
-        # extra is a day-1 keeper dethroned by a day-2 merge
+        # extra is a day-1 keeper dethroned later — by a day-2 cluster
+        # merge or by a day-2 superset naming it as containment inner
         assert shipped >= rebuild_kept
         assert {d for d in shipped if d >= DAY_SPLIT} == {
             d for d in rebuild_kept if d >= DAY_SPLIT
         }
         comp = {r["doc_id"]: r["component"] for r in mapping.collect()}
         assert all(
-            d < DAY_SPLIT and comp.get(d, d) != d
+            d < DAY_SPLIT and (comp.get(d, d) != d or d in ct_dropped)
             for d in shipped - rebuild_kept
         )
+
+    def test_snippet_then_superset_keeps_superset(self, spark, tmp_path):
+        """The orientation case the symmetrized (pre-r13) arm got
+        BACKWARDS: a day-1 snippet whose SUPERSET arrives day 2. The
+        cluster-min rule would keep the snippet (older, smaller id) and
+        drop the superset; q163's keep-longest rule keeps the superset,
+        records the snippet's dethroning in containment_drops, and
+        compaction retracts it — so the post-compaction corpus equals
+        containment_keep_longest over the cumulative survivors,
+        bit-for-bit (kept flags AND justifying containers)."""
+        from etl_data_warehouse_spark.sources.shards import (
+            compact_training_shards,
+        )
+
+        # bespoke corpus: no planted Jaccard near-dups (dup_rate=0), one
+        # cluster per vector (no semantic pairs at 0.95), uncapped
+        # domains — the ONLY dedup signal is the planted containment
+        docs = generate_documents(
+            spark, N, n_words=40, dup_rate=0.0
+        ).withColumn(
+            "source",
+            F.when(
+                F.col("doc_id") < DAY_SPLIT, "day1src"
+            ).otherwise("day2src"),
+        )
+        # day-1 doc 15 := 22-token prefix snippet of day-2 doc 110
+        snip_src = docs.filter(F.col("doc_id") == 110).select(
+            F.lit(15).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), " +"), 1, 22), " "
+            ).alias("snip_text"),
+        )
+        docs = (
+            docs.join(F.broadcast(snip_src), "doc_id", "left")
+            .withColumn("text", F.coalesce("snip_text", "text"))
+            .drop("snip_text")
+            .localCheckpoint()
+        )
+        vecs = generate_clustered_embeddings(
+            spark, N, dim=16, n_clusters=N, noise=0.001
+        ).select("vec_id", "embedding").localCheckpoint()
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "sts_state")
+        cfg = dict(CFG, domain_cap=10**6, containment=True)
+        r1 = run_day2_ingest(d1, v1, state, batch_id=1, **cfg)
+        r2 = run_day2_ingest(d2, v2, state, batch_id=2, **cfg)
+
+        shard_dir = os.path.join(state, "shards")
+        shipped = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", shard_dir)
+            .parquet(shard_dir)
+            .select("doc_id")
+            .collect()
+        }
+        # day 1: the snippet ships (no superset exists yet); day 2: the
+        # superset ships — the OPPOSITE of what cluster-min would do
+        assert 15 in shipped and 110 in shipped
+        assert r2["containment_dropped"] == 0  # no day-2 doc is inner
+
+        # the dethroning is recorded: snippet 15 named as inner with
+        # its justifying container
+        ct_dir = os.path.join(state, "containment_drops")
+        drops = {
+            r["doc_id"]: r["container"]
+            for r in spark.read.option("basePath", ct_dir)
+            .parquet(ct_dir)
+            .groupBy("doc_id")
+            .agg(F.min("container").alias("container"))
+            .collect()
+        }
+        assert 15 in drops
+
+        # post-compaction corpus == q163's keep-longest over the
+        # cumulative clean survivors, bit-for-bit (kept + container)
+        sink = spark.read.parquet(os.path.join(state, "clean_documents"))
+        exact = {
+            r["doc_id"]: (r["kept"], r["container"])
+            for r in dedup.containment_keep_longest(
+                sink.select("doc_id", "text"),
+                threshold=0.9,  # the pipeline's pinned default
+                n=CFG["shingle_n"],
+            ).collect()
+        }
+        assert exact[15] == (False, 110) and exact[110][0]
+        assert drops == {
+            d: c for d, (k, c) in exact.items() if not k
+        }
+        out = str(tmp_path / "sts_epoch")
+        stats = compact_training_shards(
+            spark,
+            shard_dir,
+            os.path.join(state, "clusters"),
+            out,
+            n_shards=CFG["n_shards"],
+            budget=CFG["pack_budget"],
+            containment_drops_path=ct_dir,
+        )
+        final = {
+            r["doc_id"]
+            for r in spark.read.option("basePath", out)
+            .parquet(out)
+            .select("doc_id")
+            .collect()
+        }
+        assert final == {d for d, (k, _) in exact.items() if k}
+        assert stats["retracted_docs"] == len(shipped) - len(final)
 
     def test_bucketed_index_survives_session_turnover(self, spark, tmp_path):
         # The bucketed MinHash tables (minhash_buckets default) are

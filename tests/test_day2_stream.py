@@ -165,3 +165,96 @@ class TestDay2Stream:
             max_files=1, **CFG,
         ).awaitTermination(300)
         assert _state_snapshot(spark, s_state) == got
+
+    def test_containment_arm_stream_equals_batch(self, spark, tmp_path):
+        """Stream parity WITH the containment arm on (r12 task #4):
+        drained stream == hand-driven batch bit-for-bit across the base
+        state tables AND the containment state (sketches/df/stops,
+        oriented containment_drops) — including the dethrone path: a
+        day-1 snippet whose superset arrives in day 2's file. Bespoke
+        corpus (no planted near-dups, per-vector clusters, uncapped
+        domains) so the planted containment pair deterministically
+        reaches the arm — the test_day2_pipeline snippet-then-superset
+        construction."""
+        docs = generate_documents(
+            spark, N, n_words=40, dup_rate=0.0
+        ).withColumn(
+            "source",
+            F.when(
+                F.col("doc_id") < DAY_SPLIT, "day1src"
+            ).otherwise("day2src"),
+        )
+        vecs = generate_clustered_embeddings(
+            spark, N, dim=16, n_clusters=N, noise=0.001
+        ).select("vec_id", "embedding").localCheckpoint()
+        snip_src = docs.filter(F.col("doc_id") == 110).select(
+            F.lit(15).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), " +"), 1, 22), " "
+            ).alias("snip_text"),
+        )
+        docs = (
+            docs.join(F.broadcast(snip_src), "doc_id", "left")
+            .withColumn("text", F.coalesce("snip_text", "text"))
+            .drop("snip_text")
+            .localCheckpoint()
+        )
+        cfg = dict(CFG, domain_cap=10**6, containment=True)
+        input_dir = str(tmp_path / "ct_drop")
+        os.makedirs(input_dir)
+        vectors_dir = str(tmp_path / "ct_vectors")
+        vecs.write.parquet(vectors_dir)
+        s_state = str(tmp_path / "ct_s_state")
+        ckpt = str(tmp_path / "ct_ckpt")
+
+        for name, mtime, flt in (
+            ("day1.parquet", 1_000_000_000, F.col("doc_id") < DAY_SPLIT),
+            ("day2.parquet", 1_000_000_060, F.col("doc_id") >= DAY_SPLIT),
+        ):
+            _write_day_file(docs.filter(flt), input_dir, name, mtime)
+            start_day2_stream(
+                spark, input_dir, vectors_dir, s_state, ckpt,
+                max_files=1, **cfg,
+            ).awaitTermination(300)
+
+        b_state = str(tmp_path / "ct_b_state")
+        audits = []
+        for bid, flt in (
+            (1, F.col("doc_id") < DAY_SPLIT),
+            (2, F.col("doc_id") >= DAY_SPLIT),
+        ):
+            d = docs.filter(flt)
+            v = vecs.join(
+                d.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            audits.append(run_day2_ingest(d, v, b_state, batch_id=bid, **cfg))
+
+        # the planted dethrone actually ran: snippet 15 is named as a
+        # containment drop (superset 110 arrived after it shipped)
+        ct_dir = os.path.join(b_state, "containment_drops")
+        assert 15 in {
+            r["doc_id"]
+            for r in spark.read.option("basePath", ct_dir)
+            .parquet(ct_dir)
+            .collect()
+        }
+
+        got = _state_snapshot(spark, s_state)
+        want = _state_snapshot(spark, b_state)
+        for t in got:
+            assert got[t] == want[t], f"state table {t} diverged"
+        for sub in (
+            ("minhash_index", "bands"),
+            ("minhash_index", "shingles"),
+            ("containment_index", "sketches"),
+            ("containment_index", "df"),
+            ("containment_index", "stop_shingles"),
+            ("containment_drops",),
+        ):
+            assert _tree_rows(
+                spark, os.path.join(s_state, *sub)
+            ) == _tree_rows(
+                spark, os.path.join(b_state, *sub)
+            ), f"containment state {sub} diverged"

@@ -205,6 +205,42 @@ class TestBucketedIndex:
         ), plan
         assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
 
+    def test_append_with_shared_shingles_identical(
+        self, spark, sf_dir, tmp_path
+    ):
+        # day-2's fused index_appends (r12 task #3): append_to_index
+        # fed a precomputed hashed_shingles frame must leave both index
+        # tables bit-identical to the compute-own path
+        from etl_data_warehouse_spark.operators.dedup import (
+            hashed_shingles,
+        )
+        from etl_data_warehouse_spark.operators.dedup_index import (
+            append_to_index,
+            build_minhash_index,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        idx_a = str(tmp_path / "own")
+        idx_b = str(tmp_path / "shared")
+        for idx in (idx_a, idx_b):
+            build_minhash_index(corpus, idx)
+        append_to_index(batch, idx_a)
+        append_to_index(
+            batch,
+            idx_b,
+            shingles=hashed_shingles(batch, 3).localCheckpoint(),
+        )
+        for t in ("bands", "shingles"):
+            assert sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{idx_a}/{t}").collect()
+            ) == sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{idx_b}/{t}").collect()
+            )
+
     def test_register_refuses_plain_parquet_dir(
         self, spark, sf_dir, tmp_path
     ):
