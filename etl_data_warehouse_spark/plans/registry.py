@@ -79,14 +79,16 @@ ORACLES.update(web_curation.ORACLES)
 # number) — the literal below IS that tool's output, pinned by
 # tests/test_window_plan.py against artifacts <= _WINDOW_PLANNED_FROM
 # (so the driver's post-close artifact can never redden the pin).
-# Round 13 leads with the 12 r9-stale entries (q104-q108, q110-q113,
-# q148-q150), then the 38 oldest r10 entries. Entries outside the
+# Round 13 leads with q164 (new, never checked) and the 12 r9-stale
+# entries (q104-q108, q110-q113, q148-q150), then the 37 oldest r10
+# entries. Entries outside the
 # window remain proven every
 # round by tests/test_oracle_parity.py's full-registry sf0.001 sweep;
 # only driver-row freshness rotates. After adding a new query, re-run
 # `python tools/window_plan.py --block` and paste the result here.
 _WINDOW_PLANNED_FROM = 12
 _WINDOW_FIRST = [
+    "q164_containment_keep_longest_indexed",  # last green: never checked
     "q104_lm_perplexity",  # last green: r9
     "q105_doc_chunking",  # last green: r9
     "q106_entity_pagerank",  # last green: r9
@@ -136,7 +138,6 @@ _WINDOW_FIRST = [
     "q109_int8_quantize",  # last green: r10
     "q114_epoch_upsample",  # last green: r10
     "q115_negative_sampling",  # last green: r10
-    "q116_budget_trim",  # last green: r10
 ]
 _rotated = {k: QUERIES[k] for k in _WINDOW_FIRST if k in QUERIES}
 for _k, _v in QUERIES.items():
