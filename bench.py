@@ -125,7 +125,12 @@ BENCH_QUERIES = [
     # fact-x-dims join shape is covered by q63/q69/q71 and the driver's
     # stdout budget caps the JSON line at 2KB.
     "q157_whitened_semantic_dedup",
-    "q158_containment_dedup",
+    # round 13: q164 takes q158's slot — same indexed containment pair
+    # stage PLUS the per-document keep-longest verdict join (the full
+    # corpus-level operation a real pipeline runs; its registered form
+    # IS the scale path, so no override). Compare r12's q158 row to
+    # q164 minus the verdict join when trending.
+    "q164_containment_keep_longest_indexed",
 ]
 
 

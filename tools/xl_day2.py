@@ -148,6 +148,7 @@ def main() -> int:
         "day2_stage_sec": a2["stage_sec"],
         "day2_clean_survivors": a2["clean_survivors"],
         "day2_near_dup_edges": a2["near_dup_edges"],
+        "day2_containment_dropped": a2.get("containment_dropped", 0),
         "day2_kept_docs": a2["kept_docs"],
     }
     key = "day2_pipeline_containment" if containment else "day2_pipeline"

@@ -52,11 +52,17 @@ def _write_day_file(df, input_dir: str, name: str, mtime: int) -> None:
 def main() -> int:
     n = 1_000_000
     n_batch = 100_000
+    containment = False
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=", 1)[1])
         if a.startswith("--n-batch="):
             n_batch = int(a.split("=", 1)[1])
+        if a == "--containment":
+            # third dedup arm ON through the stream: records under its
+            # own BENCH_XL key (day2_stream_containment) so the base
+            # stream row stays round-comparable — xl_day2's discipline
+            containment = True
 
     spark = get_spark("xl-day2-stream")
     spark.sparkContext.setLogLevel("ERROR")
@@ -76,6 +82,8 @@ def main() -> int:
         n_shards=64,
         pack_budget=2048,
     )
+    if containment:
+        cfg["containment"] = True  # k=8 / max_df=1000 defaults
 
     # hook the per-batch audits out of the foreachBatch closure so the
     # streamed day's stage_sec is recorded next to the batch twin's
@@ -134,9 +142,11 @@ def main() -> int:
         "day2_stage_sec": a2["stage_sec"],
         "day2_clean_survivors": a2["clean_survivors"],
         "day2_near_dup_edges": a2["near_dup_edges"],
+        "day2_containment_dropped": a2.get("containment_dropped", 0),
         "day2_kept_docs": a2["kept_docs"],
     }
-    _merge_bench_xl("/root/repo", {"day2_stream": row})
+    key = "day2_stream_containment" if containment else "day2_stream"
+    _merge_bench_xl("/root/repo", {key: row})
     print(json.dumps(row))
     shutil.rmtree(base, ignore_errors=True)
     return 0
