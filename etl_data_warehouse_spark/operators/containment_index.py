@@ -274,11 +274,22 @@ def append_to_containment_index(
             .select("doc_id")
             .distinct()
         )
-        new_docs = new_docs.join(indexed, "doc_id", "left_anti")
-        if not new_docs.take(1):
+        # one index-sized distinct probe → batch-sized fresh-id set →
+        # broadcast semi-joins (the append_to_index discipline: the
+        # probe agg must not re-run once per filtered frame)
+        fresh = (
+            new_docs.select("doc_id")
+            .distinct()
+            .join(indexed, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        if not fresh.take(1):
             return
+        new_docs = new_docs.join(F.broadcast(fresh), "doc_id", "left_semi")
         if shingles is not None:
-            shingles = shingles.join(indexed, "doc_id", "left_anti")
+            shingles = shingles.join(
+                F.broadcast(fresh), "doc_id", "left_semi"
+            )
     sh = (
         shingles
         if shingles is not None

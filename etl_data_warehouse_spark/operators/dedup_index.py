@@ -171,11 +171,27 @@ def append_to_index(
             .select("doc_id")
             .distinct()
         )
-        new_docs = new_docs.join(indexed, "doc_id", "left_anti")
+        # ONE corpus-sized distinct probe, reduced to the batch-sized
+        # fresh-id set and materialized; every frame is then filtered
+        # with a broadcast semi-join. Anti-joining each frame against
+        # `indexed` directly would re-run the corpus scan+agg once per
+        # frame — three times with shingles/bands_df passed (this
+        # tripled index_appends at 1M+100K before it was caught).
+        fresh = (
+            new_docs.select("doc_id")
+            .distinct()
+            .join(indexed, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        new_docs = new_docs.join(F.broadcast(fresh), "doc_id", "left_semi")
         if shingles is not None:
-            shingles = shingles.join(indexed, "doc_id", "left_anti")
+            shingles = shingles.join(
+                F.broadcast(fresh), "doc_id", "left_semi"
+            )
         if bands_df is not None:
-            bands_df = bands_df.join(indexed, "doc_id", "left_anti")
+            bands_df = bands_df.join(
+                F.broadcast(fresh), "doc_id", "left_semi"
+            )
     sh = (
         shingles
         if shingles is not None

@@ -41,8 +41,9 @@ checkpoint still owns — every sink re-decides that batch identically.
 It does NOT mean historical re-delivery: wiping the checkpoint
 re-delivers old days against ADVANCED state, and the as-of-day keep
 rule then re-decides them under the CURRENT cluster mapping — day-1
-keepers since dethroned by a day-2 merge get dropped from the
-rewritten batch=1 shards. (That rewrite actually equals the one-shot
+keepers since dethroned by a day-2 merge (or, with the containment
+arm on, named as the inner of a later superset's containment pair)
+get dropped from the rewritten batch=1 shards. (That rewrite actually equals the one-shot
 rebuild's keeps — the same repair shard compaction performs — but it
 mutates shipped shards as a side effect, which is exactly what the
 immutable-sink contract exists to forbid. Compact deliberately with

@@ -579,6 +579,42 @@ class TestDay2Pipeline:
             == before_map
         )
 
+    def test_day2_replay_idempotent_with_containment(
+        self, spark, tmp_path
+    ):
+        # replaying a day with the containment arm on must re-produce
+        # the oriented drop state bit-for-bit: the incremental probe
+        # masks the batch's own index rows (exclude_batch_id +
+        # anti-joins) and the containment_drops/batch=N overwrite
+        # rewrites identical content
+        docs, vecs = _corpus(spark)
+        snip_src = docs.filter(F.col("doc_id") == 10).select(
+            F.lit(110).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), " +"), 1, 22), " "
+            ).alias("snip_text"),
+        )
+        docs = (
+            docs.join(F.broadcast(snip_src), "doc_id", "left")
+            .withColumn("text", F.coalesce("snip_text", "text"))
+            .drop("snip_text")
+            .localCheckpoint()
+        )
+        d1, d2, v1, v2 = _split_days(docs, vecs)
+        state = str(tmp_path / "ct_replay_state")
+        cfg = dict(CFG, containment=True)
+        run_day2_ingest(d1, v1, state, batch_id=1, **cfg)
+        a2 = run_day2_ingest(d2, v2, state, batch_id=2, **cfg)
+        ct_dir = os.path.join(state, "containment_drops")
+        shards = os.path.join(state, "shards")
+        before_drops = _shard_rows(spark, ct_dir)
+        before_shards = _shard_rows(spark, shards)
+        r2 = run_day2_ingest(d2, v2, state, batch_id=2, **cfg)
+        assert r2["containment_dropped"] == a2["containment_dropped"]
+        assert r2["kept_docs"] == a2["kept_docs"]
+        assert _shard_rows(spark, ct_dir) == before_drops
+        assert _shard_rows(spark, shards) == before_shards
+
     def test_all_recrawl_day_is_a_safe_noop(self, spark, tmp_path):
         # day-3 re-delivers day-1's TEXT under fresh ids: every doc is
         # fingerprint-deduped away; the chain must commit an empty day
