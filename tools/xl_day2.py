@@ -120,8 +120,17 @@ def main() -> int:
         )
         boot_secs.append(round(time.time() - t0, 3))
         print(f"bootstrap day {day + 1}/{n_days}", boot_secs[-1])
+        # bench.py's _release_session_state discipline: Python gc FIRST
+        # (py4j proxies keep prior days' localCheckpoint RDDs alive
+        # through System.gc() otherwise), then the JVM GC — without it
+        # late bootstrap days and the day-under-test inherit the whole
+        # run's heap litter (xl3 r13: days 2-7 at 53-60s, day 10 at 91s)
+        import gc
+
         spark.catalog.clearCache()
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
 
     d2, v2 = _slice(spark, n, n + n_batch, para, n_days)
     t0 = time.time()

@@ -111,8 +111,15 @@ def main() -> int:
     q.awaitTermination()
     bootstrap_sec = round(time.time() - t0, 3)
     print(f"bootstrap drain ({n_days} day-files)", bootstrap_sec, flush=True)
+    # the xl_day2 inter-day cleanup discipline (Python gc first — py4j
+    # proxies otherwise pin the bootstrap drain's checkpoint blocks
+    # through System.gc())
+    import gc
+
     spark.catalog.clearCache()
+    gc.collect()
     spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
 
     d2, v2 = _slice(spark, n, n + n_batch, para, n_days)
     _write_day_file(d2, input_dir, "day_test.parquet", 2_000)
