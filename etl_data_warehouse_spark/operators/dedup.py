@@ -329,14 +329,30 @@ def _containment_candidates(
     """(doc_inner, doc_outer) containment candidates from a shared
     shingle table: bottom-k sketch of the inner side joined against
     df-capped posting lists. See containment_pairs_indexed for the
-    recall/cost argument and for what ``sketch_df_filter`` selects."""
+    recall/cost argument and for what ``sketch_df_filter`` selects.
+
+    The df cap is applied as a STOP-SHINGLE broadcast anti-join (the
+    incremental index's discipline, containment_index.py), not a
+    count-over-shingle window: the window needed a corpus-sized
+    Exchange on shingle plus a WindowExec sort, re-run once per
+    consumer branch, and left ``eligible`` hash-partitioned on shingle
+    so the bottom-k branch paid a SECOND corpus-sized Exchange back to
+    doc_id. The stop set (shingles with df > max_df — boilerplate by
+    construction) is tiny, computed once (localCheckpoint, the
+    one-probe rule), and the anti-join is map-side in every consumer,
+    so ``eligible`` keeps hashed_shingles' doc_id partitioning: the
+    bottom-k window runs Exchange-free and only the postings join
+    shuffles on shingle. r13: q164 5 Exchanges -> 4, 2 window sorts
+    over the corpus -> 1."""
     if max_df is not None:
-        wdf = Window.partitionBy("shingle")
-        eligible = (
-            sh.withColumn("_df", F.count("*").over(wdf))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        stops = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+            .localCheckpoint()
         )
+        eligible = sh.join(F.broadcast(stops), "shingle", "left_anti")
     else:
         eligible = sh
     w = Window.partitionBy("doc_id").orderBy("shingle")
@@ -770,6 +786,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = JACCARD_THRESHOLD,
     n: int = 3,
+    arrow: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
@@ -785,8 +802,11 @@ def minhash_lsh_pairs(
     # and the verify join (otherwise Spark re-shingles three times);
     # collision-safety of the long-hashed shingles documented on
     # hashed_shingles.
+    # ``arrow`` switches the signature aggregation to the bit-identical
+    # numpy twin (_minhash_signatures_arrow; TestArrowSignatures) — the
+    # 10^5+ execution mode, same output either way.
     sh = hashed_shingles(docs, n).localCheckpoint()
-    banded = band_table(sh, num_hashes, bands)
+    banded = band_table(sh, num_hashes, bands, arrow=arrow)
     left = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "bh"
     )

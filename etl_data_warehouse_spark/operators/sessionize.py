@@ -51,8 +51,10 @@ def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
             "duration_secs",
             (F.col("session_end_ms") - F.col("session_start_ms")) / F.lit(1000.0),
         )
-        .orderBy("user_id", "session_idx")
-    )
+    )  # no final sort (the q10 rule, r13): the session rollup is
+    # user_id-partitioned end-to-end (window -> groupBy, one Exchange);
+    # a global presentation sort added a rangepartitioning Exchange of
+    # the whole session table for an order-insensitive compare
 
 
 def daily_event_rollup(events: DataFrame) -> DataFrame:

@@ -273,6 +273,62 @@ def rank_cells(
     return vdf.mapInPandas(topcells, schema=schema)
 
 
+def _ivf_score_grouped(probes: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Candidate scoring as ONE numpy matmul per probed cell (cogrouped
+    applyInPandas on cell_id) — the r13 scale path for IVF scoring.
+
+    Why this beats both earlier variants (r4 measurements on
+    ``score_arrow``): the per-candidate row ships BOTH full vectors to
+    the Python worker (~1 KB/candidate; ~400 MB at the q28 sf0.1 shape),
+    so row-wise Arrow scoring lost to the JVM fold. Grouping by cell
+    ships each vector ONCE PER CELL (probes: N*nprobe rows, members: N
+    rows — ~100x fewer vector transfers at nprobe*N/n_cells candidates
+    per probe) and the per-cell |probes| x |members| matmul gives numpy
+    the batching the row-wise dot never had. Only the narrow
+    (src_id, neighbor_id, cosine_sim) rows come back.
+
+    Same BLAS-summation ulp caveat as assign_arrow: bench/throughput
+    path, not the bit-exact oracle shape (q28's registered form keeps
+    the fold). Cell sizes are bounded (~N/n_cells members, ~N*nprobe/
+    n_cells probes), so per-group memory is small by construction."""
+    import numpy as np
+    import pandas as pd
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                }
+            )
+        q = np.stack([np.asarray(x, dtype=np.float64) for x in left["qv"]])
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in right["vv"]])
+        sims = (q @ v.T) / np.outer(
+            left["qn"].to_numpy(dtype=np.float64),
+            right["vn"].to_numpy(dtype=np.float64),
+        )
+        src = left["src_id"].to_numpy(dtype=np.int64)
+        nid = right["vid"].to_numpy(dtype=np.int64)
+        si, ni = np.nonzero(src[:, None] != nid[None, :])
+        return pd.DataFrame(
+            {
+                "src_id": src[si],
+                "neighbor_id": nid[ni],
+                "cosine_sim": sims[si, ni],
+            }
+        )
+
+    return (
+        probes.groupBy("cell_id")
+        .cogroup(assigned.groupBy("cell_id"))
+        .applyInPandas(
+            score, "src_id bigint, neighbor_id bigint, cosine_sim double"
+        )
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
@@ -282,6 +338,7 @@ def ivf_topk(
     queries: DataFrame | None = None,
     assign_arrow: bool = False,
     score_arrow: bool = False,
+    score_grouped: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize to n_cells centroids
     (default seeding: the first n_cells vec_ids; pass
@@ -386,6 +443,19 @@ def ivf_topk(
             F.col("vv").alias("qv"),
             F.col("vn").alias("qn"),
             "cell_id",
+        )
+    if score_grouped:
+        # Per-cell grouped matmul — never materializes the per-candidate
+        # vector-pair rows at all (see _ivf_score_grouped). Each
+        # neighbor lives in exactly one cell → no pair duplicates.
+        sims = _ivf_score_grouped(probes, assigned)
+        w = Window.partitionBy("src_id").orderBy(
+            F.desc("cosine_sim"), F.col("neighbor_id")
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .orderBy("src_id", "rank")
         )
     # Each neighbor lives in exactly one cell → no pair duplicates.
     cands = probes.join(assigned, "cell_id").filter(

@@ -41,7 +41,10 @@ def q47_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_l_suppkey",
         "zval",
         "zbucket",
-    ).orderBy("l_orderkey", "l_linenumber")
+    )  # no final sort (the q10 rule, r13): the compare is
+    # order-insensitive; a global sort of the full fact by row id is
+    # presentation only — the layout ORDER the query computes is the
+    # zval/zbucket COLUMNS, not the output row order
 
 
 _ZSQL = zvalue_sql(["z_l_partkey", "z_l_suppkey"], _BITS)

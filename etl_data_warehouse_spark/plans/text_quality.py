@@ -355,15 +355,53 @@ def q85_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. At 100 TB the gram JOIN KEY would be xxhash64(gram) to keep
     the shuffle narrow (collision odds ~N^2/2^64 are acceptable for a
     filter signal); the string key is kept here so the DuckDB oracle
-    replays exactly.
+    replays exactly. ``crossdoc_ngram_dup(hash_keys=True)`` is that
+    scale config — the bench override (r13), the q95 pattern.
     """
     docs = load_table(spark, "documents", sf_dir)
-    para = spark.sparkContext.defaultParallelism
-    grams = (
-        docs.repartition(para, "doc_id")
-        .select("doc_id", F.explode(word_ngrams("text", 8)).alias("gram"))
-        .localCheckpoint()
-    )
+    return crossdoc_ngram_dup(docs)
+
+
+def crossdoc_ngram_dup(
+    docs: DataFrame, hash_keys: bool = False
+) -> DataFrame:
+    """q85's body over an arbitrary (doc_id, text) frame.
+    ``hash_keys=True`` is the scale config: the gram key is xxhash64
+    over the 8 TOKEN hashes (the hashed_shingles discipline, WITH
+    repeats and no distinct) — gram strings are never built, tokens are
+    hashed once per doc BEFORE the spread repartition (the Exchange is
+    the CollapseProject barrier), and the doc-freq shuffle + join-back
+    carry an 8-byte key instead of a ~50-char string. Dup verdicts
+    equal the string path absent 64-bit collisions (P ~ n^2/2^65)."""
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    if hash_keys:
+        pre = docs.select(
+            "doc_id",
+            F.transform(tokens("text"), lambda x: F.xxhash64(x)).alias(
+                "_th"
+            ),
+        )
+        sz = F.size("_th")
+        hs = F.when(
+            sz >= 8,
+            F.transform(
+                F.sequence(F.lit(1), sz - 7),
+                lambda i: F.xxhash64(
+                    *[F.element_at("_th", i + F.lit(k)) for k in range(8)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        grams = (
+            pre.repartition(para, "doc_id")
+            .select("doc_id", F.explode(hs).alias("gram"))
+            .localCheckpoint()
+        )
+    else:
+        grams = (
+            docs.repartition(para, "doc_id")
+            .select("doc_id", F.explode(word_ngrams("text", 8)).alias("gram"))
+            .localCheckpoint()
+        )
     doc_freq = grams.groupBy("gram").agg(
         F.count_distinct("doc_id").alias("doc_freq")
     )

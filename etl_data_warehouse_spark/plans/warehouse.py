@@ -830,9 +830,11 @@ ORACLES.update(
 
 
 def q42_fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_fact_lineitem(spark, sf_dir).orderBy(
-        "order_key", "line_number"
-    )
+    # no final sort (the q10 rule): the oracle compare is
+    # order-insensitive and a global rangepartitioning sort of the full
+    # line-grain fact is pure waste at scale — r13 dropped it (plan:
+    # Sort+Exchange removed above the dim joins, plans/r13/q42_*).
+    return build_fact_lineitem(spark, sf_dir)
 
 
 Q42_ORACLE = """

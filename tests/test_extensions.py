@@ -452,6 +452,34 @@ class TestIvfQueryBatch:
             (r["src_id"], r["neighbor_id"], r["rank"]) for r in arrow
         ]
 
+    def test_grouped_scoring_matches_fold(self, spark):
+        """score_grouped=True (per-cell cogrouped matmul, the r13 scale
+        scoring path) must return the same (src, neighbor, rank) set as
+        the fold path — same measure-zero-tie argument — on BOTH the
+        query-batch and the self-search (q28) shape."""
+        from etl_data_warehouse_spark.operators import similarity
+
+        corpus, queries = self._data(spark)
+        fold = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries
+        ).collect()
+        grouped = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, nprobe=4, queries=queries,
+            assign_arrow=True, score_grouped=True,
+        ).collect()
+        assert [(r["src_id"], r["neighbor_id"], r["rank"]) for r in fold] == [
+            (r["src_id"], r["neighbor_id"], r["rank"]) for r in grouped
+        ]
+        self_fold = similarity.ivf_topk(corpus, k=3, n_cells=32).collect()
+        self_grouped = similarity.ivf_topk(
+            corpus, k=3, n_cells=32, assign_arrow=True, score_grouped=True
+        ).collect()
+        assert [
+            (r["src_id"], r["neighbor_id"], r["rank"]) for r in self_fold
+        ] == [
+            (r["src_id"], r["neighbor_id"], r["rank"]) for r in self_grouped
+        ]
+
     def test_no_cartesian_in_query_batch_plan(self, spark):
         from etl_data_warehouse_spark.operators import similarity
 
