@@ -69,7 +69,17 @@ class TestQ157Artifact:
             pivot = max(range(len(w)), key=lambda i: abs(w[i]))
             assert w[pivot] > 0
 
-    def test_retrain_reproduces_artifact_bit_for_bit(self, spark):
+    def test_retrain_reproduces_artifact(self, spark):
+        """The fixed-point half (mean — BIGINT sums) must reproduce
+        BIT-FOR-BIT on any box. The eigensolver half is LAPACK/CPU
+        dependent: the r13 sandbox rebuild moved `np.linalg.eigh` by
+        1.7e-14 max-abs on the same exact Gramian (measured; the
+        committed artifact predates the rebuild), so components and
+        scales are pinned to 1e-12 — six orders above observed drift,
+        six below any verdict-relevant margin (whitened twin cosine
+        >= 0.994 vs background <= 0.68). Both engines load the SAME
+        committed artifact at query time, so q157's hash row never
+        depends on this tolerance."""
         import numpy as np
 
         import freeze_q157 as fz
@@ -86,10 +96,11 @@ class TestQ157Artifact:
         scales = 1.0 / np.sqrt(evals)
         have_mean, have_comps = fz.read_artifact()
         assert have_mean == [float(x) for x in mean]
-        assert have_comps == [
-            (j, [float(x) for x in comps[j]], float(scales[j]))
-            for j in range(comps.shape[0])
-        ]
+        assert [j for j, _, _ in have_comps] == list(range(comps.shape[0]))
+        hc = np.array([w for _, w, _ in have_comps], dtype=np.float64)
+        hs = np.array([s for _, _, s in have_comps], dtype=np.float64)
+        assert np.max(np.abs(hc - comps)) < 1e-12
+        assert np.max(np.abs(hs - scales)) < 1e-12
 
     def test_verdicts_prune_the_planted_twins(self, spark):
         # Twins prune IFF they land in the same coarse cell as their
