@@ -803,8 +803,12 @@ def minhash_lsh_pairs(
     # collision-safety of the long-hashed shingles documented on
     # hashed_shingles.
     # ``arrow`` switches the signature aggregation to the bit-identical
-    # numpy twin (_minhash_signatures_arrow; TestArrowSignatures) — the
-    # 10^5+ execution mode, same output either way.
+    # numpy twin (_minhash_signatures_arrow; TestArrowSignatures) —
+    # same output either way. Measured r13: for THIS one-shot shape the
+    # JVM agg wins at 5K–100K docs (fold 4.6–6.2s vs arrow 10.7–23.5s
+    # at 100K — the whole checkpointed shingle table crosses to Python
+    # per run); the arrow twin pays off in the persisted-index builds
+    # (dedup_index), where it also removes the signature shuffle.
     sh = hashed_shingles(docs, n).localCheckpoint()
     banded = band_table(sh, num_hashes, bands, arrow=arrow)
     left = banded.select(
