@@ -118,35 +118,38 @@ class TestPhysicalPlans:
         # column pruning: scan reads only what the query needs
         assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in plan
 
-    def test_no_container_output_columns_in_registry(self, spark, sf_dir):
-        """The driver canonicalizes query output via a pandas sort,
-        which throws `unhashable type` on array/map/binary/struct
-        cells (the q109 round-6 red row). Every registered query must
-        emit scalar-only top-level columns — scalarize with
-        array_join / md5(to_json) / hex before registering."""
+    def test_registry_schemas_and_plans(self, spark, sf_dir):
+        """ONE pass over the full registry (plan construction is the
+        cost — ~0.5s x 163 queries x former 2 tests; merged r14 so the
+        suite builds each query once) checking both registry-wide
+        invariants:
+
+        - scalar-only top-level columns: the driver canonicalizes via a
+          pandas sort, which throws `unhashable type` on array/map/
+          binary/struct cells (the q109 round-6 red row) — scalarize
+          with array_join / md5(to_json) / hex before registering;
+        - no Python-boundary or cartesian nodes in any physical plan
+          (q33_multimodal_features is the one sanctioned Arrow op; a
+          CartesianProduct can appear silently when a join loses its
+          equi-condition to a rewrite — broadcast scalar frames plan as
+          BroadcastNestedLoopJoin, never CartesianProduct)."""
         bad = []
         for name, fn in QUERIES.items():
-            schema = fn(spark, sf_dir).schema
-            for fld in schema.fields:
+            df = fn(spark, sf_dir)
+            for fld in df.schema.fields:
                 if fld.dataType.typeName() in (
                     "array", "map", "binary", "struct"
                 ):
                     bad.append(
                         f"{name}.{fld.name}:{fld.dataType.simpleString()}"
                     )
-        assert not bad, f"non-canonicalizable output columns: {bad}"
-
-    def test_no_python_udfs_in_core_queries(self, spark, sf_dir):
-        for name, fn in QUERIES.items():
             if name == "q33_multimodal_features":
-                continue  # the one sanctioned Arrow/pandas op
-            plan = self._plan(fn(spark, sf_dir))
+                continue
+            plan = self._plan(df)
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
-            # a 100-TB-fatal node that can appear silently when a join
-            # loses its equi-condition to a rewrite; broadcast scalar
-            # frames plan as BroadcastNestedLoopJoin, never this
             assert "CartesianProduct" not in plan, name
+        assert not bad, f"non-canonicalizable output columns: {bad}"
 
     def test_whole_stage_codegen_on_fact_rollup(self, spark, sf_dir):
         df = QUERIES["q08_fact_daily_sales"](spark, sf_dir)

@@ -99,7 +99,19 @@ class TestQ157Artifact:
         assert [j for j, _, _ in have_comps] == list(range(comps.shape[0]))
         hc = np.array([w for _, w, _ in have_comps], dtype=np.float64)
         hs = np.array([s for _, _, s in have_comps], dtype=np.float64)
-        assert np.max(np.abs(hc - comps)) < 1e-12
+        # Per-ROW up-to-sign compare (r14, ADVICE): the pivot-positive
+        # canonicalization above normally fixes the sign, but when the
+        # pivot coefficient itself sits on a |coeff| near-tie a LAPACK
+        # build can pick the other pivot and flip the whole row — a
+        # legitimate eigh outcome that leaves q157's verdicts (cosines
+        # in the whitened space are sign-invariant per component)
+        # untouched. Compare each row against ±artifact and take the
+        # closer orientation.
+        flip_err = np.minimum(
+            np.max(np.abs(hc - comps), axis=1),
+            np.max(np.abs(hc + comps), axis=1),
+        )
+        assert float(np.max(flip_err)) < 1e-12
         assert np.max(np.abs(hs - scales)) < 1e-12
 
     def test_verdicts_prune_the_planted_twins(self, spark):
