@@ -288,6 +288,7 @@ def _build_scale_ops(spark, base: str, n_docs: int, n_queries: int = 1000):
             n_cells=1024,
             assign_arrow=True,
             pairs_arrow=True,
+            sort=False,  # r14: presentation sort dropped on scale paths
         ),
         # round-6 text ops: LM quality scoring (explode + broadcast
         # model join + doc agg) and context-window chunking (pure
@@ -329,7 +330,9 @@ def _build_scale_ops(spark, base: str, n_docs: int, n_queries: int = 1000):
         ).alias("cn"),
     )
     ivf_assigned = (
-        similarity.rank_cells(_cn, _cents_n, 1, assign_arrow=True)
+        similarity.rank_cells(
+            _cn, _cents_n, 1, assign_arrow=True, emit_vectors=False
+        )
         .select(F.col("vid").alias("vec_id"), "cell_id")
         .localCheckpoint()
     )
@@ -518,7 +521,7 @@ def _dim768_section(spark) -> dict:
         ),
         "semantic_dedup": lambda: similarity.semantic_dedup(
             ndvecs, threshold=0.90, n_cells=256,
-            assign_arrow=True, pairs_arrow=True,
+            assign_arrow=True, pairs_arrow=True, sort=False,
         ),
         "ivfadc_topk": lambda: pq.ivfadc_topk(
             vecs, qvecs, k=5, nprobe=8, m=16,
@@ -652,7 +655,7 @@ def _xl_section(spark, n_docs: int) -> dict:
         # (README scaling section: 16K cells 82s vs 4K cells 200s at 1M)
         "semantic_dedup": lambda: similarity.semantic_dedup(
             ndvecs, threshold=0.90, n_cells=max(256, n_docs // 64),
-            assign_arrow=True, pairs_arrow=True,
+            assign_arrow=True, pairs_arrow=True, sort=False,
         ),
         # wide-band SRP (24-bit bands): the 10^6-row hyperplane-LSH
         # operating point — background candidates ~16*N^2/2^24 instead
@@ -882,6 +885,31 @@ def _streaming_scale_section(spark) -> dict:
         "attributed_pairs": n_pairs,
         "matches_batch_join": n_diff == 0,
     }
+    # Same drain at state partitions sized to the feed (r14): every
+    # microbatch pays O(partitions) fixed state-store maintenance per
+    # stateful operator regardless of data, so the production sizing
+    # rule (partitions ~ rate x horizon / target store size) matters —
+    # this row records the knob's effect next to the default row (the
+    # default row stays the like-for-like comparable).
+    t0 = time.time()
+    q = sj.start_view_click_stream(
+        spark, in_dir, in_dir, f"{base}/join_out_t", f"{base}/join_ckpt_t",
+        horizon="1 hour", watermark="2 hours", max_files=1,
+        state_partitions=8,
+    )
+    q.awaitTermination(600)
+    tuned_drain = round(time.time() - t0, 3)
+    tuned_pairs = spark.read.parquet(f"{base}/join_out_t")
+    join_row["tuned_state_partitions"] = 8
+    join_row["tuned_drain_sec"] = tuned_drain
+    join_row["tuned_matches_default"] = bool(
+        tuned_pairs.select(*keys).exceptAll(streamed_pairs.select(*keys))
+        .union(
+            streamed_pairs.select(*keys).exceptAll(tuned_pairs.select(*keys))
+        )
+        .count()
+        == 0
+    )
     # --- streaming curation at volume --------------------------------
     # 100K docs drained through the domain-cap materializer (r9): the
     # per-batch cost is one host window + one host-grain budget probe;

@@ -60,17 +60,26 @@ def _assign_cells(
 ) -> DataFrame:
     from .pq import _dot
 
-    v = with_norm(vectors, vec_col).select(
+    # Pure assignment: cosine RANKING per row is invariant to the
+    # row's own norm (it scales every cell's score equally), so vn is
+    # pinned to 1.0 instead of paying the interpreted norm fold over
+    # the whole corpus, and emit_vectors=False keeps the (opaque to
+    # column pruning) arrow pass from shipping every vector back out
+    # of Python just to be dropped (r14 — together with the kmeans
+    # spread fix this took the 1M ivf_pq_index assign stage from 57s
+    # to single digits).
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    v = vectors.repartition(para, "vec_id").select(
         F.col("vec_id").alias("vid"),
-        F.col("_v").alias("vv"),
-        F.col("_norm").alias("vn"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vv"),
+        F.lit(1.0).alias("vn"),
     )
     cents = centroids.select(
         "cell_id", "cv", F.sqrt(_dot("cv", "cv")).alias("cn")
     )
-    return rank_cells(v, cents, 1, assign_arrow=assign_arrow).select(
-        F.col("vid").alias("vec_id"), "cell_id"
-    )
+    return rank_cells(
+        v, cents, 1, assign_arrow=assign_arrow, emit_vectors=False
+    ).select(F.col("vid").alias("vec_id"), "cell_id")
 
 
 def build_ivf_pq_index(
@@ -96,8 +105,13 @@ def build_ivf_pq_index(
     per cell train centroids as good as the full corpus; the FULL
     corpus is still assigned afterwards). ``assign_arrow=True`` also
     routes corpus encoding through ``pack_encode_arrow`` — one Arrow
-    pass instead of the N·m·codes-row fold ranking; same BLAS-ulp
-    caveat, so deterministic replay keeps the default fold path."""
+    pass instead of the N·m·codes-row fold ranking — and, when
+    ``pq_train_limit`` bounds the training set, PQ codebook training
+    through the driver-side numpy twin (train_pq_codebooks_numpy:
+    the distributed fold trainer spends minutes of interpreted
+    HOF-assignment jobs on a 10K sample a laptop Lloyd's finishes in
+    milliseconds); same BLAS-ulp caveat either way, so deterministic
+    replay keeps the default fold paths."""
     train_c = vectors
     if coarse_train_limit is not None:
         train_c = vectors.orderBy("vec_id").limit(coarse_train_limit)
@@ -111,9 +125,18 @@ def build_ivf_pq_index(
     train = vectors
     if pq_train_limit is not None:
         train = vectors.orderBy("vec_id").limit(pq_train_limit)
-    books = train_pq_codebooks(
-        train, m=m, codes=codes, max_iterations=pq_iterations, vec_col=vec_col
-    )
+    if assign_arrow and pq_train_limit is not None:
+        from .pq import train_pq_codebooks_numpy
+
+        books = train_pq_codebooks_numpy(
+            train, m=m, codes=codes, max_iterations=pq_iterations,
+            vec_col=vec_col,
+        )
+    else:
+        books = train_pq_codebooks(
+            train, m=m, codes=codes, max_iterations=pq_iterations,
+            vec_col=vec_col,
+        )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     books.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     if assign_arrow:
@@ -250,6 +273,7 @@ def incremental_semantic_dedup(
     assign_arrow: bool = False,
     refine_arrow: bool = False,
     vec_col: str = "embedding",
+    sort: bool = True,
 ) -> DataFrame:
     """O(batch) semantic-dedup VERDICT for a new batch against the
     standing corpus — the embedding twin of dedup_index.incremental_dedup:
@@ -295,6 +319,9 @@ def incremental_semantic_dedup(
     earlier-id set — and the verdict — is unchanged.
 
     Output: (vec_id, cell_id, kept, dup_of) for batch rows only.
+    ``sort=False`` skips the closing presentation orderBy (the
+    semantic_dedup convention, r14) — the day-2 pipeline consumes the
+    verdicts via joins, so the batch-sized range shuffle is overhead.
     """
     from .pq import _dot, _subvectors, _vec_dim
     from .similarity import with_norm
@@ -308,7 +335,8 @@ def incremental_semantic_dedup(
     ).localCheckpoint()  # batch-sized: reused by 3 consumers
     if refine_arrow:
         return _arrow_verdicts(
-            corpus, new_vectors, idx, assigned_new, threshold, vec_col
+            corpus, new_vectors, idx, assigned_new, threshold, vec_col,
+            sort=sort,
         )
 
     n = assigned_new.select("vec_id", "cell_id")
@@ -396,7 +424,7 @@ def incremental_semantic_dedup(
         .groupBy("vec_id")
         .agg(F.min("earlier_id").alias("dup_of"))
     )
-    return (
+    out = (
         assigned_new.join(dups, "vec_id", "left")
         .select(
             "vec_id",
@@ -404,8 +432,8 @@ def incremental_semantic_dedup(
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
         )
-        .orderBy("vec_id")
     )
+    return out.orderBy("vec_id") if sort else out
 
 
 def _arrow_verdicts(
@@ -415,6 +443,7 @@ def _arrow_verdicts(
     assigned_new: DataFrame,
     threshold: float,
     vec_col: str,
+    sort: bool = True,
 ) -> DataFrame:
     """refine_arrow path of :func:`incremental_semantic_dedup`: one
     numpy gram matrix per TOUCHED cell instead of per-pair fold
@@ -467,7 +496,7 @@ def _arrow_verdicts(
         .groupBy("cell_id")
         .applyInPandas(prune, "vec_id bigint, dup_of bigint")
     )
-    return (
+    out = (
         assigned_new.join(dups, "vec_id", "left")
         .select(
             "vec_id",
@@ -475,8 +504,8 @@ def _arrow_verdicts(
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
         )
-        .orderBy("vec_id")
     )
+    return out.orderBy("vec_id") if sort else out
 
 
 # --- Whitened SemDeDup against the persisted index ---------------------------

@@ -352,7 +352,18 @@ def _containment_candidates(
             .select("shingle")
             .localCheckpoint()
         )
-        eligible = sh.join(F.broadcast(stops), "shingle", "left_anti")
+        # |stops| <= total_shingles / max_df by construction — tiny at
+        # the shipped operating points (max_df=1000). But max_df is
+        # caller-supplied (tests use 4), where the bound is a large
+        # corpus fraction: an unconditional F.broadcast would bypass
+        # the planner's size check and can OOM the driver (r14,
+        # ADVICE). stops is already materialized (localCheckpoint), so
+        # counting it is free — force the map-side broadcast only when
+        # it provably fits, else let AQE pick the join.
+        anti = (
+            F.broadcast(stops) if stops.count() <= 1_000_000 else stops
+        )
+        eligible = sh.join(anti, "shingle", "left_anti")
     else:
         eligible = sh
     w = Window.partitionBy("doc_id").orderBy("shingle")

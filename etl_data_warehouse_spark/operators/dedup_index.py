@@ -251,7 +251,18 @@ def incremental_dedup(
     ``hashed_shingles(new_docs, n)`` / ``band_table(shingles, ...)``
     frames (same parameters). The day-2 pipeline computes each ONCE
     and feeds both this probe and the later index append — otherwise
-    the batch is shingled and signed twice per day."""
+    the batch is shingled and signed twice per day.
+
+    Measured-and-rejected (r14; r12 verdict task #6): checkpointing the
+    batch band table PRE-PARTITIONED on the band keys, so the probe
+    joins would run with zero batch-side Exchanges. Under AQE both
+    localCheckpoint and persist() report UnknownPartitioning(0) for the
+    materialized frame (the AdaptiveSparkPlanExec wrapper discards the
+    final plan's partitioning), so the joins re-shuffle anyway and the
+    pre-partition is purely an EXTRA exchange at checkpoint time. The
+    probe already pays exactly ONE batch-side band Exchange per action:
+    both joins consume the same checkpointed frame with identical
+    projections, so ReuseExchange shares it."""
     new_sh = (
         shingles
         if shingles is not None

@@ -174,6 +174,70 @@ def train_pq_codebooks(
     return centroids.withColumn("cnorm2", _dot("cv", "cv")).localCheckpoint()
 
 
+def train_pq_codebooks_numpy(
+    vectors: DataFrame,
+    m: int = 4,
+    codes: int = 16,
+    max_iterations: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-side numpy twin of :func:`train_pq_codebooks` for BOUNDED
+    training sets (PQ training is always subsampled in production —
+    build_ivf_pq_index's pq_train_limit): collect the n x d training
+    block once (10K x 16 doubles = 1.2 MB at the XL operating point)
+    and run the same deterministic Lloyd's locally instead of
+    max_iterations x m interpreted fold-assignment jobs.
+
+    Same CONTROL FLOW as the distributed trainer: seeding = the
+    ``codes`` lowest vec_ids per subspace, assignment = argmin squared
+    distance with asc-code_id tiebreak (numpy argmin first-occurrence
+    over code_id-ordered centroids), empty cells keep their previous
+    centroid, early stop when assignments stop changing. Centroid
+    VALUES can differ from the fold trainer in final ulps (BLAS
+    summation order vs the sequential fold) — same caveat as every
+    assign_arrow twin, so this is the index-BUILD path
+    (build_ivf_pq_index arrow mode), not the oracle-checked one; the
+    recall gate measures the result where it matters.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = V.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    out_rows = []
+    for s in range(m):
+        S = V[:, s * sub_dim : (s + 1) * sub_dim]
+        cents = S[: codes].copy()  # code_id = row index + 1
+        n_c = cents.shape[0]
+        prev = None
+        for _ in range(max_iterations):
+            d = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            if prev is not None and np.array_equal(a, prev):
+                break
+            prev = a
+            for c in range(n_c):
+                mask = a == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        for c in range(n_c):
+            cv = [float(x) for x in cents[c]]
+            out_rows.append(
+                (s, c + 1, cv, float(sum(x * x for x in cv)))
+            )
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out_rows, "subspace int, code_id int, cv array<double>, cnorm2 double"
+    ).localCheckpoint()
+
+
 def pq_encode(
     vectors: DataFrame, codebooks: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -471,7 +535,9 @@ def ivfadc_topk(
             F.col("_norm").alias("vn"),
         )
         assigned = (
-            rank_cells(v, cents, 1, assign_arrow=assign_arrow)
+            rank_cells(
+                v, cents, 1, assign_arrow=assign_arrow, emit_vectors=False
+            )
             .select(F.col("vid").alias("vec_id"), "cell_id")
         )
     else:
@@ -481,8 +547,12 @@ def ivfadc_topk(
         F.col("_v").alias("vv"),
         F.col("_norm").alias("vn"),
     )
+    # emit_vectors=False: only (vid, cell_id) is consumed, and the
+    # arrow pass is opaque to column pruning (r14)
     probe_cells = (
-        rank_cells(q, cents, nprobe, assign_arrow=assign_arrow)
+        rank_cells(
+            q, cents, nprobe, assign_arrow=assign_arrow, emit_vectors=False
+        )
         .select(F.col("vid").alias("src_id"), "cell_id")
     )
 

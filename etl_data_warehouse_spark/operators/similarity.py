@@ -138,6 +138,7 @@ def rank_cells(
     centroids: DataFrame,
     nprobe: int,
     assign_arrow: bool = False,
+    emit_vectors: bool = True,
 ) -> DataFrame:
     """Rank each vector's top-``nprobe`` nearest centroids by cosine.
 
@@ -155,6 +156,13 @@ def rank_cells(
     Arrow path: the same ranking as a numpy matmul per Arrow batch —
     ~10x faster at 100K+ rows (lambda folds are interpreted, not
     codegen'd), equal up to BLAS summation ulps on cosine ties.
+
+    ``emit_vectors=False`` drops vv/vn from the output (rows and
+    ordering identical — r14): pure-ASSIGNMENT consumers (index cell
+    assignment, ivfadc probe-cell restriction) only read (vid, r,
+    cell_id), but a mapInPandas is opaque to column pruning, so the
+    arrow path was shipping every input vector back JVM→Python→JVM
+    just to discard it.
     """
     if not assign_arrow:
         cent_row = centroids.agg(
@@ -180,17 +188,13 @@ def rank_cells(
             1,
             nprobe,
         )
-        return (
-            vdf.crossJoin(F.broadcast(cent_row))
-            .select(
-                "vid",
-                "vv",
-                "vn",
-                F.posexplode(scored_cells).alias("r", "pc"),
-            )
-            .select(
-                "vid", "vv", "vn", "r", F.col("pc")["cell_id"].alias("cell_id")
-            )
+        carry = ["vid", "vv", "vn"] if emit_vectors else ["vid"]
+        out = vdf.crossJoin(F.broadcast(cent_row)).select(
+            *carry,
+            F.posexplode(scored_cells).alias("r", "pc"),
+        )
+        return out.select(
+            *carry, "r", F.col("pc")["cell_id"].alias("cell_id")
         )
 
     # Arrow path. Centroid matrix is tiny (n_cells x dim doubles);
@@ -259,17 +263,20 @@ def rank_cells(
                     best_sims = np_.take_along_axis(best_sims, order, axis=1)
                     best_ids = np_.take_along_axis(best_ids, order, axis=1)
                 p = best_ids.shape[1]
-                yield pd_.DataFrame(
-                    {
-                        "vid": sub["vid"].to_numpy().repeat(p),
-                        "vv": sub["vv"].to_numpy().repeat(p),
-                        "vn": sub["vn"].to_numpy().repeat(p),
-                        "r": np_.tile(np_.arange(p), m),
-                        "cell_id": best_ids.ravel(),
-                    }
-                )
+                cols = {"vid": sub["vid"].to_numpy().repeat(p)}
+                if emit_vectors:
+                    cols["vv"] = sub["vv"].to_numpy().repeat(p)
+                    cols["vn"] = sub["vn"].to_numpy().repeat(p)
+                cols["r"] = np_.tile(np_.arange(p), m)
+                cols["cell_id"] = best_ids.ravel()
+                yield pd_.DataFrame(cols)
 
-    schema = "vid bigint, vv array<double>, vn double, r int, cell_id bigint"
+    if emit_vectors:
+        schema = (
+            "vid bigint, vv array<double>, vn double, r int, cell_id bigint"
+        )
+    else:
+        schema = "vid bigint, r int, cell_id bigint"
     return vdf.mapInPandas(topcells, schema=schema)
 
 
@@ -294,31 +301,48 @@ def _ivf_score_grouped(probes: DataFrame, assigned: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # Probe-side row blocks bound per-group memory at BLOCK x |members|
+    # doubles regardless of cell skew (r14, ADVICE): centroids are
+    # caller-supplied, so one degenerate cell can capture a large
+    # corpus fraction and an unblocked |probes| x |members| sims+mask
+    # pair would blow up the Python worker. Blocking changes nothing
+    # numerically — each probe row's matmul is independent.
+    _BLOCK = 4096
+
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if not len(left) or not len(right):
-            return pd.DataFrame(
-                {
-                    "src_id": pd.Series(dtype="int64"),
-                    "neighbor_id": pd.Series(dtype="int64"),
-                    "cosine_sim": pd.Series(dtype="float64"),
-                }
-            )
-        q = np.stack([np.asarray(x, dtype=np.float64) for x in left["qv"]])
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in right["vv"]])
-        sims = (q @ v.T) / np.outer(
-            left["qn"].to_numpy(dtype=np.float64),
-            right["vn"].to_numpy(dtype=np.float64),
-        )
-        src = left["src_id"].to_numpy(dtype=np.int64)
-        nid = right["vid"].to_numpy(dtype=np.int64)
-        si, ni = np.nonzero(src[:, None] != nid[None, :])
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "src_id": src[si],
-                "neighbor_id": nid[ni],
-                "cosine_sim": sims[si, ni],
+                "src_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64"),
             }
         )
+        if not len(left) or not len(right):
+            return empty
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in right["vv"]])
+        vn = right["vn"].to_numpy(dtype=np.float64)
+        nid = right["vid"].to_numpy(dtype=np.int64)
+        parts = []
+        for lo in range(0, len(left), _BLOCK):
+            blk = left.iloc[lo : lo + _BLOCK]
+            q = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in blk["qv"]]
+            )
+            sims = (q @ v.T) / np.outer(
+                blk["qn"].to_numpy(dtype=np.float64), vn
+            )
+            src = blk["src_id"].to_numpy(dtype=np.int64)
+            si, ni = np.nonzero(src[:, None] != nid[None, :])
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "src_id": src[si],
+                        "neighbor_id": nid[ni],
+                        "cosine_sim": sims[si, ni],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return (
         probes.groupBy("cell_id")
@@ -610,24 +634,36 @@ def hyperplane_lsh_neardup(
     No CartesianProduct (asserted in tests).
 
     Between the bucket join and the exact verify sits a full-signature
-    HAMMING PREFILTER: bucket-joined pairs attach both rows' complete
-    n_planes-bit signatures (a broadcast-sized table: N × bands longs)
-    and drop pairs whose bit-disagreement exceeds q_thr + 4σ, where
-    q_thr = acos(threshold)/π is the expected disagreement AT the
-    threshold and σ = sqrt(q_thr(1-q_thr)/n_planes) — all codegen'd
-    bit_count(xor) column math, no HOFs. In low dimension (≤ ~32) the
-    per-band bits correlate and background pairs flood the buckets
-    (measured: 12M candidates for 150K true pairs at dim 16 / 100K
-    vectors); the prefilter removes them BEFORE the distinct + verify
-    shuffles pay for each. False-reject probability for a pair exactly
-    at the threshold is Φ(-4) ≈ 3e-5, and it decays to ~1e-12 in the
-    planted-twin regime the oracle checks — the same w.h.p. class as
-    the banding itself."""
+    HAMMING PREFILTER: pairs whose bit-disagreement exceeds q_thr + 4σ
+    are dropped, where q_thr = acos(threshold)/π is the expected
+    disagreement AT the threshold and σ = sqrt(q_thr(1-q_thr)/n_planes)
+    — all codegen'd bit_count(xor) column math, no HOFs. In low
+    dimension (≤ ~32) the per-band bits correlate and background pairs
+    flood the buckets (measured: 12M candidates for 150K true pairs at
+    dim 16 / 100K vectors); the prefilter removes them BEFORE the
+    distinct + verify shuffles pay for each. False-reject probability
+    for a pair exactly at the threshold is Φ(-4) ≈ 3e-5, and it decays
+    to ~1e-12 in the planted-twin regime the oracle checks — the same
+    w.h.p. class as the banding itself.
+
+    The full signature rides THROUGH the bucket join (the
+    simhash_pairs_blocked discipline, r14): both sides of the
+    (band, bv) self-join carry all ``bands`` signature longs, so the
+    hamming filter runs map-side in the join stage and only surviving
+    (vec_a, vec_b) pairs reach the distinct. The r13 shape instead
+    joined the bare candidate stream BACK against the signature table
+    twice — two extra shuffles of the Ω(bands·N²/2^bits) candidate
+    stream (the second carrying bands attached longs per row, ~11 GB
+    at 1M/24-bit), which the XL profile showed dominating the
+    operator. Payload cost: the keyed explode widens from 3 to
+    3+bands columns (N·bands rows either way, one reused Exchange);
+    the win is candidate-proportional, the cost corpus-proportional."""
     import math
 
     sig = srp_signatures(vectors, n_planes, bands, seed).localCheckpoint()
     keyed = sig.select(
         "vec_id",
+        *[F.col(f"band_{i}") for i in range(bands)],
         F.explode(
             F.array(
                 *[
@@ -639,32 +675,29 @@ def hyperplane_lsh_neardup(
                 ]
             )
         ).alias("k"),
-    ).select("vec_id", "k.band", "k.bv")
-    a = keyed.select(F.col("vec_id").alias("vec_a"), "band", "bv")
-    b = keyed.select(F.col("vec_id").alias("vec_b"), "band", "bv")
-    raw = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+    ).select("vec_id", *[f"band_{i}" for i in range(bands)], "k.band", "k.bv")
+    a = keyed.select(
+        F.col("vec_id").alias("vec_a"),
+        *[F.col(f"band_{i}").alias(f"sa_{i}") for i in range(bands)],
+        "band",
+        "bv",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        *[F.col(f"band_{i}").alias(f"sb_{i}") for i in range(bands)],
+        "band",
+        "bv",
     )
     q_thr = math.acos(min(1.0, max(-1.0, threshold))) / math.pi
     sigma = math.sqrt(q_thr * (1.0 - q_thr) / n_planes)
     max_bits = int(math.ceil(n_planes * (q_thr + 4.0 * sigma)))
-    sig_a = sig.select(
-        F.col("vec_id").alias("vec_a"),
-        *[F.col(f"band_{i}").alias(f"sa_{i}") for i in range(bands)],
-    )
-    sig_b = sig.select(
-        F.col("vec_id").alias("vec_b"),
-        *[F.col(f"band_{i}").alias(f"sb_{i}") for i in range(bands)],
-    )
     hamming = sum(
         F.bit_count(F.col(f"sa_{i}").bitwiseXOR(F.col(f"sb_{i}")))
         for i in range(bands)
     )
     cands = (
-        raw.join(sig_a, "vec_a")
-        .join(sig_b, "vec_b")
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(hamming <= F.lit(max_bits))
         .select("vec_a", "vec_b")
         .distinct()
@@ -832,9 +865,20 @@ def kmeans_centroids(
     """
     dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1)
     dim = dim_df.first()["d"]
-    v = vectors.select(
-        "vec_id", _as_double(vec_col).alias("vv")
-    ).localCheckpoint()
+    # Explicit spread (r14): training sets routinely arrive as ONE
+    # partition — build_ivf_pq_index subsamples with orderBy().limit(),
+    # whose GlobalLimit materializes everything into a single task, and
+    # every Lloyd's iteration then ran its whole assignment matmul on
+    # one core (measured: 145s of the 1M ivf_pq_index build's 202s).
+    # Hash on vec_id (not round robin) so the layout is a pure function
+    # of the data — the docstring's "identical partitioning →
+    # bit-identical centroids" contract stays caller-independent.
+    para = vectors.sparkSession.sparkContext.defaultParallelism
+    v = (
+        vectors.select("vec_id", _as_double(vec_col).alias("vv"))
+        .repartition(para, "vec_id")
+        .localCheckpoint()
+    )
 
     centroids = (
         v.orderBy("vec_id")
@@ -990,6 +1034,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     assign_arrow: bool = False,
     pairs_arrow: bool = False,
+    sort: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, then drop any
@@ -1026,6 +1071,12 @@ def semantic_dedup(
     assign_arrow — BLAS summation can flip exact-threshold ties, so the
     fold path remains the oracle-checked default. One shuffle on
     cell_id either way.
+
+    ``sort=False`` skips the closing presentation orderBy (one
+    rangepartitioning Exchange + sort of the FULL verdict frame — pure
+    overhead at 10^6 rows; the driver compare is order-insensitive):
+    the brute_force_topk ``sort`` convention, passed by the XL/scale
+    bench paths and the day-2 pipeline, whose consumers join on vec_id.
     """
     if centroids is not None and n_cells is None:
         n_cells = centroids.count()
@@ -1107,7 +1158,7 @@ def semantic_dedup(
             .groupBy("vec_id")
             .agg(F.min("earlier_id").alias("dup_of"))
         )
-    return (
+    out = (
         assigned.select(F.col("vid").alias("vec_id"), "cell_id")
         .join(dups, "vec_id", "left")
         .select(
@@ -1116,8 +1167,8 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
         )
-        .orderBy("vec_id")
     )
+    return out.orderBy("vec_id") if sort else out
 
 
 # --- Fixed-point embedding Gramian (covariance/PCA prep) ----------------------
@@ -1321,6 +1372,7 @@ def whitened_semantic_dedup(
     assign_arrow: bool = False,
     pairs_arrow: bool = False,
     vec_col: str = "embedding",
+    sort: bool = True,
 ) -> DataFrame:
     """SemDeDup AS PUBLISHED (Abbas et al. 2023, arXiv:2303.09540 §3:
     embeddings are whitened before clustering): PCA-whiten the corpus
@@ -1361,4 +1413,5 @@ def whitened_semantic_dedup(
         centroids=centroids,
         assign_arrow=assign_arrow,
         pairs_arrow=pairs_arrow,
+        sort=sort,
     )

@@ -377,6 +377,7 @@ def run_day2_ingest(
             centroids=cents,
             assign_arrow=semantic_arrow,
             pairs_arrow=semantic_arrow,
+            sort=False,  # verdicts feed joins; order is presentation-only
         )
     else:
         standing = (
@@ -392,6 +393,7 @@ def run_day2_ingest(
             threshold=cfg["cosine_threshold"],
             assign_arrow=semantic_arrow,
             refine_arrow=semantic_arrow,
+            sort=False,
         )
     sem_edges = (
         verdicts.filter(~F.col("kept"))

@@ -3733,13 +3733,21 @@ def q125_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     and surfaced as md5 + byte length so the output stays scalar.
 
     Scale shape: posexplode + ONE doc-keyed window pass + one doc
-    aggregate — a single corpus shuffle on doc_id, linear in tokens."""
+    aggregate. The entry repartition is keyed on doc_id (not round
+    robin, r14): Generate preserves the child's hashpartitioning, so
+    the doc-keyed window and the closing groupBy both ride the
+    pre-explode Exchange — the shuffle moves N doc rows, not the
+    ~200x larger token table (guide §2.4 "explode after the shuffle";
+    the r13 shape paid an Exchange(doc_id) over every exploded token).
+    The output sort was presentation-only (the driver compare is an
+    order-insensitive value hash; at 1M docs it range-shuffled the
+    whole verdict frame) and is dropped per the q42/q47/q30 rule."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
     para = spark.sparkContext.defaultParallelism
     tk = (
-        docs.repartition(para)  # single-row-group parquet: parallelize
+        docs.repartition(para, "doc_id")  # keyed: explode BELOW the Exchange
         .select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
     )
     h = F.conv(
@@ -3817,7 +3825,7 @@ def q125_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("input_text").cast("long").alias("input_bytes"),
         F.md5("target_text").alias("target_md5"),
         F.octet_length("target_text").cast("long").alias("target_bytes"),
-    ).orderBy("doc_id")
+    )
 
 
 Q125_ORACLE = f"""

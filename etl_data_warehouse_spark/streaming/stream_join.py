@@ -86,15 +86,45 @@ def start_view_click_stream(
     watermark: str = "2 hours",
     available_now: bool = True,
     max_files: int = 16,
+    state_partitions: int | None = None,
 ):
     """Start (or drain with AvailableNow) the attribution join into a
-    parquet sink (append — each attributed pair is emitted once)."""
+    parquet sink (append — each attributed pair is emitted once).
+
+    ``state_partitions`` sizes the stateful operator's shuffle/state
+    partition count for THIS query (it sets spark.sql.shuffle.partitions
+    on the session before start — Spark captures the value in the new
+    checkpoint's offset log, so it binds to the query, and the previous
+    session value is restored after start). Sizing rule: state rows per
+    side ≈ rate × (watermark + horizon); pick partitions so each state
+    store holds ~10^5-10^6 rows. Every microbatch pays O(partitions)
+    fixed state-store maintenance (file commits + snapshots) per
+    stateful operator REGARDLESS of data, so a count sized for peak
+    cluster throughput is pure overhead on a small feed — this knob is
+    production sizing, not a local tweak; the default (None) keeps the
+    session's setting. A RESUMED checkpoint keeps its original count
+    (Spark pins it in the offset log) — changing this knob only affects
+    fresh checkpoints."""
     joined = view_click_join(
         read_typed_event_stream(spark, views_dir, "view", "v", max_files),
         read_typed_event_stream(spark, clicks_dir, "click", "c", max_files),
         horizon=horizon,
         watermark=watermark,
     )
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            return _start(joined, output_dir, checkpoint_dir, available_now)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _start(joined, output_dir, checkpoint_dir, available_now)
+
+
+def _start(joined: DataFrame, output_dir: str, checkpoint_dir: str,
+           available_now: bool):
+    # streaming queries run on a session CLONED inside .start(), so a
+    # caller-side conf restore after start() cannot race the stream
     writer = (
         joined.writeStream.outputMode("append")
         .format("parquet")

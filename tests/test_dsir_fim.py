@@ -95,6 +95,14 @@ class TestDsirWeights:
             q122_dsir_weights,
         )
 
+        # Plan-shape assertions need a cache-free catalog: an earlier
+        # test module's `load_table(...).cache()` (test_extensions'
+        # corpus fixture — CacheManager is SHARED across sessions)
+        # substitutes an all-column InMemoryRelation into ONE branch's
+        # scan pattern and silently splits the shared subplan into two
+        # Generate explode passes (observed in the r14 sharded run
+        # whenever both files land in one worker).
+        spark.catalog.clearCache()
         df = q122_dsir_weights(spark, sf_dir)
         df.collect()  # a write would spawn its OWN QueryExecution
         final = (
@@ -143,7 +151,12 @@ class TestSpanCorruption:
         )
 
         toks = _doc_tokens(spark, sf_dir)
-        rows = q125_span_corruption(spark, sf_dir).collect()
+        # r14: q125 no longer carries a presentation sort (the driver
+        # compare is order-insensitive) — sort here before comparing
+        rows = sorted(
+            q125_span_corruption(spark, sf_dir).collect(),
+            key=lambda r: r["doc_id"],
+        )
         assert [r["doc_id"] for r in rows] == sorted(toks)
         for r in rows:
             tok = toks[r["doc_id"]]

@@ -68,13 +68,19 @@ def main() -> int:
         cents = similarity.kmeans_centroids(
             train_c, n_cells=n_cells, max_iterations=4, assign_arrow=True
         )
-    # --- stage 2: PQ codebooks over the 10K subsample -----------------
-    sc.setJobDescription("pq codebooks")
-    with timed("pq_codebooks"):
+    # --- stage 2: PQ codebooks over the 10K subsample (both trainers)
+    sc.setJobDescription("pq codebooks (fold)")
+    with timed("pq_codebooks_fold"):
         train = data.orderBy("vec_id").limit(10000)
         books = pq.train_pq_codebooks(
             train, m=m, codes=codes, max_iterations=4
         )
+    sc.setJobDescription("pq codebooks (numpy)")
+    with timed("pq_codebooks_numpy"):
+        books_np = pq.train_pq_codebooks_numpy(
+            train, m=m, codes=codes, max_iterations=4
+        )
+    books_np.count()
     # --- stage 3: state writes ----------------------------------------
     sc.setJobDescription("write quantizer state")
     with timed("write_state"):

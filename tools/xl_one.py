@@ -92,7 +92,7 @@ def main() -> int:
     ops = {
         "semantic_dedup": lambda: similarity.semantic_dedup(
             data, threshold=0.90, n_cells=max(256, n // 64),
-            assign_arrow=True, pairs_arrow=True,
+            assign_arrow=True, pairs_arrow=True, sort=False,
         ),
         "hyperplane_lsh_wide": lambda: similarity.hyperplane_lsh_neardup(
             data, threshold=0.90, n_planes=384, bands=16

@@ -85,6 +85,7 @@ def main() -> int:
             threshold=0.95,
             assign_arrow=True,
             refine_arrow=(mode == "arrow"),
+            sort=False,
         )
         agg = verdicts.agg(
             F.count("*").alias("n"),

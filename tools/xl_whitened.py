@@ -66,6 +66,7 @@ def main() -> int:
         n_cells=1024,
         assign_arrow=True,
         pairs_arrow=True,
+        sort=False,
     )
     agg = verdicts.agg(
         F.count("*").alias("n"),
@@ -114,6 +115,7 @@ def main() -> int:
         threshold=0.95,
         assign_arrow=True,
         refine_arrow=True,
+        sort=False,
     )
     iagg = inc.agg(
         F.count("*").alias("n"),
